@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational query surface a dbqt user drives through its SQL
+  * connectors (reference: dbqt/connections.py:59 `run_query` — the
+  * reference delegates arbitrary SQL to the backing warehouse; here the
+  * engine IS the warehouse). Shapes chosen to cover filtered aggregation,
+  * multi-way joins, top-k, windows and time-bucketed rollups.
+  *
+  * Scale notes: dimension tables (region/nation/customer/supplier) are
+  * broadcast explicitly; fact-side aggregates are partial (map-side
+  * combine) before the shuffle; all float outputs rounded for oracle
+  * stability.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1 shape: filtered scan → 4-group aggregate. Filter and the
+    * 7-column projection both push into the parquet scan.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, group by order, top 10
+    * by revenue. Customer is small relative to facts → broadcast; the
+    * orders↔lineitem join shuffles on the order key. Tie-broken by
+    * o_orderkey so top-k is deterministic.
+    */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val li   = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-table star join. All dimension chains broadcast;
+    * only the orders↔lineitem fact join shuffles.
+    */
+  def q5StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val cust   = Tables(spark, dir, "customer")
+    val supp   = Tables(spark, dir, "supplier")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = Tables(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** Window-function shape: rank orders within each customer by price.
+    * rank() (not row_number) with a full deterministic sort key so ties
+    * cannot flip between engines.
+    */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    ord.select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        rank().over(w).as("price_rank"))
+      .filter(col("price_rank") <= 3)
+      .orderBy("o_custkey", "price_rank", "o_orderkey")
+  }
+
+  /** Time-bucketed event rollup — the batch twin of the streaming
+    * windowed aggregation in graft.streaming.EventStream.
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour", "event_type")
+  }
+}

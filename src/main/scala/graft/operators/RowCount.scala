@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-count statistics and source/target reconciliation.
+  *
+  * Reference semantics: dbqt/tools/dbstats.py:53 `get_row_count_for_table`
+  * (one COUNT(*) per table via a thread pool) and dbstats.py:181-214
+  * (difference + percentage_difference columns).
+  *
+  * Spark-first: all tables are counted in ONE job — each count is a
+  * partial aggregate (map-side) followed by a 1-row exchange, and the
+  * union of counts schedules every table's scan concurrently across the
+  * cluster. At 100 TB this reads only parquet footers' row-group
+  * metadata when possible (count(*) over parquet is rewritten by
+  * Catalyst to a metadata-only scan), so it is near-free.
+  */
+object RowCount {
+
+  /** (table_name, row_count) for each named table — single-config mode. */
+  def counts(spark: SparkSession, tables: Map[String, DataFrame]): DataFrame = {
+    val parts = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      df.groupBy().agg(count(lit(1)).as("row_count"))
+        .select(lit(name).as("table_name"), col("row_count"))
+    }
+    parts.reduce(_ unionAll _).orderBy("table_name")
+  }
+
+  /** Source/target reconciliation: difference and percentage_difference,
+    * matching dbstats.py:201-214 (pct = round(100*diff/src, 2); the
+    * reference renders it as a '%'-suffixed string — kept numeric here so
+    * the value survives exact oracle comparison; presentation is the
+    * caller's job).
+    */
+  def compare(spark: SparkSession, pairs: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    val parts = pairs.map { case (name, src, tgt) =>
+      val s = src.groupBy().agg(count(lit(1)).as("source_row_count"))
+      val t = tgt.groupBy().agg(count(lit(1)).as("target_row_count"))
+      s.crossJoin(t).select(lit(name).as("pair_name"),
+        col("source_row_count"), col("target_row_count"))
+    }
+    parts.reduce(_ unionAll _)
+      .withColumn("difference", col("target_row_count") - col("source_row_count"))
+      .withColumn("percentage_difference",
+        round(col("difference") * 100.0 / col("source_row_count"), 2))
+      .orderBy("pair_name")
+  }
+}
