@@ -1,8 +1,9 @@
 package graft
 
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * entry maps to. Every key in [[queries]] either has a DuckDB oracle in
@@ -27,8 +28,43 @@ object SparkEntry {
     "rowcount" -> ((s, d) => RowCount.counts(s, Tables.load(s, d))),
     "rowcount_compare" -> ((s, d) => RowCount.compare(s, Seq(
       ("customer_vs_orders", Tables(s, d, "customer"), Tables(s, d, "orders")),
-      ("orders_vs_lineitem", Tables(s, d, "orders"), Tables(s, d, "lineitem")))))
+      ("orders_vs_lineitem", Tables(s, d, "orders"), Tables(s, d, "lineitem"))))),
+    // --- dbqt core surface (SURVEY §2 #3-10) ---
+    "nullcheck_customer" -> ((s, d) => NullCheck.profile("customer", Tables(s, d, "customer"))),
+    "nullcheck_events"   -> ((s, d) => NullCheck.profile("events", Tables(s, d, "events"))),
+    "keyfinder_orders"   -> ((s, d) =>
+      KeyFinder.candidateReport(s, Tables(s, d, "orders"), OrdersCols, size = 1)),
+    "keyfinder_lineitem" -> ((s, d) =>
+      KeyFinder.findMinimalKeys(s, Tables(s, d, "lineitem"), LineitemKeyCandidates, maxKeySize = 4)),
+    "colcompare_schema" -> ((s, d) => {
+      val src = Tables(s, d, "customer")
+      // Deliberately perturbed target: one incompatible retype, one
+      // dropped, one added — exercises every diff status.
+      val tgt = src
+        .withColumn("c_acctbal", col("c_acctbal").cast("string"))
+        .drop("c_mktsegment")
+        .withColumn("c_extra", lit(1))
+      ColCompare.compareColumns(s, src, tgt)
+    }),
+    "combine_files" -> ((s, d) => ParquetCombine.combine(s, Seq(
+      Tables.path(d, "region"), Tables.path(d, "nation"), Tables.path(d, "region"))).df),
+    "dynamic_query" -> ((s, d) => {
+      Tables.registerViews(s, d, Seq("region", "nation"))
+      DynamicQuery.run(s, DynamicQueryTemplate,
+        RegionNames.map(r => Map("region_name" -> r)))
+    })
   )
+
+  private val CustomerCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  private val EventsCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+  private val OrdersCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val LineitemKeyCandidates = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+  private val RegionNames = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+  private val DynamicQueryTemplate =
+    """SELECT '{region_name}' AS region_name, count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = '{region_name}'""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same aliases, same
     * ordering). Omitted keys get a weaker rows-only check.
@@ -107,6 +143,29 @@ object SparkEntry {
         |  round((target_row_count - source_row_count) * 100.0 / source_row_count, 2)
         |    AS percentage_difference
         |FROM pairs
-        |ORDER BY pair_name""".stripMargin
+        |ORDER BY pair_name""".stripMargin,
+    "nullcheck_customer" -> NullCheck.oracleSql("customer", CustomerCols),
+    "nullcheck_events" -> NullCheck.oracleSql("events", EventsCols),
+    "keyfinder_orders" -> KeyFinder.size1OracleSql("orders", OrdersCols),
+    "keyfinder_lineitem" ->
+      KeyFinder.minimalKeysOracleSql("lineitem", LineitemKeyCandidates, maxKeySize = 4),
+    "colcompare_schema" ->
+      """SELECT * FROM (VALUES
+        |  ('c_acctbal', 'double', 'string', 'TYPE_MISMATCH'),
+        |  ('c_custkey', 'bigint', 'bigint', 'MATCH'),
+        |  ('c_extra', CAST(NULL AS VARCHAR), 'int', 'TARGET_ONLY'),
+        |  ('c_mktsegment', 'string', CAST(NULL AS VARCHAR), 'SOURCE_ONLY'),
+        |  ('c_name', 'string', 'string', 'MATCH'),
+        |  ('c_nationkey', 'int', 'int', 'MATCH')
+        |) AS t(col_name, source_type, target_type, status)
+        |ORDER BY col_name""".stripMargin,
+    "combine_files" ->
+      "SELECT * FROM region UNION ALL SELECT * FROM region",
+    "dynamic_query" ->
+      RegionNames.map(r =>
+        s"""SELECT '$r' AS region_name, count(*) AS n_nations
+           |FROM nation JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = '$r'""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "")
   )
 }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.parallel.CollectionConverters._
+
+/** Minimal composite-key discovery — the reference's keyfinder tool.
+  *
+  * Reference semantics (dbqt/tools/keyfinder.py):
+  *  - a column combination is a valid key iff its columns contain zero
+  *    NULLs AND count(distinct combo) == count(*) (keyfinder.py:30-76);
+  *  - combinations are searched size-ascending and the search STOPS at
+  *    the first size that yields keys, so every reported key is minimal
+  *    (keyfinder.py:178-181);
+  *  - ID-looking columns (`id`, `*_id`, `id_*`, `*_id_*`) are prioritized
+  *    in the candidate ordering (keyfinder.py:93-108).
+  *
+  * Spark-first: the reference issues 2 sequential SQL queries per
+  * combination. Here each combination is ONE aggregation job — a
+  * hash aggregate with map-side partial combine whose scan is pruned to
+  * exactly the combination's columns — and all combinations of a size are
+  * submitted CONCURRENTLY to the scheduler, so the cluster overlaps their
+  * scans. A fused single-scan variant (multi-distinct aggregate) was
+  * measured 10× slower at sf0.1 because Catalyst plans n distinct groups
+  * as an Expand (row count × n) followed by a giant shuffle; per-combo
+  * jobs shuffle only each combo's partial-agg output instead.
+  */
+object KeyFinder {
+
+  /** keyfinder.py:93-101 — does the column name look like an ID? */
+  def isIdColumn(name: String): Boolean = {
+    val n = name.toLowerCase
+    n == "id" || n.startsWith("id_") || n.endsWith("_id") || n.contains("_id_")
+  }
+
+  /** ID-like columns first, preserving relative order (keyfinder.py:104-108). */
+  def prioritizeIdColumns(cols: Seq[String]): Seq[String] = {
+    val (ids, rest) = cols.partition(isIdColumn)
+    ids ++ rest
+  }
+
+  /** Stats for one combination. `nDistinct` counts distinct tuples with
+    * all members non-null (SQL COUNT DISTINCT semantics) — identical to
+    * the reference's GROUP-BY count whenever the combo has zero NULLs,
+    * which is the only case where a combo can be a key.
+    */
+  final case class ComboStats(
+      keyColumns: Seq[String], nDistinct: Long, nNulls: Long, totalRows: Long) {
+    def isKey: Boolean = nNulls == 0 && nDistinct == totalRows
+  }
+
+  /** One aggregation job: scan pruned to `cb`'s columns, map-side partial
+    * aggregate, tiny shuffle.
+    */
+  def comboStats(df: DataFrame, cb: Seq[String]): ComboStats = {
+    val row = df
+      .select(cb.map(col): _*)
+      .agg(
+        countDistinct(cb.head, cb.tail: _*).as("n_distinct"),
+        sum(when(cb.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L)).as("n_nulls"),
+        count(lit(1)).as("total_rows"))
+      .collect()(0)
+    ComboStats(cb,
+      row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      row.getLong(2))
+  }
+
+  private def statsForSize(
+      df: DataFrame, candidates: Seq[String], size: Int): Seq[ComboStats] =
+    prioritizeIdColumns(candidates).combinations(size).toSeq
+      .par.map(cb => comboStats(df, cb)).seq
+
+  private val reportSchema = StructType(Seq(
+    StructField("key_columns", StringType, nullable = false),
+    StructField("key_size", IntegerType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_nulls", LongType, nullable = false),
+    StructField("total_rows", LongType, nullable = false),
+    StructField("is_key", BooleanType, nullable = false)))
+
+  /** Full stats for every combination of `size` candidate columns, all
+    * jobs submitted concurrently. Output: (key_columns, key_size,
+    * n_distinct, n_nulls, total_rows, is_key), sorted by key_columns.
+    */
+  def candidateReport(spark: SparkSession, df: DataFrame, candidates: Seq[String], size: Int): DataFrame = {
+    val rows = statsForSize(df, candidates, size)
+      .map(s => Row(s.keyColumns.mkString(","), size, s.nDistinct, s.nNulls, s.totalRows, s.isKey))
+      .sortBy(_.getString(0))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), reportSchema)
+  }
+
+  /** Size-ascending minimal-key search with the reference's early stop:
+    * the first size that yields any key wins and larger sizes are never
+    * evaluated, so results are exactly the minimal keys.
+    */
+  def findMinimalKeys(
+      spark: SparkSession,
+      df: DataFrame,
+      candidates: Seq[String],
+      maxKeySize: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("key_columns", StringType, nullable = false),
+      StructField("key_size", IntegerType, nullable = false)))
+    val upper = math.min(maxKeySize, candidates.size)
+    for (size <- 1 to upper) {
+      val keys = statsForSize(df, candidates, size)
+        .filter(_.isKey)
+        .map(_.keyColumns.mkString(","))
+        .sorted
+      if (keys.nonEmpty) {
+        val rows = keys.map(k => Row(k, size))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** Oracle-SQL generator mirroring [[candidateReport]] at size 1. */
+  def size1OracleSql(tableName: String, candidates: Seq[String]): String = {
+    val parts = prioritizeIdColumns(candidates).map { c =>
+      s"""SELECT '$c' AS key_columns, 1 AS key_size,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(*) AS total_rows
+         |FROM $tableName""".stripMargin
+    }
+    s"""SELECT key_columns, key_size, n_distinct, n_nulls, total_rows,
+       |  (n_nulls = 0 AND n_distinct = total_rows) AS is_key
+       |FROM (${parts.mkString("\n", "\nUNION ALL\n", "\n")}) t
+       |ORDER BY key_columns""".stripMargin
+  }
+
+  /** Oracle-SQL generator mirroring [[findMinimalKeys]]: evaluates every
+    * combination up to `maxKeySize` and keeps keys of the smallest size
+    * that has any — the reference's early-stop rule expressed in SQL.
+    */
+  def minimalKeysOracleSql(
+      tableName: String, candidates: Seq[String], maxKeySize: Int): String = {
+    val ordered = prioritizeIdColumns(candidates)
+    val stats = (1 to math.min(maxKeySize, candidates.size)).flatMap { size =>
+      ordered.combinations(size).map { cb =>
+        val key = cb.mkString(",")
+        val notNull = cb.map(c => s"$c IS NOT NULL").mkString(" AND ")
+        val anyNull = cb.map(c => s"$c IS NULL").mkString(" OR ")
+        s"""SELECT '$key' AS key_columns, $size AS key_size,
+           |  (SELECT count(*) FROM (SELECT DISTINCT ${cb.mkString(", ")}
+           |     FROM $tableName WHERE $notNull) d) AS n_distinct,
+           |  (SELECT count(*) FROM $tableName WHERE $anyNull) AS n_nulls,
+           |  (SELECT count(*) FROM $tableName) AS total_rows""".stripMargin
+      }
+    }
+    s"""WITH stats AS (${stats.mkString("\n", "\nUNION ALL\n", "\n")}),
+       |keys AS (
+       |  SELECT key_columns, key_size FROM stats
+       |  WHERE n_nulls = 0 AND n_distinct = total_rows)
+       |SELECT key_columns, key_size FROM keys
+       |WHERE key_size = (SELECT min(key_size) FROM keys)
+       |ORDER BY key_columns""".stripMargin
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import graft.operators._
+import graft.sources.{ParquetCombine, Parquetizer, SchemaIntrospect, Tables}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class CoreOperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("nullcheck: distinct/null/status per column") {
+    val df = NullCheck.profile("customer", Tables(spark, sf0001, "customer"))
+    val rows = df.collect().map(r =>
+      r.getString(1) -> (r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    assert(rows.size == 5)
+    val (dCust, nCust, sCust) = rows("c_custkey")
+    assert(dCust > 5 && nCust == 0 && sCust == "OK")
+    val (dSeg, _, sSeg) = rows("c_mktsegment")
+    assert(dSeg == 5 && sSeg == "LOW_DISTINCT")
+  }
+
+  test("nullcheck: all-null and low-distinct classification") {
+    import spark.implicits._
+    val df = Seq((1, Option.empty[String], "a"), (2, None, "a"), (3, None, "b"))
+      .toDF("id", "allnull", "low")
+    val res = NullCheck.profile("t", df).collect()
+      .map(r => r.getString(1) -> r.getString(5)).toMap
+    assert(res("allnull") == "NULL")
+    assert(res("low") == "LOW_DISTINCT")
+    assert(res("id") == "LOW_DISTINCT") // 3 distinct <= 5
+  }
+
+  test("nullcheck: approx mode agrees on status classes") {
+    val exact = NullCheck.profile("events", Tables(spark, sf0001, "events"))
+      .collect().map(r => r.getString(1) -> r.getString(5)).toMap
+    val approx = NullCheck.approxProfile("events", Tables(spark, sf0001, "events"))
+      .collect().map(r => r.getString(1) -> r.getString(5)).toMap
+    // NULL detection is exact in both; OK/LOW_DISTINCT may only flip when a
+    // true count sits at the threshold — not the case for these columns.
+    assert(exact.keys == approx.keys)
+    assert(exact.filter(_._2 == "NULL") == approx.filter(_._2 == "NULL"))
+  }
+
+  test("keyfinder: id-column prioritization") {
+    assert(KeyFinder.isIdColumn("id"))
+    assert(KeyFinder.isIdColumn("user_id"))
+    assert(KeyFinder.isIdColumn("id_user"))
+    assert(KeyFinder.isIdColumn("fk_id_x"))
+    assert(!KeyFinder.isIdColumn("identity"))
+    assert(KeyFinder.prioritizeIdColumns(Seq("a", "x_id", "b")) == Seq("x_id", "a", "b"))
+  }
+
+  test("keyfinder: single-column key found in orders") {
+    val report = KeyFinder.candidateReport(
+      spark, Tables(spark, sf0001, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus"), size = 1)
+    val byCol = report.collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(byCol("o_orderkey"))
+    assert(!byCol("o_orderstatus"))
+  }
+
+  test("keyfinder: minimal keys stop at smallest size; nulls disqualify") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "a", Option(10)), (2, "a", Option(20)), (3, "b", None)
+    ).toDF("k", "g", "v")
+    // k alone is a key (size 1); (k,g) would be too but must not appear.
+    val keys = KeyFinder.findMinimalKeys(spark, df, Seq("k", "g", "v"), 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(keys.toSeq == Seq(("k", 1)))
+    // v is unique among non-nulls but has a NULL → not a key.
+    val r1 = KeyFinder.candidateReport(spark, df, Seq("v"), 1).collect().head
+    assert(!r1.getBoolean(5))
+  }
+
+  test("keyfinder: composite key when no single column suffices") {
+    import spark.implicits._
+    val df = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("a", "b")
+    val keys = KeyFinder.findMinimalKeys(spark, df, Seq("a", "b"), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(keys.toSeq == Seq(("a,b", 2)))
+  }
+
+  test("schema introspect: nested flattening with __ paths") {
+    import spark.implicits._
+    val df = Seq((1, ("x", 2.0), Seq(("y", 3)), Map("k" -> 1L), Seq(1, 2)))
+      .toDF("id", "st", "lst", "mp", "arr")
+    val flat = SchemaIntrospect.flatten(df.schema).toMap
+    assert(flat("id") == "int")
+    assert(flat.contains("st___1") && flat.contains("st___2")) // tuple field names _1/_2
+    assert(flat.contains("lst___1")) // list<struct> recursed
+    assert(flat("mp").startsWith("map<"))
+    assert(flat("arr").startsWith("array<"))
+  }
+
+  test("type compat: groups, parens, timestamp prefix") {
+    assert(TypeCompat.areCompatible("VARCHAR(20)", "string"))
+    assert(TypeCompat.areCompatible("bigint", "INT"))
+    assert(TypeCompat.areCompatible("TIMESTAMP_NTZ", "timestamp_ltz(3)"))
+    assert(TypeCompat.areCompatible("double", "FLOAT"))
+    assert(!TypeCompat.areCompatible("double", "varchar"))
+    assert(!TypeCompat.areCompatible("int", "boolean"))
+    // custom mappings override the defaults entirely
+    val custom = Map("X" -> Seq("A", "B"))
+    assert(TypeCompat.areCompatible("a", "b", custom))
+    assert(!TypeCompat.areCompatible("bigint", "int", custom))
+  }
+
+  test("colcompare: every diff status") {
+    val src = Tables(spark, sf0001, "customer")
+    val tgt = src.withColumn("c_acctbal", col("c_acctbal").cast("string"))
+      .drop("c_mktsegment").withColumn("c_extra", org.apache.spark.sql.functions.lit(1))
+    val rows = ColCompare.compareColumns(spark, src, tgt).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(rows("c_custkey") == "MATCH")
+    assert(rows("c_acctbal") == "TYPE_MISMATCH")
+    assert(rows("c_mktsegment") == "SOURCE_ONLY")
+    assert(rows("c_extra") == "TARGET_ONLY")
+  }
+
+  test("colcompare: excluded columns and table lists") {
+    val src = Tables(spark, sf0001, "customer")
+    val rows = ColCompare.compareColumns(spark, src, src, excludedCols = Set("C_NAME"))
+      .collect().map(_.getString(0))
+    assert(!rows.contains("c_name") && rows.length == 4)
+    val tl = ColCompare.compareTableLists(spark, Seq("a", "b"), Seq("b", "c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tl == Map("B" -> "COMMON", "A" -> "SOURCE_ONLY", "C" -> "TARGET_ONLY"))
+  }
+
+  test("parquet combine: skips mismatched schemas, concatenates matches") {
+    val region = Tables.path(sf0001, "region")
+    val nation = Tables.path(sf0001, "nation")
+    val c = ParquetCombine.combine(spark, Seq(region, nation, region))
+    assert(c.kept == Seq(region, region))
+    assert(c.skipped == Seq(nation))
+    assert(c.df.count() == 2 * spark.read.parquet(region).count())
+  }
+
+  test("parquetizer: magic-byte sniff and rename") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqz").toFile
+    val pq = new java.io.File(tmp, "datafile")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "region.parquet"), pq.toPath)
+    val txt = new java.io.File(tmp, "notes")
+    java.nio.file.Files.write(txt.toPath, "hello world".getBytes)
+    val (renamed, skipped) = Parquetizer.renameExtensionless(spark, tmp.getAbsolutePath)
+    assert(renamed.exists(_.endsWith("datafile.parquet")))
+    assert(skipped.exists(_.endsWith("notes")))
+    assert(spark.read.parquet(tmp.getAbsolutePath + "/datafile.parquet").count() > 0)
+  }
+
+  test("dynamic query: substitution and fan-out union") {
+    assert(DynamicQuery.substitute("a {x} b {y} {x}", Map("x" -> "1", "y" -> "2")) == "a 1 b 2 1")
+    Tables.registerViews(spark, sf0001, Seq("region", "nation"))
+    val df = DynamicQuery.run(spark,
+      "SELECT '{r}' AS r, count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = '{r}'",
+      Seq(Map("r" -> "ASIA"), Map("r" -> "EUROPE")))
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("ASIA", "EUROPE"))
+    assert(rows.values.forall(_ > 0))
+  }
+
+  test("table pattern exclusion with % wildcards") {
+    val tables = Seq("ORDERS", "orders_tmp", "TMP_X", "customer_final")
+    assert(Tables.filterExcluded(tables, Seq("TMP_%")) ==
+      Seq("ORDERS", "orders_tmp", "customer_final"))
+    assert(Tables.filterExcluded(tables, Seq("%_final", "%TMP%")) == Seq("ORDERS"))
+  }
+}
