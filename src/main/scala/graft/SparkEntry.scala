@@ -1,6 +1,9 @@
 package graft
 
 import graft.operators._
+import graft.operators.checks.Checks
+import graft.operators.checks.Checks.{FormatRule, RangeRule}
+import graft.operators.checks.Checks.Referential.FkRule
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
@@ -52,7 +55,27 @@ object SparkEntry {
       Tables.registerViews(s, d, Seq("region", "nation"))
       DynamicQuery.run(s, DynamicQueryTemplate,
         RegionNames.map(r => Map("region_name" -> r)))
-    })
+    }),
+    // --- checks framework (SURVEY §2 #13-18) ---
+    "check_completeness" -> ((s, d) =>
+      Checks.Completeness.run("documents", Tables(s, d, "documents"))),
+    "check_uniqueness" -> ((s, d) =>
+      Checks.Uniqueness.run("lineitem", Tables(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+        .unionAll(Checks.Uniqueness.run("orders", Tables(s, d, "orders"), Seq("o_custkey")))
+        .orderBy("table_name")),
+    "check_format" -> ((s, d) =>
+      Checks.FormatCheck.run("documents", Tables(s, d, "documents"), FormatRules)),
+    "check_range" -> ((s, d) =>
+      Checks.RangeCheck.run("lineitem", Tables(s, d, "lineitem"), RangeRules)),
+    "check_stats" -> ((s, d) =>
+      Checks.StatsCheck.run("lineitem", Tables(s, d, "lineitem"), StatsCols)),
+    "check_referential" -> ((s, d) => Checks.Referential.runAll(Seq(
+      (FkRule("lineitem_orders", "l_orderkey", "o_orderkey"),
+        Tables(s, d, "lineitem"), Tables(s, d, "orders")),
+      (FkRule("lineitem_part", "l_partkey", "p_partkey"),
+        Tables(s, d, "lineitem"), Tables(s, d, "part")),
+      (FkRule("orders_customer", "o_custkey", "c_custkey"),
+        Tables(s, d, "orders"), Tables(s, d, "customer")))))
   )
 
   private val CustomerCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
@@ -61,6 +84,15 @@ object SparkEntry {
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
   private val LineitemKeyCandidates = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
   private val RegionNames = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+  private val DocumentsCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  private val FormatRules = Seq(
+    FormatRule("lang", "lang_iso639", "^[a-z]{2}$"),
+    FormatRule("source", "source_prefix", "^src[0-9]+$"))
+  private val RangeRules = Seq(
+    RangeRule("l_quantity", "quantity_1_50", 1.0, 50.0),
+    RangeRule("l_discount", "discount_0_01", 0.0, 0.1),
+    RangeRule("l_tax", "tax_0_008", 0.0, 0.08))
+  private val StatsCols = Seq("l_quantity", "l_extendedprice", "l_discount")
   private val DynamicQueryTemplate =
     """SELECT '{region_name}' AS region_name, count(*) AS n_nations
       |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -166,6 +198,20 @@ object SparkEntry {
         s"""SELECT '$r' AS region_name, count(*) AS n_nations
            |FROM nation JOIN region ON n_regionkey = r_regionkey
            |WHERE r_name = '$r'""".stripMargin)
-        .mkString("", "\nUNION ALL\n", "")
+        .mkString("", "\nUNION ALL\n", ""),
+    "check_completeness" -> Checks.Completeness.oracleSql("documents", DocumentsCols),
+    "check_uniqueness" ->
+      s"""SELECT * FROM (
+         |${Checks.Uniqueness.oracleSql("lineitem", Seq("l_orderkey", "l_linenumber"))}
+         |UNION ALL
+         |${Checks.Uniqueness.oracleSql("orders", Seq("o_custkey"))}
+         |) u ORDER BY table_name""".stripMargin,
+    "check_format" -> Checks.FormatCheck.oracleSql("documents", FormatRules),
+    "check_range" -> Checks.RangeCheck.oracleSql("lineitem", RangeRules),
+    "check_stats" -> Checks.StatsCheck.oracleSql("lineitem", StatsCols),
+    "check_referential" -> Checks.Referential.oracleSql(Seq(
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey")))
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.checks.Checks
+import graft.operators.checks.Checks.{FormatRule, RangeRule}
+import graft.operators.checks.Checks.Referential.FkRule
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the checks framework (SURVEY §2 #13-18) on tiny
+  * hand-built tables with known expected outcomes.
+  */
+class ChecksSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val people = Seq(
+    (1L, Some("alice"), Some("a@x.com"), Some(30)),
+    (2L, Some("bob"), None, Some(200)),
+    (3L, None, Some("bad-email"), None),
+    (4L, Some("carol"), Some("c@y.org"), Some(45)),
+    (4L, Some("carol"), Some("c@y.org"), Some(45))
+  ).toDF("id", "name", "email", "age")
+
+  test("Completeness counts nulls per column") {
+    val rows = Checks.Completeness.run("people", people)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getString(5))).toMap
+    assert(rows("id") === ((0L, "COMPLETE")))
+    assert(rows("name") === ((1L, "PARTIAL")))
+    assert(rows("email") === ((1L, "PARTIAL")))
+    assert(rows("age") === ((1L, "PARTIAL")))
+  }
+
+  test("Uniqueness flags duplicate keys") {
+    val r = Checks.Uniqueness.run("people", people, Seq("id")).collect().head
+    assert(r.getAs[Long]("total_rows") === 5L)
+    assert(r.getAs[Long]("distinct_keys") === 4L)
+    assert(r.getAs[Long]("duplicated_keys") === 1L)
+    assert(r.getAs[Long]("rows_in_duplicate_keys") === 2L)
+    assert(r.getAs[String]("status") === "DUPLICATES")
+
+    val u = Checks.Uniqueness.run("people", people.dropDuplicates("id"), Seq("id"))
+      .collect().head
+    assert(u.getAs[String]("status") === "UNIQUE")
+  }
+
+  test("FormatCheck validates regex rules, nulls counted separately") {
+    val r = Checks.FormatCheck.run("people", people,
+      Seq(FormatRule("email", "email_shape", "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")))
+      .collect().head
+    assert(r.getAs[Long]("valid_count") === 3L)
+    assert(r.getAs[Long]("invalid_count") === 1L)
+    assert(r.getAs[Long]("null_count") === 1L)
+    assert(r.getAs[String]("status") === "FAIL")
+  }
+
+  test("RangeCheck splits below/in/above/null") {
+    val r = Checks.RangeCheck.run("people", people,
+      Seq(RangeRule("age", "age_0_120", 0, 120))).collect().head
+    assert(r.getAs[Long]("in_range_count") === 3L)
+    assert(r.getAs[Long]("below_count") === 0L)
+    assert(r.getAs[Long]("above_count") === 1L)
+    assert(r.getAs[Long]("null_count") === 1L)
+    assert(r.getAs[String]("status") === "FAIL")
+  }
+
+  test("StatsCheck computes exact stats") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = Checks.StatsCheck.run("t", df, Seq("x")).collect().head
+    assert(r.getAs[Double]("min_value") === 1.0)
+    assert(r.getAs[Double]("max_value") === 4.0)
+    assert(r.getAs[Double]("avg_value") === 2.5)
+    assert(r.getAs[Double]("median_value") === 2.5)
+    assert(r.getAs[Double]("stddev_value") === 1.29)
+    assert(r.getAs[Long]("non_null_count") === 4L)
+  }
+
+  test("Referential finds orphans and ignores null FKs") {
+    val child = Seq((1L, Some(10L)), (2L, Some(11L)), (3L, Some(99L)), (4L, None))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 11L, 12L).toDF("pk")
+    val r = Checks.Referential.run(child, parent, FkRule("t", "fk", "pk"))
+      .collect().head
+    assert(r.getAs[Long]("child_rows") === 4L)
+    assert(r.getAs[Long]("null_fk_rows") === 1L)
+    assert(r.getAs[Long]("orphan_rows") === 1L)
+    assert(r.getAs[String]("status") === "FAIL")
+  }
+}
