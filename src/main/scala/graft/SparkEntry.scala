@@ -4,6 +4,7 @@ import graft.operators._
 import graft.operators.checks.Checks
 import graft.operators.checks.Checks.{FormatRule, RangeRule}
 import graft.operators.checks.Checks.Referential.FkRule
+import graft.operators.text.TextOps
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
@@ -75,7 +76,12 @@ object SparkEntry {
       (FkRule("lineitem_part", "l_partkey", "p_partkey"),
         Tables(s, d, "lineitem"), Tables(s, d, "part")),
       (FkRule("orders_customer", "o_custkey", "c_custkey"),
-        Tables(s, d, "orders"), Tables(s, d, "customer")))))
+        Tables(s, d, "orders"), Tables(s, d, "customer"))))),
+    // --- text analysis for LLM-data pipelines (SURVEY §2 #32-35) ---
+    "text_tokens"      -> ((s, d) => TextOps.TokenCount.run(Tables(s, d, "documents"))),
+    "text_langid"      -> ((s, d) => TextOps.LangId.run(Tables(s, d, "documents"))),
+    "text_quality"     -> ((s, d) => TextOps.QualityScore.run(Tables(s, d, "documents"))),
+    "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(Tables(s, d, "documents")))
   )
 
   private val CustomerCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
@@ -212,6 +218,10 @@ object SparkEntry {
     "check_referential" -> Checks.Referential.oracleSql(Seq(
       ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
-      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey")))
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))),
+    "text_tokens"      -> TextOps.TokenCount.oracleSql("documents"),
+    "text_langid"      -> TextOps.LangId.oracleSql("documents"),
+    "text_quality"     -> TextOps.QualityScore.oracleSql("documents"),
+    "text_fingerprint" -> TextOps.Fingerprint.oracleSql("documents")
   )
 }

@@ -1,0 +1,196 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2
+  * #32-35): language ID, quality scoring, token counting, document
+  * fingerprinting.
+  *
+  * Scale design: every operator is a pure per-row projection — no
+  * shuffle, no UDF. All expressions are built from
+  * `org.apache.spark.sql.functions` (split/filter/transform/aggregate
+  * are codegen'd higher-order functions), so the whole pipeline stays
+  * inside one WholeStageCodegen over the parquet scan and scales
+  * linearly with input splits. Only deliberately-written regex subsets
+  * are used so the DuckDB (RE2) oracles agree with Spark's Java regex.
+  */
+object TextOps {
+
+  /** Minimal English stopword list shared by LangId and QualityScore. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Whitespace tokens of `text`, lowercased. */
+  private def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  private def stopwordHits(toks: Column): Column = {
+    val stops = array(EnStopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t)))
+  }
+
+  // ---------------------------------------------------------------- #34
+  /** Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (letter runs / digit runs / single non-alnum marks — the shape a
+    * byte-pair pre-tokenizer produces).
+    */
+  object TokenCount {
+    val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+    def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      df.select(
+        col(idCol),
+        length(col(textCol)).as("n_chars"),
+        size(split(trim(col(textCol)), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0))).as("bpe_tokens"))
+        .orderBy(idCol)
+
+    def oracleSql(table: String): String =
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens
+         |FROM $table ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- #32
+  /** Language ID via stopword-hit ratio (n-gram-free heuristic: the
+    * fraction of tokens that are high-frequency English function words).
+    * A real deployment plugs per-language stopword/char-n-gram profiles
+    * into the same single-projection shape.
+    */
+  object LangId {
+    val EnThreshold = 0.05
+
+    def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      val toks = tokens(col(textCol))
+      df.select(
+        col(idCol),
+        col("lang").as("declared_lang"),
+        round(stopwordHits(toks).cast("double") / size(toks), 4).as("stopword_ratio"))
+        .withColumn("predicted_lang",
+          when(col("stopword_ratio") >= EnThreshold, "en").otherwise("und"))
+        .withColumn("agrees",
+          (col("predicted_lang") === col("declared_lang")).cast("int"))
+        .orderBy(idCol)
+    }
+
+    def oracleSql(table: String): String = {
+      val stops = EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, lang AS declared_lang,
+         |  round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> list_contains($stops, x))) AS DOUBLE)
+         |    / len(string_split_regex(trim(lower(text)), '\\s+')), 4) AS stopword_ratio,
+         |  CASE WHEN round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> list_contains($stops, x))) AS DOUBLE)
+         |    / len(string_split_regex(trim(lower(text)), '\\s+')), 4) >= $EnThreshold
+         |    THEN 'en' ELSE 'und' END AS predicted_lang,
+         |  CAST(CASE WHEN (CASE WHEN round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> list_contains($stops, x))) AS DOUBLE)
+         |    / len(string_split_regex(trim(lower(text)), '\\s+')), 4) >= $EnThreshold
+         |    THEN 'en' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS INTEGER) AS agrees
+         |FROM $table ORDER BY doc_id""".stripMargin
+    }
+  }
+
+  // ---------------------------------------------------------------- #33
+  /** Quality scoring: length/punctuation/stopword signals combined into
+    * a deterministic [0,1] score (the C4/Gopher-style cheap filters).
+    */
+  object QualityScore {
+    def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      val t = col(textCol)
+      val toks = tokens(t)
+      val nTok = size(toks)
+      val punct = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+      val stopRatio = stopwordHits(toks).cast("double") / nTok
+      val punctRatio = punct.cast("double") / length(t)
+      val score =
+        lit(0.4) * least(lit(1.0), nTok.cast("double") / 100.0) +
+        lit(0.3) * least(lit(1.0), stopRatio * 5.0) +
+        lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * 10.0))
+      df.select(
+        col(idCol),
+        length(t).as("n_chars"),
+        nTok.as("n_tokens"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(score, 4).as("quality_score"))
+        .orderBy(idCol)
+    }
+
+    def oracleSql(table: String): String = {
+      val stops = EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio_raw,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        x -> list_contains($stops, x))) AS DOUBLE)
+         |      / len(string_split_regex(trim(lower(text)), '\\s+')) AS stop_ratio_raw
+         |  FROM $table)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  round(punct_ratio_raw, 4) AS punct_ratio,
+         |  round(stop_ratio_raw, 4) AS stopword_ratio,
+         |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |      + 0.3 * least(1.0, stop_ratio_raw * 5.0)
+         |      + 0.3 * (1.0 - least(1.0, punct_ratio_raw * 10.0)), 4) AS quality_score
+         |FROM base ORDER BY doc_id""".stripMargin
+    }
+  }
+
+  // ---------------------------------------------------------------- #35
+  /** Document fingerprinting.
+    *
+    * `contentFingerprint` — md5 of whitespace-normalized lowercase text:
+    * the exact-dedup key, SQL-oracle-checkable.
+    *
+    * `winnowFingerprints` — winnowing over a polynomial rolling hash
+    * (Schleimer et al., SIGMOD'03): hash every k-gram, keep the minimum
+    * hash of each sliding window of `w` hashes. Pure higher-order
+    * functions (transform/aggregate over a sequence), so it's still one
+    * codegen'd projection — no UDF, no shuffle.
+    */
+  object Fingerprint {
+    val K = 8      // k-gram length in chars
+    val W = 16     // winnowing window (hashes)
+    val Base = 257L
+    val Mod = 1000000007L
+
+    def normalized(text: Column): Column =
+      lower(trim(regexp_replace(text, "\\s+", " ")))
+
+    def contentFingerprint(df: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+      df.select(col(idCol), md5(normalized(col(textCol))).as("fingerprint"))
+        .orderBy(idCol)
+
+    def oracleSql(table: String): String =
+      s"""SELECT doc_id,
+         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+         |FROM $table ORDER BY doc_id""".stripMargin
+
+    /** Per-doc array of winnowed k-gram hashes (document sketch). */
+    def winnowFingerprints(df: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+      val t = normalized(col(textCol))
+      val n = length(t)
+      // hash of k-gram starting at 1-based position i (polynomial mod M)
+      def kgramHash(i: Column): Column =
+        aggregate(
+          transform(sequence(lit(0), lit(K - 1)),
+            j => ascii(substring(t, (i + j).cast("int"), lit(1)))),
+          lit(0L),
+          (acc, c) => (acc * Base + c.cast("long")) % Mod)
+      val starts = sequence(lit(1), greatest(n - (K - 1), lit(1)))
+      val hashes = transform(starts, i => kgramHash(i))
+      // winnow: min hash of each window of W consecutive hashes
+      val winStarts = sequence(lit(0), greatest(size(hashes) - W, lit(0)))
+      val winnowed = array_distinct(transform(winStarts, s =>
+        array_min(slice(hashes, s + 1, least(lit(W), size(hashes))))))
+      df.select(col(idCol), winnowed.as("winnow_hashes"))
+        .orderBy(idCol)
+    }
+  }
+}

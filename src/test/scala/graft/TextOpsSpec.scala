@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.text.TextOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for text-analysis operators (SURVEY §2 #32-35). */
+class TextOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "zzz qqq xxx yyy www vvv", "xx"),
+    (3L, "a cat, a dog, and a fish!", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("TokenCount counts whitespace and BPE-ish tokens") {
+    val rows = TextOps.TokenCount.run(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(rows(1L) === ((9, 9)))
+    // "a cat, a dog, and a fish!" → 7 ws tokens; bpe: 7 words + 3 marks
+    assert(rows(3L) === ((7, 10)))
+  }
+
+  test("LangId calls en for stopword-rich text, und otherwise") {
+    val rows = TextOps.LangId.run(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("predicted_lang")).toMap
+    assert(rows(1L) === "en")
+    assert(rows(2L) === "und")
+    assert(rows(3L) === "en")
+  }
+
+  test("QualityScore is within [0,1] and penalizes punctuation") {
+    val rows = TextOps.QualityScore.run(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(rows.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(rows(1L) > rows(2L)) // stopword-rich beats stopword-free
+  }
+
+  test("content fingerprint is whitespace/case insensitive") {
+    val a = Seq((1L, "Hello  World", "en"), (2L, "hello world", "en"))
+      .toDF("doc_id", "text", "lang")
+    val fps = TextOps.Fingerprint.contentFingerprint(a).collect()
+      .map(_.getString(1))
+    assert(fps(0) === fps(1))
+  }
+
+  test("winnow fingerprints: identical docs share all hashes, near-dups overlap") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val near = base.replace("lazy", "hazy")
+    val other = "completely different content about spark catalyst tungsten codegen"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, other))
+      .toDF("doc_id", "text")
+    val fps = TextOps.Fingerprint.winnowFingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) === fps(2L))
+    val overlapNear = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).union(fps(3L)).size
+    val overlapOther = fps(1L).intersect(fps(4L)).size.toDouble / fps(1L).union(fps(4L)).size
+    assert(overlapNear > 0.5)
+    assert(overlapOther < 0.1)
+  }
+}
