@@ -4,6 +4,9 @@ import graft.operators._
 import graft.operators.checks.Checks
 import graft.operators.checks.Checks.{FormatRule, RangeRule}
 import graft.operators.checks.Checks.Referential.FkRule
+import graft.operators.dedup.Dedup
+import graft.operators.multimodal.BinaryPipeline
+import graft.operators.similarity.Similarity
 import graft.operators.text.TextOps
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -81,8 +84,35 @@ object SparkEntry {
     "text_tokens"      -> ((s, d) => TextOps.TokenCount.run(Tables(s, d, "documents"))),
     "text_langid"      -> ((s, d) => TextOps.LangId.run(Tables(s, d, "documents"))),
     "text_quality"     -> ((s, d) => TextOps.QualityScore.run(Tables(s, d, "documents"))),
-    "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(Tables(s, d, "documents")))
+    "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(Tables(s, d, "documents"))),
+    // --- dedup for LLM-data pipelines (SURVEY §2 #25-29) ---
+    "dedup_exact" -> ((s, d) => Dedup.ExactDedup.run(Tables(s, d, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.NgramJaccard.allPairs(Tables(s, d, "documents"), NgramJaccardThreshold)),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.MinHashDedup.nearDuplicates(Tables(s, d, "documents"), NgramJaccardThreshold)),
+    "dedup_simhash" -> ((s, d) => Dedup.SimHash.hammingPairs(Tables(s, d, "documents"), maxHamming = 3)),
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.EmbeddingDedup.allPairs(Tables(s, d, "embeddings"), EmbeddingDedupThreshold)),
+    // --- similarity search (SURVEY §2 #30-31) ---
+    "ann_cosine_topk" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.CosineTopK.run(emb, emb.where(col("vec_id") < AnnNumQueries), AnnK)
+    }),
+    "ann_lsh" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.LshAnn.topK(emb, emb.where(col("vec_id") < AnnNumQueries), AnnK, dim = 64)
+    }),
+    // --- multimodal binary pipeline (SURVEY §2 #36) ---
+    "multimodal_meta" -> ((s, d) =>
+      BinaryPipeline.extractMeta(s, BinaryPipeline.fromDocuments(Tables(s, d, "documents")))
+        .orderBy("doc_id").toDF())
   )
+
+  private val NgramJaccardThreshold = 0.7
+  private val EmbeddingDedupThreshold = 0.4
+  private val AnnK = 10
+  private val AnnNumQueries = 5
 
   private val CustomerCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
   private val EventsCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -222,6 +252,15 @@ object SparkEntry {
     "text_tokens"      -> TextOps.TokenCount.oracleSql("documents"),
     "text_langid"      -> TextOps.LangId.oracleSql("documents"),
     "text_quality"     -> TextOps.QualityScore.oracleSql("documents"),
-    "text_fingerprint" -> TextOps.Fingerprint.oracleSql("documents")
+    "text_fingerprint" -> TextOps.Fingerprint.oracleSql("documents"),
+    // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
+    // generators (not SQL-expressible) → rows-only check here; their
+    // recall/precision vs the brute-force paths is asserted in DedupSpec
+    // and SimilaritySpec.
+    "dedup_exact" -> Dedup.ExactDedup.oracleSql("documents"),
+    "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
+    "dedup_embedding" -> Dedup.EmbeddingDedup.oracleSql("embeddings", EmbeddingDedupThreshold),
+    "ann_cosine_topk" -> Similarity.CosineTopK.oracleSql("embeddings", AnnK, AnnNumQueries),
+    "multimodal_meta" -> BinaryPipeline.oracleSql("documents")
   )
 }

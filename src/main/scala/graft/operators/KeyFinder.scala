@@ -73,6 +73,21 @@ object KeyFinder {
     prioritizeIdColumns(candidates).combinations(size).toSeq
       .par.map(cb => comboStats(df, cb)).seq
 
+  /** Run `f` against the candidate-column projection persisted in
+    * memory: every combo job then aggregates from the cached columnar
+    * batches instead of re-decoding parquet once per combination.
+    * (At 100 TB the same pattern holds with MEMORY_AND_DISK /
+    * executor-local spill; the projection is narrow — only the
+    * candidate columns — so it is far smaller than the table.)
+    */
+  private def withCachedProjection[T](df: DataFrame, candidates: Seq[String])(
+      f: DataFrame => T): T = {
+    val proj = df.select(candidates.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(proj)
+    finally proj.unpersist(blocking = false)
+  }
+
   private val reportSchema = StructType(Seq(
     StructField("key_columns", StringType, nullable = false),
     StructField("key_size", IntegerType, nullable = false),
@@ -86,8 +101,9 @@ object KeyFinder {
     * n_distinct, n_nulls, total_rows, is_key), sorted by key_columns.
     */
   def candidateReport(spark: SparkSession, df: DataFrame, candidates: Seq[String], size: Int): DataFrame = {
-    val rows = statsForSize(df, candidates, size)
-      .map(s => Row(s.keyColumns.mkString(","), size, s.nDistinct, s.nNulls, s.totalRows, s.isKey))
+    val rows = withCachedProjection(df, candidates) { proj =>
+      statsForSize(proj, candidates, size)
+    }.map(s => Row(s.keyColumns.mkString(","), size, s.nDistinct, s.nNulls, s.totalRows, s.isKey))
       .sortBy(_.getString(0))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), reportSchema)
   }
@@ -105,18 +121,37 @@ object KeyFinder {
       StructField("key_columns", StringType, nullable = false),
       StructField("key_size", IntegerType, nullable = false)))
     val upper = math.min(maxKeySize, candidates.size)
-    for (size <- 1 to upper) {
-      val keys = statsForSize(df, candidates, size)
-        .filter(_.isKey)
-        .map(_.keyColumns.mkString(","))
-        .sorted
-      if (keys.nonEmpty) {
-        val rows = keys.map(k => Row(k, size))
-        return spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), schema)
-      }
+    val ordered = prioritizeIdColumns(candidates)
+    val found = withCachedProjection(df, candidates) { proj =>
+      // ONE prefilter job: total rows + per-column null counts. A combo
+      // containing any null-bearing column can never be a key
+      // (keyfinder.py:30-76 checks nulls before distinct for the same
+      // reason), so those combos skip their countDistinct job entirely.
+      val pre = proj.agg(
+        count(lit(1)).as("total"),
+        candidates.map(c => sum(col(c).isNull.cast("long")).as(s"n_$c")): _*
+      ).collect()(0)
+      val total = pre.getLong(0)
+      val nullCols = candidates.zipWithIndex
+        .collect { case (c, i) if pre.getLong(i + 1) > 0 => c }.toSet
+      (1 to upper).iterator.map { size =>
+        val combos = ordered.combinations(size)
+          .filter(_.forall(!nullCols.contains(_))).toSeq
+        val keys = combos.par.map { cb =>
+          val nd = proj.select(cb.map(col): _*)
+            .agg(countDistinct(cb.head, cb.tail: _*)).collect()(0).getLong(0)
+          (cb, nd)
+        }.seq.collect { case (cb, nd) if nd == total => cb.mkString(",") }.sorted
+        (size, keys)
+      }.collectFirst { case (size, keys) if keys.nonEmpty => (size, keys) }
     }
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    found match {
+      case Some((size, keys)) =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(keys.map(k => Row(k, size)), 1), schema)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
   }
 
   /** Oracle-SQL generator mirroring [[candidateReport]] at size 1. */

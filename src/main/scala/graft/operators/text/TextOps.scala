@@ -75,6 +75,10 @@ object TextOps {
         .orderBy(idCol)
     }
 
+    /** `agrees` uses plain equality (NOT `CASE WHEN … THEN 1 ELSE 0`) so
+      * a NULL declared_lang propagates to a NULL `agrees` on BOTH sides,
+      * matching Spark's `(pred === lang).cast("int")`.
+      */
     def oracleSql(table: String): String = {
       val stops = EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""SELECT doc_id, lang AS declared_lang,
@@ -85,10 +89,10 @@ object TextOps {
          |      x -> list_contains($stops, x))) AS DOUBLE)
          |    / len(string_split_regex(trim(lower(text)), '\\s+')), 4) >= $EnThreshold
          |    THEN 'en' ELSE 'und' END AS predicted_lang,
-         |  CAST(CASE WHEN (CASE WHEN round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |  CAST((CASE WHEN round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
          |      x -> list_contains($stops, x))) AS DOUBLE)
          |    / len(string_split_regex(trim(lower(text)), '\\s+')), 4) >= $EnThreshold
-         |    THEN 'en' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS INTEGER) AS agrees
+         |    THEN 'en' ELSE 'und' END) = lang AS INTEGER) AS agrees
          |FROM $table ORDER BY doc_id""".stripMargin
     }
   }

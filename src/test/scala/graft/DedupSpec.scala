@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operators (SURVEY §2 #25-29): exact behavior on constructed
+  * near-duplicates, plus MinHash/SimHash candidate quality asserted
+  * against the brute-force paths.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 20 base docs of per-doc random tokens (cross-doc jaccard ≈ 0, so
+    * the only high-similarity pairs are the constructed ones); ids
+    * 100+i are near-identical copies of doc i (one token changed,
+    * trigram jaccard ≈ 0.93), ids 200+i are exact copies of doc i
+    * modulo trailing whitespace.
+    */
+  private lazy val docs = {
+    val base = (0 until 20).map { i =>
+      val rng = new scala.util.Random(1000 + i)
+      val text = Seq.fill(30)(
+        Iterator.continually(rng.nextPrintableChar()).filter(_.isLetter)
+          .take(6).mkString.toLowerCase).mkString(" ")
+      (i.toLong, text)
+    }
+    val nearDups = base.take(10).map { case (i, t) =>
+      (100 + i, t.split(" ").updated(5, "omega").mkString(" "))
+    }
+    val exactDups = base.take(5).map { case (i, t) => (200 + i, t + " ") }
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups exact copies (incl. whitespace variants) only") {
+    val res = Dedup.ExactDedup.run(docs).collect()
+    val dupGroups = res.filter(_.getAs[Long]("n_duplicates") > 0)
+    assert(dupGroups.length == 5)
+    // keeper is the minimum doc_id of each group
+    assert(dupGroups.map(_.getAs[Long]("keep_doc_id")).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(res.map(_.getAs[Long]("n_docs")).sum == 35)
+  }
+
+  test("charNgrams of short text is empty, never a spurious gram") {
+    val g = Seq(("ab"), ("a"), (""), ("abc")).toDF("text")
+      .select(Dedup.charNgrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(g(0).isEmpty && g(1).isEmpty && g(2).isEmpty)
+    assert(g(3) == Seq("abc"))
+  }
+
+  test("ngram jaccard allPairs finds the constructed near-dups at 0.8") {
+    val pairs = Dedup.NgramJaccard.allPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every (i, 100+i) near-dup and (i, 200+i) exact pair is found
+    (0 until 10).foreach(i => assert(pairs.contains((i.toLong, 100L + i)), s"missing near-dup $i"))
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 200L + i)), s"missing exact pair $i"))
+  }
+
+  test("minhash LSH recovers all high-jaccard pairs with exact scores (recall at 0.8 ≈ 1)") {
+    val brute = Dedup.NgramJaccard.allPairs(docs, 0.8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.MinHashDedup.nearDuplicates(docs, 0.8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision 1 by construction (candidates are exact-verified) and the
+    // verified jaccard is identical to the brute-force value
+    lsh.foreach { case (k, v) => assert(brute(k) == v) }
+    // recall: at jaccard ≥0.8 with 16 bands × 8 rows, p(miss) < 1e-4 per
+    // pair — demand full recall on this small fixture
+    assert(lsh.keySet == brute.keySet)
+  }
+
+  test("simhash: exact copies at hamming 0; hamming matches bit_count of sig xor") {
+    val sigs = Dedup.SimHash.signatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.SimHash.hammingPairs(docs, maxHamming = 3).collect()
+    pairs.foreach { r =>
+      val expected = java.lang.Long.bitCount(sigs(r.getLong(0)) ^ sigs(r.getLong(1)))
+      assert(r.getAs[Number]("hamming").intValue == expected)
+    }
+    // exact text copies → identical token multisets → identical simhash
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(sigs(i.toLong) == sigs(200L + i))
+      assert(found.contains((i.toLong, 200L + i)))
+    }
+  }
+
+  test("simhash blocking loses no pair within maxHamming (pigeonhole over 4 chunks)") {
+    val sigs = Dedup.SimHash.signatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)
+    val found = Dedup.SimHash.hammingPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == all.toSet)
+  }
+
+  test("embedding cosine allPairs: 1.0 for identical, orthogonal excluded") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)),   // same direction as 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (4L, Array(1.0f, 1.0f, 0.0f))    // 45° from 1
+    ).toDF("vec_id", "embedding")
+    val res = Dedup.EmbeddingDedup.allPairs(vecs, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(res.keySet == Set((1L, 2L)))
+    assert(res((1L, 2L)) == 1.0)
+    val at45 = Dedup.EmbeddingDedup.allPairs(vecs, 0.7).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(at45((1L, 4L)) == 0.7071)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.similarity.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN operators (SURVEY §2 #30-31) against the sf0.001 embeddings. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+  private val K = 10
+  private val NQ = 5
+
+  private def asMap(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getAs[Int]("rank")))
+      .toMap
+
+  test("brute-force top-k: k rows per query, ranked by descending cosine") {
+    val res = Similarity.CosineTopK
+      .run(emb, emb.where(col("vec_id") < NQ), K).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0 until NQ).map(_.toLong).toSet)
+    byQuery.values.foreach { rows =>
+      assert(rows.length == K)
+      val ordered = rows.sortBy(_.getAs[Int]("rank"))
+      assert(ordered.map(_.getAs[Int]("rank")).toSeq == (1 to K))
+      val cosines = ordered.map(_.getDouble(2)).toSeq
+      assert(cosines == cosines.sorted.reverse, "cosine not descending with rank")
+      // no self-matches
+      rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    }
+  }
+
+  test("LSH ANN: scores exact on returned pairs; high recall on clustered data") {
+    // LSH's model is clustered data (true near-neighbors at high
+    // cosine). 50 clusters × 10 members, tight noise: in-cluster cosine
+    // ≈0.98, so each 8-bit table catches a neighbor with p≈0.6 and 8
+    // tables give recall ≈0.999. Near-uniform vectors (like the random
+    // sf0.001 embeddings) are out-of-model: no LSH family can prune
+    // them, which is why the spec constructs its own corpus.
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 64
+    val clustered = (0 until 50).flatMap { c =>
+      val center = Array.fill(dim)(rng.nextGaussian())
+      (0 until 10).map { m =>
+        val v = center.map(x => (x + 0.07 * rng.nextGaussian()).toFloat)
+        ((c * 10 + m).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.where(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+
+    val brute = asMap(Similarity.CosineTopK.run(clustered, queries, K).collect())
+    val lsh = asMap(Similarity.LshAnn.topK(clustered, queries, K, dim = dim).collect())
+    // every LSH-returned score is the exact cosine (verification never
+    // approximates the score itself)
+    lsh.keys.filter(brute.contains).foreach { k =>
+      assert(lsh(k)._1 == brute(k)._1, s"score mismatch on $k")
+    }
+    val recall = brute.keySet.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall below floor")
+  }
+
+  test("LSH identical vectors always collide (same signature in every table)") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val twins = Seq((1L, v), (2L, v), (3L, v.map(x => -x))).toDF("vec_id", "embedding")
+    val res = Similarity.LshAnn.topK(twins, twins.where(col("vec_id") === 1L), 2, dim = 64)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(res.contains(2L) && res(2L) == 1.0)
+    // the antipodal vector has the complement signature — never bucketed
+    assert(!res.contains(3L))
+  }
+}

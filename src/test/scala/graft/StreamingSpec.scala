@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming windowed aggregation (SURVEY §2 #24) driven by a
+  * MemoryStream, checked against the equivalent batch aggregation.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  test("hourly windowed agg with watermark matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+
+    val query = EventStream.hourlyAgg(events)
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      val batch1 = Seq(
+        (ts("10:05"), 1L, "click", 1.5),
+        (ts("10:20"), 2L, "click", 2.5),
+        (ts("10:40"), 1L, "view", 1.0),
+        (ts("11:10"), 3L, "click", 4.0))
+      val batch2 = Seq(
+        (ts("11:50"), 3L, "click", 1.0),
+        (ts("12:05"), 4L, "view", 2.0))
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+
+      val got = spark.table("hourly_test")
+        .select("hour", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+
+      // batch twin over the same rows
+      val want = (batch1 ++ batch2).toDF("ts", "user_id", "event_type", "value")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+
+      assert(got == want)
+      assert(got.size == 4) // (10,click) (10,view) (11,click) (12,view)
+      assert(got((ts("11:00"), "click")) == ((2L, 5.0))) // 11:10 + 11:50 in one window
+    } finally query.stop()
+  }
+
+  test("append mode emits only watermark-closed windows (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+
+    val query = EventStream.hourlyAgg(events, watermark = "1 hour")
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("08:10"), 1L, "click", 1.0))
+      query.processAllAvailable()
+      // advance event time far enough that the 08:00 window closes
+      input.addData((ts("11:00"), 2L, "click", 1.0))
+      query.processAllAvailable()
+      input.addData((ts("11:30"), 2L, "click", 1.0))
+      query.processAllAvailable()
+      val emitted = spark.table("hourly_append").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1))).toSet
+      assert(emitted.contains((ts("08:00"), "click")))
+      // 11:00 window is still open (watermark at 10:30) → not emitted yet
+      assert(!emitted.contains((ts("11:00"), "click")))
+    } finally query.stop()
+  }
+}
