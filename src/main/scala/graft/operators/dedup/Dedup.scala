@@ -359,14 +359,15 @@ object Dedup {
     * in-bucket pairs.
     */
   object EmbeddingDedup {
-    def cosine(a: Column, b: Column): Column = {
-      def dbl(v: Column) = transform(v, x => x.cast("double"))
-      val da = dbl(a); val db = dbl(b)
-      val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      val na = sqrt(aggregate(da, lit(0.0), (acc, x) => acc + x * x))
-      val nb = sqrt(aggregate(db, lit(0.0), (acc, x) => acc + x * x))
-      dot / (na * nb)
-    }
+    /** Cosine over `array<float>` via the native codegen'd
+      * [[graft.functions.CosineSimilarity]] expression — same double
+      * arithmetic and element order as the DuckDB oracle's
+      * list_cosine_similarity over DOUBLE[], so hash-compare holds.
+      * (The previous higher-order-function formulation was
+      * interpreted per element — ~20× slower on quadratic paths.)
+      */
+    def cosine(a: Column, b: Column): Column =
+      graft.functions.CosineSimilarity(a, b)
 
     def allPairs(df: DataFrame, threshold: Double,
                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
