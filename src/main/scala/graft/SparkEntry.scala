@@ -31,6 +31,8 @@ object SparkEntry {
     "q5_starjoin"  -> ((s, d) => RelationalQueries.q5StarJoin(s, d)),
     "q_window"     -> ((s, d) => RelationalQueries.qWindow(s, d)),
     "events_hourly" -> ((s, d) => RelationalQueries.eventsHourly(s, d)),
+    "events_sessions" -> ((s, d) =>
+      Sessionize.sessions(Tables(s, d, "events"), SessionGapMinutes)),
     // --- dbqt core surface (SURVEY §2 #1-2) ---
     "rowcount" -> ((s, d) => RowCount.counts(s, Tables.load(s, d))),
     "rowcount_compare" -> ((s, d) => RowCount.compare(s, Seq(
@@ -109,6 +111,7 @@ object SparkEntry {
         .orderBy("doc_id").toDF())
   )
 
+  private val SessionGapMinutes = 120
   private val NgramJaccardThreshold = 0.7
   private val EmbeddingDedupThreshold = 0.4
   private val AnnK = 10
@@ -212,6 +215,7 @@ object SparkEntry {
         |    AS percentage_difference
         |FROM pairs
         |ORDER BY pair_name""".stripMargin,
+    "events_sessions" -> Sessionize.oracleSql("events", SessionGapMinutes),
     "nullcheck_customer" -> NullCheck.oracleSql("customer", CustomerCols),
     "nullcheck_events" -> NullCheck.oracleSql("events", EventsCols),
     "keyfinder_orders" -> KeyFinder.size1OracleSql("orders", OrdersCols),

@@ -80,4 +80,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(!emitted.contains((ts("11:00"), "click")))
     } finally query.stop()
   }
+
+  test("stateful sessionization: gap closes sessions, timeout flushes idle state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+
+    val query = graft.streaming.SessionizeStream
+      .sessions(events, gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then one at 12:00
+      input.addData((ts("10:00"), 1L, 1.0), (ts("10:10"), 1L, 2.5))
+      query.processAllAvailable()
+      input.addData((ts("12:00"), 1L, 4.0))
+      query.processAllAvailable()
+      // the 12:00 event exceeds the 30-min gap → first session emitted
+      val afterGap = spark.table("sessions_test").as[graft.streaming.SessionizeStream.Session]
+        .collect()
+      assert(afterGap.length == 1)
+      assert(afterGap.head == graft.streaming.SessionizeStream.Session(
+        1L, ts("10:00"), ts("10:10"), 2, 3.5))
+
+      // a far-future event for another user advances the watermark past
+      // 12:00+gap → user 1's idle session times out and flushes
+      input.addData((ts("23:00"), 2L, 1.0))
+      query.processAllAvailable()
+      input.addData((ts("23:59"), 2L, 1.0))
+      query.processAllAvailable()
+      val all = spark.table("sessions_test").as[graft.streaming.SessionizeStream.Session]
+        .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(all.exists(s => s.user_id == 1L &&
+        s.session_start == ts("12:00") && s.n_events == 1 && s.sum_value == 4.0),
+        s"12:00 session not flushed by timeout: ${all.mkString(", ")}")
+    } finally query.stop()
+  }
 }
