@@ -38,6 +38,9 @@ object SparkEntry {
     "rowcount_compare" -> ((s, d) => RowCount.compare(s, Seq(
       ("customer_vs_orders", Tables(s, d, "customer"), Tables(s, d, "orders")),
       ("orders_vs_lineitem", Tables(s, d, "orders"), Tables(s, d, "lineitem"))))),
+    "rowcount_catalogs" -> ((s, d) => RowCount.compareCatalogs(s,
+      Tables.load(s, d, Seq("region", "nation", "customer")),
+      Tables.load(s, d, Seq("nation", "customer", "orders")))),
     // --- dbqt core surface (SURVEY §2 #3-10) ---
     "nullcheck_customer" -> ((s, d) => NullCheck.profile("customer", Tables(s, d, "customer"))),
     "nullcheck_events"   -> ((s, d) => NullCheck.profile("events", Tables(s, d, "events"))),
@@ -215,6 +218,19 @@ object SparkEntry {
         |    AS percentage_difference
         |FROM pairs
         |ORDER BY pair_name""".stripMargin,
+    "rowcount_catalogs" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS table_name,
+        |    (SELECT count(*) FROM customer) AS source_row_count,
+        |    (SELECT count(*) FROM customer) AS target_row_count,
+        |    CAST(0 AS BIGINT) AS difference, 'BOTH' AS status
+        |  UNION ALL SELECT 'nation',
+        |    (SELECT count(*) FROM nation), (SELECT count(*) FROM nation), 0, 'BOTH'
+        |  UNION ALL SELECT 'orders',
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'ONLY_IN_TARGET'
+        |  UNION ALL SELECT 'region',
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'ONLY_IN_SOURCE'
+        |) t ORDER BY table_name""".stripMargin,
     "events_sessions" -> Sessionize.oracleSql("events", SessionGapMinutes),
     "nullcheck_customer" -> NullCheck.oracleSql("customer", CustomerCols),
     "nullcheck_events" -> NullCheck.oracleSql("events", EventsCols),

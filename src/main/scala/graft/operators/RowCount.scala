@@ -46,4 +46,43 @@ object RowCount {
         round(col("difference") * 100.0 / col("source_row_count"), 2))
       .orderBy("pair_name")
   }
+
+  /** Catalog-level reconciliation: same-name tables from two
+    * "connections" (table→DataFrame maps) are counted and diffed;
+    * one-sided tables get a discovery note and NO count — mirroring
+    * dbstats.py's source/target mode ("Only in source, row count
+    * skipped", dbstats.py:181-199) where counting skips undiscovered
+    * tables. Counting both sides of every common table still runs as
+    * one unioned job.
+    */
+  def compareCatalogs(spark: SparkSession,
+                      source: Map[String, DataFrame],
+                      target: Map[String, DataFrame]): DataFrame = {
+    val all = (source.keySet ++ target.keySet).toSeq.sorted
+    val parts = all.map { name =>
+      (source.get(name), target.get(name)) match {
+        case (Some(s), Some(t)) =>
+          s.groupBy().agg(count(lit(1)).as("source_row_count"))
+            .crossJoin(t.groupBy().agg(count(lit(1)).as("target_row_count")))
+            .select(lit(name).as("table_name"),
+              col("source_row_count"), col("target_row_count"),
+              (col("target_row_count") - col("source_row_count")).as("difference"),
+              lit("BOTH").as("status"))
+        case (Some(s), None) =>
+          spark.range(1).select(lit(name).as("table_name"),
+            lit(null).cast("long").as("source_row_count"),
+            lit(null).cast("long").as("target_row_count"),
+            lit(null).cast("long").as("difference"),
+            lit("ONLY_IN_SOURCE").as("status"))
+        case (None, Some(t)) =>
+          spark.range(1).select(lit(name).as("table_name"),
+            lit(null).cast("long").as("source_row_count"),
+            lit(null).cast("long").as("target_row_count"),
+            lit(null).cast("long").as("difference"),
+            lit("ONLY_IN_TARGET").as("status"))
+        case (None, None) => throw new IllegalStateException("unreachable")
+      }
+    }
+    parts.reduce(_ unionAll _).orderBy("table_name")
+  }
 }

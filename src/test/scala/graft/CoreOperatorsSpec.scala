@@ -168,4 +168,18 @@ class CoreOperatorsSpec extends AnyFunSuite {
       Seq("ORDERS", "orders_tmp", "customer_final"))
     assert(Tables.filterExcluded(tables, Seq("%_final", "%TMP%")) == Seq("ORDERS"))
   }
+
+  test("catalog compare: counts common tables, notes one-sided without counting") {
+    import spark.implicits._
+    val a3 = Seq(1, 2, 3).toDF("x")
+    val a5 = Seq(1, 2, 3, 4, 5).toDF("x")
+    val res = RowCount.compareCatalogs(spark,
+        source = Map("shared" -> a3, "src_only" -> a5),
+        target = Map("shared" -> a5, "tgt_only" -> a3))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getString(4))).toMap
+    assert(res("shared") == ((Some(3L), Some(5L), Some(2L), "BOTH")))
+    assert(res("src_only") == ((None, None, None, "ONLY_IN_SOURCE")))
+    assert(res("tgt_only") == ((None, None, None, "ONLY_IN_TARGET")))
+  }
 }
