@@ -97,6 +97,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) =>
       Dedup.MinHashDedup.nearDuplicates(Tables(s, d, "documents"), NgramJaccardThreshold)),
     "dedup_simhash" -> ((s, d) => Dedup.SimHash.hammingPairs(Tables(s, d, "documents"), maxHamming = 3)),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.Components.dedupGroups(Tables(s, d, "documents"), NgramJaccardThreshold)),
     "dedup_embedding" -> ((s, d) =>
       Dedup.EmbeddingDedup.allPairs(Tables(s, d, "embeddings"), EmbeddingDedupThreshold)),
     // --- similarity search (SURVEY §2 #30-31) ---

@@ -284,6 +284,70 @@ object Dedup {
     }
   }
 
+  /** Connected components over near-duplicate pairs — the step that
+    * turns pairwise matches into deduplication decisions: every doc in
+    * a component keeps the component's minimum doc id as its canonical
+    * representative, and transitive chains (A~B, B~C but not A~C)
+    * collapse into one group, which pairwise output alone cannot do.
+    *
+    * Algorithm: iterative min-label propagation. Each round is one
+    * join + aggregation (all distributed, nothing on the driver except
+    * the convergence check); labels converge in O(component diameter)
+    * rounds and near-dup graphs are overwhelmingly tiny cliques, so
+    * 2-4 rounds are typical. Each round's result is persisted and the
+    * previous round unpersisted — lineage stays O(1) deep.
+    */
+  object Components {
+
+    /** pairs: (doc_id_1, doc_id_2) edges. Returns (doc_id, component)
+      * where component = min doc id reachable — includes ONLY docs that
+      * appear in at least one pair (singletons are their own keepers).
+      */
+    def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+      // localCheckpoint (eager) — NOT persist — on every iterative
+      // frame: persist alone leaves the logical plan in place, so the
+      // plan tree DOUBLES per iteration (labels feeds both the join and
+      // the union) and analysis/planning time grows exponentially; a
+      // convergence probe with limit(1) additionally populates the
+      // cache only partially, forcing recompute through that doubled
+      // lineage. localCheckpoint materializes the rows AND truncates
+      // the plan to the materialized RDD, keeping every round O(1).
+      // (On a cluster with executor loss concerns, swap for reliable
+      // checkpoint(dir) — same shape.)
+      // materialize the (possibly expensive) pair pipeline ONCE — the
+      // bidirectional union below references it twice
+      val p = pairs.localCheckpoint(true)
+      val edges = p.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+        .unionAll(p.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      var labels = edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val prop = edges.join(labels, edges("a") === labels("node"))
+          .select(col("b").as("node"), col("label"))
+          .unionAll(labels)
+          .groupBy("node").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        val changed = prop.as("p").join(labels.as("l"), col("p.node") === col("l.node"))
+          .where(col("p.label") =!= col("l.label")).limit(1).count()
+        labels = prop
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("component"))
+        .orderBy("doc_id")
+    }
+
+    /** End-to-end near-dup grouping: MinHash pairs → components. */
+    def dedupGroups(df: DataFrame, threshold: Double,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      components(MinHashDedup.nearDuplicates(df, threshold, textCol, idCol))
+  }
+
   // ---------------------------------------------------------------- #27
   /** SimHash (Charikar '02 / Manku et al. WWW'07): 64-bit signature from
     * token hashes; near-dups are pairs within Hamming distance

@@ -175,25 +175,63 @@ object TextOps {
          |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
          |FROM $table ORDER BY doc_id""".stripMargin
 
-    /** Per-doc array of winnowed k-gram hashes (document sketch). */
+    /** Per-doc array of winnowed k-gram hashes (document sketch).
+      *
+      * Typed mapPartitions kernel: the k-gram hashes come from a true
+      * ROLLING polynomial hash (one multiply-add + one subtract per
+      * character) and the window minima from a monotonic deque — O(len)
+      * per document. The equivalent Catalyst formulation is O(len·k)
+      * hashing plus O(len·w) minima with per-element interpreted
+      * lambdas (and O(len²) substring scans), which falls over on long
+      * documents at scale.
+      */
     def winnowFingerprints(df: DataFrame, textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
-      val t = normalized(col(textCol))
-      val n = length(t)
-      // hash of k-gram starting at 1-based position i (polynomial mod M)
-      def kgramHash(i: Column): Column =
-        aggregate(
-          transform(sequence(lit(0), lit(K - 1)),
-            j => ascii(substring(t, (i + j).cast("int"), lit(1)))),
-          lit(0L),
-          (acc, c) => (acc * Base + c.cast("long")) % Mod)
-      val starts = sequence(lit(1), greatest(n - (K - 1), lit(1)))
-      val hashes = transform(starts, i => kgramHash(i))
-      // winnow: min hash of each window of W consecutive hashes
-      val winStarts = sequence(lit(0), greatest(size(hashes) - W, lit(0)))
-      val winnowed = array_distinct(transform(winStarts, s =>
-        array_min(slice(hashes, s + 1, least(lit(W), size(hashes))))))
-      df.select(col(idCol), winnowed.as("winnow_hashes"))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val (k, w, base, mod) = (K, W, Base, Mod)
+      df.select(col(idCol).cast("long").as("id"), normalized(col(textCol)).as("t"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          // base^(k-1) mod M for the rolling removal term
+          var basePow = 1L
+          (1 until k).foreach(_ => basePow = basePow * base % mod)
+          it.map { case (id, t0) =>
+            val t = if (t0 == null) "" else t0
+            val n = t.length
+            val nHashes = math.max(n - (k - 1), if (n == 0) 0 else 1)
+            val hashes = new Array[Long](math.max(nHashes, 0))
+            if (n > 0) {
+              var h = 0L
+              var i = 0
+              while (i < math.min(k, n)) { h = (h * base + t.charAt(i)) % mod; i += 1 }
+              hashes(0) = h
+              var s = 1
+              while (s < nHashes) {
+                h = ((h - t.charAt(s - 1) * basePow % mod + mod * base) % mod * base
+                  + t.charAt(s + k - 1)) % mod
+                hashes(s) = h
+                s += 1
+              }
+            }
+            // sliding-window minimum via monotonic index deque
+            val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+            if (hashes.nonEmpty) {
+              val win = math.min(w, hashes.length)
+              val deque = new java.util.ArrayDeque[Int]()
+              var i = 0
+              while (i < hashes.length) {
+                while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(i))
+                  deque.pollLast()
+                deque.addLast(i)
+                if (deque.peekFirst() <= i - win) deque.pollFirst()
+                if (i >= win - 1) out += hashes(deque.peekFirst())
+                i += 1
+              }
+            }
+            (id, out.toSeq)
+          }
+        }.toDF(idCol, "winnow_hashes")
         .orderBy(idCol)
     }
   }

@@ -99,6 +99,45 @@ class DedupSpec extends AnyFunSuite {
     assert(found == all.toSet)
   }
 
+  test("connected components: transitive chains collapse to min-id groups") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("doc_id_1", "doc_id_2")
+    val res = Dedup.Components.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("connected components match brute-force union-find on a random graph") {
+    val rng = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // brute-force union-find
+    val parent = Array.tabulate(60)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> {
+        // path-compress to the root, then take the min id in the
+        // component (roots are always min by the union rule above)
+        find(n.toInt).toLong
+      }).toMap
+    val got = Dedup.Components.components(edges.toDF("doc_id_1", "doc_id_2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("dedupGroups: exact copies land in one group keyed by the min doc id") {
+    val groups = Dedup.Components.dedupGroups(docs, 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each exact copy 200+i groups with its base doc i
+    (0 until 5).foreach(i => assert(groups(200L + i) == i.toLong))
+  }
+
   test("embedding cosine allPairs: 1.0 for identical, orthogonal excluded") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
