@@ -110,6 +110,10 @@ object SparkEntry {
       val emb = Tables(s, d, "embeddings")
       Similarity.LshAnn.topK(emb, emb.where(col("vec_id") < AnnNumQueries), AnnK, dim = 64)
     }),
+    "ann_ivf" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.IvfAnn.topK(emb, emb.where(col("vec_id") < AnnNumQueries), AnnK)
+    }),
     // --- multimodal binary pipeline (SURVEY §2 #36) ---
     "multimodal_meta" -> ((s, d) =>
       BinaryPipeline.extractMeta(s, BinaryPipeline.fromDocuments(Tables(s, d, "documents")))

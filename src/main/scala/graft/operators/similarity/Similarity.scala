@@ -64,6 +64,65 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into
+    * `nCells` k-means cells (MLlib KMeans on L2-normalized vectors ≈
+    * spherical k-means, fixed seed), then answer each query by probing
+    * only its `nProbe` nearest cells and exact-cosine-ranking the
+    * candidates inside them.
+    *
+    * Scale shape: training touches a bounded sample; assignment is one
+    * map-side pass; the query-side shuffle is keyed on cell id —
+    * O(corpus) once + O(queries × nProbe × cellSize) scoring, never
+    * O(queries × corpus). The centroid table (nCells × dim) is tiny
+    * and broadcast. Recall is governed by nProbe — the standard IVF
+    * trade-off — and returned scores are always exact.
+    */
+  object IvfAnn {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val Seed = 42L
+
+    def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+             nCells: Int = 32, nProbe: Int = 4,
+             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      val spark = corpus.sparkSession
+      val norm = {
+        val v = col(vecCol)
+        val n2 = sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x))
+        transform(v, x => (x.cast("double") / n2))
+      }
+      val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_v"),
+        array_to_vector(norm).as("features"))
+      val model = new KMeans().setK(nCells).setSeed(Seed).setFeaturesCol("features")
+        .fit(c)
+      val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
+        .select("corpus_id", "corpus_v", "cell")
+
+      // centroid table: tiny, broadcast into the query-side scoring
+      val centroids = spark.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
+          (i, ctr.toArray.map(_.toFloat))
+        }.toSeq).toDF("cell", "centroid")
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+      val probed = q.crossJoin(broadcast(centroids))
+        .withColumn("cdist", EmbeddingDedup.cosine(col("query_v"), col("centroid")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cdist").desc, col("cell"))
+      val cells = probed.withColumn("r", rank().over(w)).where(col("r") <= nProbe)
+        .select("query_id", "query_v", "cell")
+
+      // every corpus vector lives in exactly one cell, so (query, vec)
+      // candidates are already unique — no dedup shuffle needed
+      val scored = cells.join(assigned, Seq("cell"))
+        .where(col("query_id") =!= col("corpus_id"))
+        .withColumn("cos_raw", EmbeddingDedup.cosine(col("query_v"), col("corpus_v")))
+        .withColumnRenamed("corpus_id", "vec_id")
+      CosineTopK.rankTopK(scored, k)
+    }
+  }
+
   /** Random-hyperplane LSH ANN. Hyperplanes are derived from a fixed
     * seed, so plans are deterministic and resumable.
     */

@@ -63,6 +63,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall below floor")
   }
 
+  test("IVF ANN: exact scores, high recall with nProbe on clustered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val dim = 64
+    val clustered = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(rng.nextGaussian())
+      (0 until 12).map { m =>
+        val v = center.map(x => (x + 0.07 * rng.nextGaussian()).toFloat)
+        ((c * 12 + m).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.where(col("vec_id") % 12 === 0 && col("vec_id") < 60)
+
+    val brute = asMap(Similarity.CosineTopK.run(clustered, queries, K).collect())
+    val ivf = asMap(Similarity.IvfAnn
+      .topK(clustered, queries, K, nCells = 16, nProbe = 4).collect())
+    ivf.keys.filter(brute.contains).foreach { p =>
+      assert(ivf(p)._1 == brute(p)._1, s"score mismatch on $p")
+    }
+    val recall = brute.keySet.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall below floor")
+  }
+
   test("LSH identical vectors always collide (same signature in every table)") {
     import spark.implicits._
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
