@@ -78,6 +78,8 @@ object SparkEntry {
       Checks.RangeCheck.run("lineitem", Tables(s, d, "lineitem"), RangeRules)),
     "check_stats" -> ((s, d) =>
       Checks.StatsCheck.run("lineitem", Tables(s, d, "lineitem"), StatsCols)),
+    "check_values" -> ((s, d) =>
+      Checks.ValueSet.run("lineitem", Tables(s, d, "lineitem"), ValueRules)),
     "check_referential" -> ((s, d) => Checks.Referential.runAll(Seq(
       (FkRule("lineitem_orders", "l_orderkey", "o_orderkey"),
         Tables(s, d, "lineitem"), Tables(s, d, "orders")),
@@ -90,6 +92,7 @@ object SparkEntry {
     "text_langid"      -> ((s, d) => TextOps.LangId.run(Tables(s, d, "documents"))),
     "text_quality"     -> ((s, d) => TextOps.QualityScore.run(Tables(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(Tables(s, d, "documents"))),
+    "text_pii" -> ((s, d) => TextOps.PiiScan.run(Tables(s, d, "documents"))),
     // --- dedup for LLM-data pipelines (SURVEY §2 #25-29) ---
     "dedup_exact" -> ((s, d) => Dedup.ExactDedup.run(Tables(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -141,6 +144,11 @@ object SparkEntry {
     RangeRule("l_discount", "discount_0_01", 0.0, 0.1),
     RangeRule("l_tax", "tax_0_008", 0.0, 0.08))
   private val StatsCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private val ValueRules = Seq(
+    Checks.ValueSet.ValueRule("l_returnflag", "returnflag_anr", Seq("A", "N", "R")),
+    Checks.ValueSet.ValueRule("l_linestatus", "linestatus_of", Seq("O", "F")),
+    // deliberately narrow set → exercises the FAIL status
+    Checks.ValueSet.ValueRule("l_returnflag", "returnflag_strict_an", Seq("A", "N")))
   private val DynamicQueryTemplate =
     """SELECT '{region_name}' AS region_name, count(*) AS n_nations
       |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -271,6 +279,7 @@ object SparkEntry {
     "check_format" -> Checks.FormatCheck.oracleSql("documents", FormatRules),
     "check_range" -> Checks.RangeCheck.oracleSql("lineitem", RangeRules),
     "check_stats" -> Checks.StatsCheck.oracleSql("lineitem", StatsCols),
+    "check_values" -> Checks.ValueSet.oracleSql("lineitem", ValueRules),
     "check_referential" -> Checks.Referential.oracleSql(Seq(
       ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
@@ -279,6 +288,7 @@ object SparkEntry {
     "text_langid"      -> TextOps.LangId.oracleSql("documents"),
     "text_quality"     -> TextOps.QualityScore.oracleSql("documents"),
     "text_fingerprint" -> TextOps.Fingerprint.oracleSql("documents"),
+    "text_pii" -> TextOps.PiiScan.oracleSql("documents"),
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their
     // recall/precision vs the brute-force paths is asserted in DedupSpec

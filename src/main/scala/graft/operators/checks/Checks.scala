@@ -297,4 +297,58 @@ object Checks {
          |ORDER BY fk_name""".stripMargin
     }
   }
+
+  // ---------------------------------------------------------------- #18b
+  /** Value validation (reference README.md:365): each column is checked
+    * against an explicit allowed-value set. One aggregation job for all
+    * rules; NULLs are counted separately, not as violations.
+    */
+  object ValueSet {
+    final case class ValueRule(column: String, name: String, allowed: Seq[String])
+
+    def run(tableName: String, df: DataFrame, rules: Seq[ValueRule]): DataFrame = {
+      val aggs = rules.flatMap { r =>
+        val c = col(r.column)
+        val allowed = array(r.allowed.map(lit): _*)
+        Seq(
+          sum(when(c.isNotNull && array_contains(allowed, c.cast("string")), 1L)
+            .otherwise(0L)).as(s"v__${r.name}"),
+          sum(when(c.isNotNull && !array_contains(allowed, c.cast("string")), 1L)
+            .otherwise(0L)).as(s"i__${r.name}"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"n__${r.name}"))
+      } :+ count(lit(1)).as("total__")
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val entries = array(rules.map { r =>
+        struct(lit(r.name).as("rule_name"), lit(r.column).as("column_name"),
+          col(s"v__${r.name}").as("valid_rows"),
+          col(s"i__${r.name}").as("invalid_rows"),
+          col(s"n__${r.name}").as("null_rows"))
+      }: _*)
+      wide.select(col("total__"), explode(entries).as("e"))
+        .select(
+          lit(tableName).as("table_name"),
+          col("e.rule_name"), col("e.column_name"),
+          col("e.valid_rows"), col("e.invalid_rows"), col("e.null_rows"),
+          col("total__").as("total_rows"))
+        .withColumn("status", when(col("invalid_rows") === 0, "PASS").otherwise("FAIL"))
+        .orderBy("rule_name")
+    }
+
+    def oracleSql(tableName: String, rules: Seq[ValueRule]): String = {
+      val parts = rules.map { r =>
+        val set = r.allowed.map(v => s"'$v'").mkString(", ")
+        s"""SELECT '$tableName' AS table_name, '${r.name}' AS rule_name,
+           |  '${r.column}' AS column_name,
+           |  (SELECT count(*) FROM $tableName
+           |     WHERE ${r.column} IS NOT NULL AND CAST(${r.column} AS VARCHAR) IN ($set)) AS valid_rows,
+           |  (SELECT count(*) FROM $tableName
+           |     WHERE ${r.column} IS NOT NULL AND CAST(${r.column} AS VARCHAR) NOT IN ($set)) AS invalid_rows,
+           |  (SELECT count(*) FROM $tableName WHERE ${r.column} IS NULL) AS null_rows,
+           |  (SELECT count(*) FROM $tableName) AS total_rows""".stripMargin
+      }
+      s"""SELECT *, CASE WHEN invalid_rows = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+         |FROM (${parts.mkString("\n", "\nUNION ALL\n", "\n")}) t
+         |ORDER BY rule_name""".stripMargin
+    }
+  }
 }

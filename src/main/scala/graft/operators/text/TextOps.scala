@@ -144,6 +144,33 @@ object TextOps {
     }
   }
 
+  /** PII / link scanning — the cheap pre-filter an LLM-data pipeline
+    * runs before redaction: counts of email-like and URL-like spans per
+    * document. Regexes deliberately use only constructs with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): character
+    * classes, `+`, `{2,}`, alternation-free literals.
+    */
+  object PiiScan {
+    val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val UrlPattern = "https?://[A-Za-z0-9./_%-]+"
+
+    def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      df.select(
+        col(idCol),
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("n_urls"))
+        .withColumn("has_pii",
+          (col("n_emails") > 0 || col("n_urls") > 0).cast("int"))
+        .orderBy(idCol)
+
+    def oracleSql(table: String): String =
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailPattern')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$UrlPattern')) AS INTEGER) AS n_urls,
+         |  CAST(n_emails > 0 OR n_urls > 0 AS INTEGER) AS has_pii
+         |FROM $table ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- #35
   /** Document fingerprinting.
     *

@@ -85,4 +85,18 @@ class ChecksSpec extends AnyFunSuite {
     assert(r.getAs[Long]("orphan_rows") === 1L)
     assert(r.getAs[String]("status") === "FAIL")
   }
+
+  test("ValueSet validates allowed values, nulls counted separately") {
+    val df = Seq(Some("A"), Some("N"), Some("R"), Some("X"), None)
+      .toDF("flag")
+    val rules = Seq(
+      Checks.ValueSet.ValueRule("flag", "anr", Seq("A", "N", "R")),
+      Checks.ValueSet.ValueRule("flag", "full", Seq("A", "N", "R", "X")))
+    val res = Checks.ValueSet.run("t", df, rules).collect()
+      .map(r => r.getAs[String]("rule_name") ->
+        (r.getAs[Long]("valid_rows"), r.getAs[Long]("invalid_rows"),
+          r.getAs[Long]("null_rows"), r.getAs[String]("status"))).toMap
+    assert(res("anr") == ((3L, 1L, 1L, "FAIL")))
+    assert(res("full") == ((4L, 0L, 1L, "PASS")))
+  }
 }

@@ -59,4 +59,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(overlapNear > 0.5)
     assert(overlapOther < 0.1)
   }
+
+  test("PiiScan counts emails and urls, flags documents containing either") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "contact john.doe@example.com or visit https://example.com/a_b"),
+      (2L, "two mails: a@b.org c.d+e@f-g.co and http://plain.io"),
+      (3L, "no pii here, just words and an @ sign alone"),
+      (4L, "")).toDF("doc_id", "text")
+    val res = TextOps.PiiScan.run(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(res(1L) == ((1, 1, 1)))
+    assert(res(2L) == ((2, 1, 1)))
+    assert(res(3L) == ((0, 0, 0)))
+    assert(res(4L) == ((0, 0, 0)))
+  }
 }
