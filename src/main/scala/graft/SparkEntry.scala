@@ -120,10 +120,15 @@ object SparkEntry {
     // --- multimodal binary pipeline (SURVEY §2 #36) ---
     "multimodal_meta" -> ((s, d) =>
       BinaryPipeline.extractMeta(s, BinaryPipeline.fromDocuments(Tables(s, d, "documents")))
-        .orderBy("doc_id").toDF())
+        .orderBy("doc_id").toDF()),
+    "multimodal_frames" -> ((s, d) =>
+      BinaryPipeline.sampleFrames(
+        BinaryPipeline.extractMeta(s, BinaryPipeline.fromDocuments(Tables(s, d, "documents"))),
+        stride = FrameStride).orderBy("doc_id", "frame_idx"))
   )
 
   private val SessionGapMinutes = 120
+  private val FrameStride = 4
   private val NgramJaccardThreshold = 0.7
   private val EmbeddingDedupThreshold = 0.4
   private val AnnK = 10
@@ -297,6 +302,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
     "dedup_embedding" -> Dedup.EmbeddingDedup.oracleSql("embeddings", EmbeddingDedupThreshold),
     "ann_cosine_topk" -> Similarity.CosineTopK.oracleSql("embeddings", AnnK, AnnNumQueries),
-    "multimodal_meta" -> BinaryPipeline.oracleSql("documents")
+    "multimodal_meta" -> BinaryPipeline.oracleSql("documents"),
+    "multimodal_frames" -> BinaryPipeline.framesOracleSql("documents", FrameStride)
   )
 }

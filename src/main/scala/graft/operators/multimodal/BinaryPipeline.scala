@@ -76,6 +76,17 @@ object BinaryPipeline {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Oracle mirroring fromDocuments+extractMeta+sampleFrames. */
+  def framesOracleSql(table: String, stride: Int): String =
+    s"""WITH meta AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN doc_id % 3 = 2
+       |      THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS INTEGER) AS n_frames
+       |  FROM $table WHERE doc_id % 3 = 2)
+       |SELECT doc_id, n_frames,
+       |  CAST(unnest(range(0, n_frames, $stride)) AS INTEGER) AS frame_idx
+       |FROM meta ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Oracle mirroring fromDocuments+extractMeta arithmetically. */
   def oracleSql(table: String): String =
     s"""SELECT doc_id,

@@ -57,6 +57,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
   }
 
+  test("partitioned layout: partition filter prunes directories in the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      graft.sources.PartitionedWrite.write(
+        graft.sources.Tables(spark, TestSpark.sf0001, "documents"),
+        dir, partitionCol = "lang", sortCols = Seq("doc_id"))
+      val filtered = spark.read.parquet(dir)
+        .where(org.apache.spark.sql.functions.col("lang") === "en")
+        .select("doc_id", "n_chars")
+      val p = plan(filtered)
+      val pf = p.linesIterator.find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+      assert(pf.contains("lang") && pf.contains("= en"),
+        s"no partition pruning ('$pf') in:\n$p")
+      assert(filtered.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("text ops stay in one codegen'd projection over the scan (no agg shuffle)") {
     val p = plan(q("text_quality"))
     // the only exchange allowed is the final orderBy's range partition
