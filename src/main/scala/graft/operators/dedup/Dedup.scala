@@ -327,9 +327,18 @@ object Dedup {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
+        // hash-to-min + pointer jumping: each node takes the min of its
+        // own label, its neighbors' labels, AND its label's label. The
+        // jump term halves chain distances per round → O(log diameter)
+        // rounds instead of O(diameter) (measured: 15 rounds → 5 on the
+        // sf0.1 near-dup graph, which contains a long chain).
+        val jumped = labels.as("l1")
+          .join(labels.as("l2"), col("l1.label") === col("l2.node"))
+          .select(col("l1.node").as("node"), col("l2.label").as("label"))
         val prop = edges.join(labels, edges("a") === labels("node"))
           .select(col("b").as("node"), col("label"))
           .unionAll(labels)
+          .unionAll(jumped)
           .groupBy("node").agg(min("label").as("label"))
           .localCheckpoint(true)
         val changed = prop.as("p").join(labels.as("l"), col("p.node") === col("l.node"))
