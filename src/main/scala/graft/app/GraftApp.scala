@@ -1,0 +1,103 @@
+package graft.app
+
+import graft.operators._
+import graft.operators.checks.Checks
+import graft.operators.dedup.Dedup
+import graft.sources.{ParquetCombine, Parquetizer, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CLI dispatch — the reference's `dbqt <tool>` surface (reference:
+  * dbqt/app.py) re-expressed over parquet table directories.
+  *
+  * A "connection" is a directory of parquet tables (`--dir`); YAML
+  * configs are replaced by flags (documented divergence, SURVEY §5 —
+  * zero-dependency parsing). Results go to `--out` as parquet, or to
+  * the console.
+  *
+  * {{{
+  * graft.app.GraftApp rowcount   --dir /data/sf1 [--exclude tmp_%]
+  * graft.app.GraftApp nullcheck  --dir /data/sf1 --table customer
+  * graft.app.GraftApp keyfinder  --dir /data/sf1 --table orders \
+  *     --candidates o_orderkey,o_custkey [--max-size 3]
+  * graft.app.GraftApp colcompare --dir /data/sf1 --source a --target b
+  * graft.app.GraftApp combine    --files a.parquet,b.parquet --out c
+  * graft.app.GraftApp parquetizer --path /data/dropzone
+  * graft.app.GraftApp completeness --dir /data/sf1 --table documents
+  * graft.app.GraftApp dedup      --dir /data/sf1 --table documents \
+  *     [--threshold 0.8]
+  * graft.app.GraftApp sessionize --dir /data/sf1 [--gap-minutes 120]
+  * }}}
+  */
+object GraftApp {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, args.toSeq)
+    finally spark.stop()
+  }
+
+  /** Flag parsing: `tool --k v --k2 v2 ...` → (tool, Map(k → v)). */
+  private[app] def parse(args: Seq[String]): (String, Map[String, String]) = {
+    require(args.nonEmpty, usage)
+    val flags = args.tail.grouped(2).collect {
+      case Seq(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+    (args.head, flags)
+  }
+
+  private val usage =
+    "usage: GraftApp <rowcount|nullcheck|keyfinder|colcompare|combine|" +
+      "parquetizer|completeness|dedup|sessionize> --dir <tables-dir> [flags]"
+
+  def run(spark: SparkSession, args: Seq[String]): Unit = {
+    val (tool, f) = parse(args)
+    def dir = f.getOrElse("dir", sys.error("--dir required"))
+    def table = Tables(spark, dir, f.getOrElse("table", sys.error("--table required")))
+
+    val result: DataFrame = tool match {
+      case "rowcount" =>
+        val names = Tables.filterExcluded(
+          f.get("tables").map(_.split(",").toSeq).getOrElse(Tables.all),
+          f.get("exclude").map(_.split(",").toSeq).getOrElse(Nil))
+        RowCount.counts(spark, Tables.load(spark, dir, names))
+      case "nullcheck" =>
+        NullCheck.profile(f("table"), table)
+      case "keyfinder" =>
+        KeyFinder.findMinimalKeys(spark, table,
+          f.getOrElse("candidates", sys.error("--candidates required")).split(",").toSeq,
+          f.getOrElse("max-size", "3").toInt)
+      case "colcompare" =>
+        ColCompare.compareColumns(spark,
+          Tables(spark, dir, f("source")), Tables(spark, dir, f("target")))
+      case "combine" =>
+        val out = ParquetCombine.combine(spark,
+          f.getOrElse("files", sys.error("--files required")).split(",").toSeq)
+        out.df
+      case "parquetizer" =>
+        val (renamed, skipped) = Parquetizer.renameExtensionless(spark,
+          f.getOrElse("path", sys.error("--path required")))
+        import spark.implicits._
+        (renamed.map(("RENAMED", _)) ++ skipped.map(("SKIPPED", _)))
+          .toDF("action", "file")
+      case "completeness" =>
+        Checks.Completeness.run(f("table"), table)
+      case "dedup" =>
+        Dedup.Components.dedupGroups(table,
+          f.getOrElse("threshold", "0.8").toDouble)
+      case "sessionize" =>
+        Sessionize.sessions(Tables(spark, dir, "events"),
+          f.getOrElse("gap-minutes", "120").toInt)
+      case other => sys.error(s"unknown tool '$other'\n$usage")
+    }
+
+    f.get("out") match {
+      case Some(out) => result.coalesce(1).write.mode("overwrite").parquet(out)
+      case None => result.show(100, truncate = false)
+    }
+  }
+}
