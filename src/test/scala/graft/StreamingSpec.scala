@@ -81,6 +81,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file-source streaming: parquet files appearing in a directory flow through the agg") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val query = EventStream.hourlyAgg(stream)
+        .writeStream.format("memory").queryName("file_hourly")
+        .outputMode("complete").start()
+      try {
+        Seq((ts("09:10"), 1L, "click", 2.0), (ts("09:40"), 2L, "click", 3.0))
+          .toDF("ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(dir)
+        query.processAllAvailable()
+        Seq((ts("10:05"), 1L, "view", 1.0))
+          .toDF("ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(dir)
+        query.processAllAvailable()
+        val got = spark.table("file_hourly")
+          .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(got == Map(
+          (ts("09:00"), "click") -> 2L,
+          (ts("10:00"), "view") -> 1L))
+      } finally query.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("stateful sessionization: gap closes sessions, timeout flushes idle state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
