@@ -68,9 +68,15 @@ object GraftApp {
       case "nullcheck" =>
         NullCheck.profile(f("table"), table)
       case "keyfinder" =>
-        KeyFinder.findMinimalKeys(spark, table,
-          f.getOrElse("candidates", sys.error("--candidates required")).split(",").toSeq,
-          f.getOrElse("max-size", "3").toInt)
+        val t = table
+        val cands = f.get("candidates").map(_.split(",").toSeq)
+          .getOrElse(KeyFinder.selectCandidates(t.columns.toSeq,
+            f.get("include-only").map(_.split(",").toSeq).getOrElse(Nil),
+            f.get("exclude").map(_.split(",").toSeq).getOrElse(Nil),
+            f.getOrElse("max-columns", "20").toInt))
+        val maxSize = f.getOrElse("max-size", "3").toInt
+        KeyFinder.requireSearchable(cands.size, maxSize, f.get("force").contains("true"))
+        KeyFinder.findMinimalKeys(spark, t, cands, maxSize)
       case "colcompare" =>
         ColCompare.compareColumns(spark,
           Tables(spark, dir, f("source")), Tables(spark, dir, f("target")))

@@ -41,6 +41,33 @@ object KeyFinder {
     ids ++ rest
   }
 
+  /** Candidate selection (keyfinder.py:217-233): optional include-only
+    * filter, then exclusions, then cap at the first `maxColumns`.
+    */
+  def selectCandidates(allColumns: Seq[String], includeOnly: Seq[String] = Nil,
+                       exclude: Seq[String] = Nil, maxColumns: Int = 20): Seq[String] = {
+    val included =
+      if (includeOnly.nonEmpty) allColumns.filter(includeOnly.contains) else allColumns
+    included.filterNot(exclude.contains).take(maxColumns)
+  }
+
+  /** Σ C(n,k) for k=1..maxKeySize (keyfinder.py:111-123). */
+  def totalCombinations(nColumns: Int, maxKeySize: Int): Long =
+    (1 to math.min(maxKeySize, nColumns)).map { k =>
+      (0 until k).map(i => (nColumns - i).toLong).product /
+        (1 to k).map(_.toLong).product
+    }.sum
+
+  /** The reference refuses searches over 50k combinations unless forced
+    * (keyfinder.py:247-253) — same guard, as an exception the caller can
+    * opt out of with force=true.
+    */
+  def requireSearchable(nColumns: Int, maxKeySize: Int, force: Boolean = false): Unit = {
+    val total = totalCombinations(nColumns, maxKeySize)
+    require(force || total <= 50000,
+      s"$total combinations is very high; reduce candidates/max-size or pass force=true")
+  }
+
   /** Stats for one combination. `nDistinct` counts distinct tuples with
     * all members non-null (SQL COUNT DISTINCT semantics) — identical to
     * the reference's GROUP-BY count whenever the combo has zero NULLs,

@@ -380,7 +380,8 @@ object Dedup {
       import spark.implicits._
       df.select(col(idCol).as("gid"), col(textCol)).as[(Long, String)]
         .mapPartitions { it =>
-          it.map { case (gid, text) =>
+          it.map { case (gid, text0) =>
+            val text = if (text0 == null) "" else text0
             val counts = new Array[Int](64)
             text.trim.toLowerCase.split("\\s+").foreach { t =>
               val h = graft.functions.Hash64.strHash(t)

@@ -51,6 +51,20 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(KeyFinder.prioritizeIdColumns(Seq("a", "x_id", "b")) == Seq("x_id", "a", "b"))
   }
 
+  test("keyfinder: candidate selection filters and combination guard") {
+    val cols = Seq("id", "a", "b", "c", "created_at")
+    assert(KeyFinder.selectCandidates(cols, exclude = Seq("id", "created_at")) ==
+      Seq("a", "b", "c"))
+    assert(KeyFinder.selectCandidates(cols, includeOnly = Seq("a", "c")) == Seq("a", "c"))
+    assert(KeyFinder.selectCandidates(cols, maxColumns = 2) == Seq("id", "a"))
+    // C(20,1..4) = 20 + 190 + 1140 + 4845 = 6195
+    assert(KeyFinder.totalCombinations(20, 4) == 6195L)
+    // 20 columns, all sizes = 2^20 - 1 combos → refused without force
+    intercept[IllegalArgumentException](KeyFinder.requireSearchable(20, 20))
+    KeyFinder.requireSearchable(20, 20, force = true)
+    KeyFinder.requireSearchable(20, 4)
+  }
+
   test("keyfinder: single-column key found in orders") {
     val report = KeyFinder.candidateReport(
       spark, Tables(spark, sf0001, "orders"),
