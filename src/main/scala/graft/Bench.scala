@@ -22,11 +22,16 @@ object Bench {
     // sf0.1); its scalable twin (dedup_minhash) IS benchmarked, as is
     // dedup_embedding (codegen'd cosine makes 2M pairs cheap).
     val skip = Set("dedup_ngram_jaccard")
-    val results = SparkEntry.queries.filterNot(q => skip(q._1)).map { case (name, fn) =>
+    // Two passes, min per query: steady-state timing (pass 1 additionally
+    // pays OS page-cache warm-up and first-plan codegen for each query).
+    val headline = SparkEntry.queries.filterNot(q => skip(q._1)).toSeq
+    def onePass(): Map[String, Double] = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val (p1, p2) = (onePass(), onePass())
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -78,6 +78,8 @@ object SparkEntry {
       Checks.RangeCheck.run("lineitem", Tables(s, d, "lineitem"), RangeRules)),
     "check_stats" -> ((s, d) =>
       Checks.StatsCheck.run("lineitem", Tables(s, d, "lineitem"), StatsCols)),
+    "skew_report" -> ((s, d) =>
+      SkewReport.topKeys(Tables(s, d, "events"), "user_id", k = 20)),
     "check_values" -> ((s, d) =>
       Checks.ValueSet.run("lineitem", Tables(s, d, "lineitem"), ValueRules)),
     "check_referential" -> ((s, d) => Checks.Referential.runAll(Seq(
@@ -284,6 +286,7 @@ object SparkEntry {
     "check_format" -> Checks.FormatCheck.oracleSql("documents", FormatRules),
     "check_range" -> Checks.RangeCheck.oracleSql("lineitem", RangeRules),
     "check_stats" -> Checks.StatsCheck.oracleSql("lineitem", StatsCols),
+    "skew_report" -> SkewReport.oracleSql("events", "user_id", k = 20),
     "check_values" -> Checks.ValueSet.oracleSql("lineitem", ValueRules),
     "check_referential" -> Checks.Referential.oracleSql(Seq(
       ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

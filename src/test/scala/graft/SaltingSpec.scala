@@ -27,6 +27,16 @@ class SaltingSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("skew report surfaces the hot key with its share and skew factor") {
+    val top = graft.operators.SkewReport.topKeys(fact, "k", 3).collect()
+    assert(top.head.getAs[String]("key_value") == "1")
+    assert(top.head.getAs[Long]("n_rows") == 900L)
+    assert(top.head.getAs[Double]("pct_of_rows") == 90.0)
+    // 8 distinct keys, 1000 rows: uniform share would be 125 rows → 7.2×
+    assert(top.head.getAs[Double]("skew_factor") == 7.2)
+    assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
   test("two-phase salted aggregation equals direct aggregation") {
     val direct = fact.groupBy("k")
       .agg(count(lit(1)).as("n_rows"), round(sum("v"), 2).as("sum_value"))
