@@ -41,11 +41,19 @@ object GraftApp {
     finally spark.stop()
   }
 
-  /** Flag parsing: `tool --k v --k2 v2 ...` → (tool, Map(k → v)). */
+  /** Flag parsing: `tool --k v --k2 v2 ...` → (tool, Map(k → v)).
+    * STRICT: every flag must start with `--` and carry a value
+    * (booleans are `--force true`) — a misaligned pair fails loudly
+    * instead of silently shifting every following flag into the wrong
+    * slot.
+    */
   private[app] def parse(args: Seq[String]): (String, Map[String, String]) = {
     require(args.nonEmpty, usage)
-    val flags = args.tail.grouped(2).collect {
-      case Seq(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    val flags = args.tail.grouped(2).map {
+      case Seq(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.stripPrefix("--") -> v
+      case bad => sys.error(s"malformed flag pair '${bad.mkString(" ")}' " +
+        s"(flags are '--name value'; booleans are '--force true')\n$usage")
     }.toMap
     (args.head, flags)
   }
@@ -57,7 +65,8 @@ object GraftApp {
   def run(spark: SparkSession, args: Seq[String]): Unit = {
     val (tool, f) = parse(args)
     def dir = f.getOrElse("dir", sys.error("--dir required"))
-    def table = Tables(spark, dir, f.getOrElse("table", sys.error("--table required")))
+    def tableName = f.getOrElse("table", sys.error("--table required"))
+    def table = Tables(spark, dir, tableName)
 
     val result: DataFrame = tool match {
       case "rowcount" =>
@@ -66,7 +75,7 @@ object GraftApp {
           f.get("exclude").map(_.split(",").toSeq).getOrElse(Nil))
         RowCount.counts(spark, Tables.load(spark, dir, names))
       case "nullcheck" =>
-        NullCheck.profile(f("table"), table)
+        NullCheck.profile(tableName, table)
       case "keyfinder" =>
         val t = table
         val cands = f.get("candidates").map(_.split(",").toSeq)
@@ -79,7 +88,8 @@ object GraftApp {
         KeyFinder.findMinimalKeys(spark, t, cands, maxSize)
       case "colcompare" =>
         ColCompare.compareColumns(spark,
-          Tables(spark, dir, f("source")), Tables(spark, dir, f("target")))
+          Tables(spark, dir, f.getOrElse("source", sys.error("--source required"))),
+          Tables(spark, dir, f.getOrElse("target", sys.error("--target required"))))
       case "combine" =>
         val out = ParquetCombine.combine(spark,
           f.getOrElse("files", sys.error("--files required")).split(",").toSeq)
@@ -91,7 +101,7 @@ object GraftApp {
         (renamed.map(("RENAMED", _)) ++ skipped.map(("SKIPPED", _)))
           .toDF("action", "file")
       case "completeness" =>
-        Checks.Completeness.run(f("table"), table)
+        Checks.Completeness.run(tableName, table)
       case "dedup" =>
         Dedup.Components.dedupGroups(table,
           f.getOrElse("threshold", "0.8").toDouble)

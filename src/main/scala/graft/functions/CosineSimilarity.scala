@@ -42,7 +42,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // strict, like DuckDB's list_cosine_similarity: a silent
+    // shorter-prefix similarity on mixed-dimension data would be a
+    // plausible-looking wrong answer
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: mismatched dimensions ${x.numElements()} vs ${y.numElements()}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -64,7 +69,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("cosine_similarity: mismatched dimensions "
+         |    + $a.numElements() + " vs " + $b.numElements());
+         |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = (double) $a.getFloat($i);

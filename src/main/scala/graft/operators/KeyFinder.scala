@@ -51,12 +51,18 @@ object KeyFinder {
     included.filterNot(exclude.contains).take(maxColumns)
   }
 
-  /** Σ C(n,k) for k=1..maxKeySize (keyfinder.py:111-123). */
-  def totalCombinations(nColumns: Int, maxKeySize: Int): Long =
-    (1 to math.min(maxKeySize, nColumns)).map { k =>
-      (0 until k).map(i => (nColumns - i).toLong).product /
-        (1 to k).map(_.toLong).product
+  /** Σ C(n,k) for k=1..maxKeySize (keyfinder.py:111-123). BigInt
+    * internally — the Long numerator product overflows around n=26,
+    * which would let [[requireSearchable]]'s guard fail OPEN on exactly
+    * the searches it exists to refuse — saturated to Long.MaxValue.
+    */
+  def totalCombinations(nColumns: Int, maxKeySize: Int): Long = {
+    val total = (1 to math.min(maxKeySize, nColumns)).map { k =>
+      (0 until k).map(i => BigInt(nColumns - i)).product /
+        (1 to k).map(BigInt(_)).product
     }.sum
+    if (total > Long.MaxValue) Long.MaxValue else total.toLong
+  }
 
   /** The reference refuses searches over 50k combinations unless forced
     * (keyfinder.py:247-253) — same guard, as an exception the caller can

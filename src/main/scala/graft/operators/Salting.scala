@@ -35,10 +35,15 @@ object Salting {
 
   /** Two-phase salted aggregation: count + sum per key, hot keys spread
     * over `factor` partial groups before the final combine.
+    *
+    * The salt MUST come from a deterministic column (`saltSource`, like
+    * [[saltedJoin]]) — deriving it from monotonically_increasing_id
+    * would make the shuffle key depend on partition layout, and a
+    * partial task retry could then double-count or drop rows.
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
-                     factor: Int): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(factor)))
+                     saltSource: String, factor: Int): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col(saltSource)), lit(factor)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
       .groupBy(key)

@@ -310,12 +310,15 @@ object Checks {
       val aggs = rules.flatMap { r =>
         val c = col(r.column)
         val allowed = array(r.allowed.map(lit): _*)
+        // coalesce: sum() over an EMPTY table is NULL, which would turn
+        // status into FAIL (NULL === 0 is null) and diverge from the
+        // oracle's count(*) = 0 → PASS
         Seq(
-          sum(when(c.isNotNull && array_contains(allowed, c.cast("string")), 1L)
-            .otherwise(0L)).as(s"v__${r.name}"),
-          sum(when(c.isNotNull && !array_contains(allowed, c.cast("string")), 1L)
-            .otherwise(0L)).as(s"i__${r.name}"),
-          sum(when(c.isNull, 1L).otherwise(0L)).as(s"n__${r.name}"))
+          coalesce(sum(when(c.isNotNull && array_contains(allowed, c.cast("string")), 1L)
+            .otherwise(0L)), lit(0L)).as(s"v__${r.name}"),
+          coalesce(sum(when(c.isNotNull && !array_contains(allowed, c.cast("string")), 1L)
+            .otherwise(0L)), lit(0L)).as(s"i__${r.name}"),
+          coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"n__${r.name}"))
       } :+ count(lit(1)).as("total__")
       val wide = df.agg(aggs.head, aggs.tail: _*)
       val entries = array(rules.map { r =>

@@ -124,12 +124,20 @@ object Dedup {
     val Rows = NumHashes / Bands
 
     /** Kernel-side twin of [[charNgrams]]' normalization
-      * (lower(trim(regexp_replace(text, "\\s+", " ")))) — ASCII-equal
-      * to the Catalyst expression, asserted by DedupSpec's
-      * minhash-vs-allPairs comparison.
+      * (lower(trim(regexp_replace(text, "\\s+", " ")))), asserted by
+      * DedupSpec's minhash-vs-allPairs comparison. Locale.ROOT (a
+      * tr_TR default locale would map I→ı and break parity with
+      * Catalyst lower()) and a SPACE-ONLY trim (String.trim strips all
+      * control chars ≤ U+0020; Catalyst trim strips only ' ').
       */
-    private[dedup] def normalizeKernel(text: String): String =
-      text.replaceAll("\\s+", " ").trim.toLowerCase
+    private[dedup] def normalizeKernel(text: String): String = {
+      val collapsed = text.replaceAll("\\s+", " ")
+      var from = 0
+      var to = collapsed.length
+      while (from < to && collapsed.charAt(from) == ' ') from += 1
+      while (to > from && collapsed.charAt(to - 1) == ' ') to -= 1
+      collapsed.substring(from, to).toLowerCase(java.util.Locale.ROOT)
+    }
 
     /** doc_id ("gid"), the 128-long minhash signature, and the sorted
       * distinct gram-hash set used for exact verification.
@@ -347,6 +355,8 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
+      if (!converged) throw new IllegalStateException(
+        s"component labels did not converge in $maxIters rounds; raise maxIters")
       labels.select(col("node").as("doc_id"), col("label").as("component"))
         .orderBy("doc_id")
     }
@@ -383,7 +393,7 @@ object Dedup {
           it.map { case (gid, text0) =>
             val text = if (text0 == null) "" else text0
             val counts = new Array[Int](64)
-            text.trim.toLowerCase.split("\\s+").foreach { t =>
+            text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { t =>
               val h = graft.functions.Hash64.strHash(t)
               var j = 0
               while (j < 64) {

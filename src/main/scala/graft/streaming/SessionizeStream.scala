@@ -75,7 +75,11 @@ object SessionizeStream extends Serializable {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastUs / 1000L + gapMs)
+          // clamp: a late event can make last+gap fall BEHIND the
+          // current watermark, and setTimeoutTimestamp throws on that
+          // (killing the query) — fire at the next opportunity instead
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(s.lastUs / 1000L + gapMs, wm + 1))
         }
         out.iterator
       }

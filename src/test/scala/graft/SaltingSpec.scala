@@ -41,7 +41,7 @@ class SaltingSpec extends AnyFunSuite {
     val direct = fact.groupBy("k")
       .agg(count(lit(1)).as("n_rows"), round(sum("v"), 2).as("sum_value"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val salted = Salting.saltedCountSum(fact, "k", "v", factor = 8)
+    val salted = Salting.saltedCountSum(fact, "k", "v", saltSource = "row_id", factor = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(salted == direct)
   }
