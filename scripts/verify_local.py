@@ -60,8 +60,9 @@ def main(sf_dir, out_dir):
             try:
                 import pandas as pd
                 if str(gv.dtype).startswith("float") or str(wv.dtype).startswith("float"):
-                    bad = (gv - wv).abs() > 1e-9
-                    bad = bad | (gv.isna() != wv.isna())
+                    # EXACT equality — the driver hashes values, it does
+                    # not tolerance-compare; drift here means a driver FAIL
+                    bad = (gv != wv) & ~(gv.isna() & wv.isna())
                 else:
                     bad = gv.astype(str) != wv.astype(str)
                 if bad.any():
