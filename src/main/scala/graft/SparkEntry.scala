@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.operators.checks.Checks
+import graft.operators.checks.{Checks, Suite}
 import graft.operators.checks.Checks.{FormatRule, RangeRule}
 import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.Dedup
@@ -78,6 +78,17 @@ object SparkEntry {
       Checks.RangeCheck.run("lineitem", Tables(s, d, "lineitem"), RangeRules)),
     "check_stats" -> ((s, d) =>
       Checks.StatsCheck.run("lineitem", Tables(s, d, "lineitem"), StatsCols)),
+    "check_suite" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      Suite.gate(
+        Suite.TableChecks("lineitem", li,
+          completenessCols = StatsCols,
+          uniquenessKeys = Seq(Seq("l_orderkey", "l_linenumber")),
+          rangeRules = RangeRules,
+          valueRules = ValueRules),
+        fkRules = Seq((FkRule("lineitem_orders", "l_orderkey", "o_orderkey"),
+          li, Tables(s, d, "orders"))))
+    }),
     "skew_report" -> ((s, d) =>
       SkewReport.topKeys(Tables(s, d, "events"), "user_id", k = 20)),
     "check_values" -> ((s, d) =>
@@ -286,6 +297,11 @@ object SparkEntry {
     "check_format" -> Checks.FormatCheck.oracleSql("documents", FormatRules),
     "check_range" -> Checks.RangeCheck.oracleSql("lineitem", RangeRules),
     "check_stats" -> Checks.StatsCheck.oracleSql("lineitem", StatsCols),
+    "check_suite" -> Suite.gateOracleSql("lineitem",
+      completenessCols = StatsCols,
+      uniquenessKeys = Seq(Seq("l_orderkey", "l_linenumber")),
+      formatRules = Nil, rangeRules = RangeRules, valueRules = ValueRules,
+      fkRules = Seq(("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"))),
     "skew_report" -> SkewReport.oracleSql("events", "user_id", k = 20),
     "check_values" -> Checks.ValueSet.oracleSql("lineitem", ValueRules),
     "check_referential" -> Checks.Referential.oracleSql(Seq(
