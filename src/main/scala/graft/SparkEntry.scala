@@ -106,6 +106,7 @@ object SparkEntry {
     "text_quality"     -> ((s, d) => TextOps.QualityScore.run(Tables(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(Tables(s, d, "documents"))),
     "text_pii" -> ((s, d) => TextOps.PiiScan.run(Tables(s, d, "documents"))),
+    "text_curate" -> ((s, d) => graft.operators.text.Curate.run(Tables(s, d, "documents"))),
     // --- dedup for LLM-data pipelines (SURVEY §2 #25-29) ---
     "dedup_exact" -> ((s, d) => Dedup.ExactDedup.run(Tables(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -313,6 +314,7 @@ object SparkEntry {
     "text_quality"     -> TextOps.QualityScore.oracleSql("documents"),
     "text_fingerprint" -> TextOps.Fingerprint.oracleSql("documents"),
     "text_pii" -> TextOps.PiiScan.oracleSql("documents"),
+    "text_curate" -> graft.operators.text.Curate.oracleSql("documents"),
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their
     // recall/precision vs the brute-force paths is asserted in DedupSpec

@@ -151,12 +151,47 @@ object Dedup {
       * affine permutations (a_i·h + b_i over Z_2^64) updating running
       * minima. All JIT'd loops, no interpreted Catalyst lambdas.
       */
+    /** Shingling granularity: character n-grams (robust to small edits
+      * anywhere) or word w-shingles (the classic near-dup granularity
+      * for web/LLM corpora — Broder '97 used w=10 words).
+      */
+    sealed trait Shingler extends Serializable {
+      /** Hashes of the (possibly repeated) shingles of normalized text. */
+      def shingleHashes(normalized: String): Array[Long]
+    }
+    final case class CharNgrams(n: Int = NgramJaccard.N) extends Shingler {
+      def shingleHashes(t: String): Array[Long] = {
+        val count = math.max(t.length - (n - 1), 0)
+        val raw = new Array[Long](count)
+        var i = 0
+        while (i < count) {
+          raw(i) = graft.functions.Hash64.strHash(t.substring(i, i + n))
+          i += 1
+        }
+        raw
+      }
+    }
+    final case class WordShingles(w: Int = 3) extends Shingler {
+      def shingleHashes(t: String): Array[Long] = {
+        val toks = if (t.isEmpty) Array.empty[String] else t.split(" ")
+        val count = math.max(toks.length - (w - 1), 0)
+        val raw = new Array[Long](count)
+        var i = 0
+        while (i < count) {
+          raw(i) = graft.functions.Hash64.strHash(
+            toks.slice(i, i + w).mkString(" "))
+          i += 1
+        }
+        raw
+      }
+    }
+
     def signatures(df: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id",
+                   shingler: Shingler = CharNgrams()): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
       val n = NumHashes
-      val gramN = NgramJaccard.N
       df.select(col(idCol).cast("long").as("gid"), col(textCol))
         .as[(Long, String)]
         .mapPartitions { it =>
@@ -164,17 +199,12 @@ object Dedup {
           val bs = Array.tabulate(n)(i => graft.functions.Hash64.mix(~i.toLong))
           it.map { case (gid, text) =>
             val t = normalizeKernel(if (text == null) "" else text)
-            val nGrams = math.max(t.length - (gramN - 1), 0)
-            val raw = new Array[Long](nGrams)
-            var i = 0
-            while (i < nGrams) {
-              raw(i) = graft.functions.Hash64.strHash(t.substring(i, i + gramN))
-              i += 1
-            }
+            val raw = shingler.shingleHashes(t)
+            val nGrams = raw.length
             java.util.Arrays.sort(raw)
             // in-place dedupe of the sorted hashes
             var w = 0
-            i = 0
+            var i = 0
             while (i < nGrams) {
               if (w == 0 || raw(i) != raw(w - 1)) { raw(w) = raw(i); w += 1 }
               i += 1
@@ -236,10 +266,11 @@ object Dedup {
       * 45 s (kernel signatures, unfiltered verify) → ~7 s (this).
       */
     def nearDuplicates(df: DataFrame, threshold: Double,
-                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                       textCol: String = "text", idCol: String = "doc_id",
+                       shingler: Shingler = CharNgrams()): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
-      val sigs = signatures(df, textCol, idCol)
+      val sigs = signatures(df, textCol, idCol, shingler)
       val estCutoff =
         threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / NumHashes)
 

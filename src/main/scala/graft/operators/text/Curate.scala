@@ -1,0 +1,70 @@
+package graft.operators.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation: the composed keep/drop decision an LLM-data
+  * pipeline applies per document — exact-duplicate removal (keep the
+  * min doc id of each fingerprint group), quality floor, language
+  * filter — with a per-document drop reason.
+  *
+  * ONE pass over the corpus: quality and language are row-local
+  * expressions, the duplicate flag is a single window over the content
+  * fingerprint — so the whole decision costs one shuffle, not a join
+  * per signal. Reason precedence: duplicate > low_quality > wrong_lang.
+  */
+object Curate {
+
+  def run(df: DataFrame, minQuality: Double = 0.5, keepLang: String = "en",
+          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("fingerprint")
+    df.select(col(idCol), col(textCol))
+      .withColumn("fingerprint", md5(TextOps.Fingerprint.normalized(col(textCol))))
+      .withColumn("quality_score", round(TextOps.QualityScore.score(col(textCol)), 4))
+      .withColumn("predicted_lang", TextOps.LangId.predicted(col(textCol)))
+      .withColumn("keep_doc_id", min(col(idCol)).over(w))
+      .withColumn("is_exact_dup", (col(idCol) =!= col("keep_doc_id")).cast("int"))
+      .withColumn("drop_reason",
+        when(col("is_exact_dup") === 1, "duplicate")
+          .when(col("quality_score") < minQuality, "low_quality")
+          .when(col("predicted_lang") =!= keepLang, "wrong_lang"))
+      .withColumn("keep", col("drop_reason").isNull.cast("int"))
+      .select(idCol, "quality_score", "predicted_lang", "is_exact_dup",
+        "drop_reason", "keep")
+      .orderBy(idCol)
+  }
+
+  def oracleSql(table: String, minQuality: Double = 0.5,
+                keepLang: String = "en"): String = {
+    val stops = TextOps.EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val stopRatio =
+      s"""CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> list_contains($stops, x))) AS DOUBLE)
+         |    / len(string_split_regex(trim(lower(text)), '\\s+'))""".stripMargin
+    val punctRatio =
+      """CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / length(text)""".stripMargin
+    val nTokens = """len(string_split_regex(trim(lower(text)), '\s+'))"""
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       |    round(0.4 * least(1.0, CAST($nTokens AS DOUBLE) / 100.0)
+       |        + 0.3 * least(1.0, ($stopRatio) * 5.0)
+       |        + 0.3 * (1.0 - least(1.0, ($punctRatio) * 10.0)), 4) AS quality_score,
+       |    CASE WHEN round($stopRatio, 4) >= ${TextOps.LangId.EnThreshold}
+       |      THEN 'en' ELSE 'und' END AS predicted_lang
+       |  FROM $table),
+       |d AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_doc_id
+       |  FROM base)
+       |SELECT doc_id, quality_score, predicted_lang,
+       |  CAST(doc_id <> keep_doc_id AS INTEGER) AS is_exact_dup,
+       |  CASE WHEN doc_id <> keep_doc_id THEN 'duplicate'
+       |       WHEN quality_score < $minQuality THEN 'low_quality'
+       |       WHEN predicted_lang <> '$keepLang' THEN 'wrong_lang' END AS drop_reason,
+       |  CAST(doc_id = keep_doc_id AND quality_score >= $minQuality
+       |       AND predicted_lang = '$keepLang' AS INTEGER) AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+}

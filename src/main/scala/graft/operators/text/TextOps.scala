@@ -62,6 +62,16 @@ object TextOps {
   object LangId {
     val EnThreshold = 0.05
 
+    /** Predicted language as a reusable expression (same arithmetic as
+      * [[run]]'s predicted_lang column — threshold on the 4dp-rounded
+      * stopword ratio).
+      */
+    def predicted(text: Column): Column = {
+      val toks = tokens(text)
+      val ratio = round(stopwordHits(toks).cast("double") / size(toks), 4)
+      when(ratio >= EnThreshold, "en").otherwise("und")
+    }
+
     def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
       val toks = tokens(col(textCol))
       df.select(
@@ -102,6 +112,18 @@ object TextOps {
     * a deterministic [0,1] score (the C4/Gopher-style cheap filters).
     */
   object QualityScore {
+    /** The unrounded score as a reusable expression. */
+    def score(t: Column): Column = {
+      val toks = tokens(t)
+      val nTok = size(toks)
+      val punct = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+      val stopRatio = stopwordHits(toks).cast("double") / nTok
+      val punctRatio = punct.cast("double") / length(t)
+      lit(0.4) * least(lit(1.0), nTok.cast("double") / 100.0) +
+        lit(0.3) * least(lit(1.0), stopRatio * 5.0) +
+        lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * 10.0))
+    }
+
     def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
       val t = col(textCol)
       val toks = tokens(t)
@@ -109,17 +131,14 @@ object TextOps {
       val punct = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
       val stopRatio = stopwordHits(toks).cast("double") / nTok
       val punctRatio = punct.cast("double") / length(t)
-      val score =
-        lit(0.4) * least(lit(1.0), nTok.cast("double") / 100.0) +
-        lit(0.3) * least(lit(1.0), stopRatio * 5.0) +
-        lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * 10.0))
+      val scoreExpr = score(t)
       df.select(
         col(idCol),
         length(t).as("n_chars"),
         nTok.as("n_tokens"),
         round(punctRatio, 4).as("punct_ratio"),
         round(stopRatio, 4).as("stopword_ratio"),
-        round(score, 4).as("quality_score"))
+        round(scoreExpr, 4).as("quality_score"))
         .orderBy(idCol)
     }
 

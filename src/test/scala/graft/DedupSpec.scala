@@ -71,6 +71,23 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.keySet == brute.keySet)
   }
 
+  test("word-shingle minhash: near-dups found, one-token change shifts w shingles") {
+    val pairs = Dedup.MinHashDedup
+      .nearDuplicates(docs, 0.7, shingler = Dedup.MinHashDedup.WordShingles(3))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // exact copies: all 28 shingles shared → jaccard 1.0, and identical
+    // signatures collide in every band (always caught)
+    (0 until 5).foreach(i => assert(pairs((i.toLong, 200L + i)) == 1.0))
+    // token 5 changed out of 30: shingles 3,4,5 differ on each side →
+    // jaccard = 25/31 ≈ 0.8065 (4dp). At that similarity one band of
+    // 8 rows collides with p≈0.18, so banding recall is ~96% per pair —
+    // demand the exact score on found pairs and a recall floor, not
+    // perfection.
+    val near = (0 until 10).flatMap(i => pairs.get((i.toLong, 100L + i)))
+    assert(near.size >= 7, s"word-shingle recall too low: ${near.size}/10")
+    near.foreach(j => assert(j == 0.8065))
+  }
+
   test("simhash: exact copies at hamming 0; hamming matches bit_count of sig xor") {
     val sigs = Dedup.SimHash.signatures(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

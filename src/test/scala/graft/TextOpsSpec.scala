@@ -60,6 +60,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(overlapOther < 0.1)
   }
 
+  test("Curate: duplicate beats quality beats language in drop reasons") {
+    import TestSpark.spark.implicits._
+    val en = ("the a of and to in is on for with " * 12).trim // stopword-rich, long
+    val docs = Seq(
+      (1L, en),                 // keep
+      (2L, en + " "),           // exact dup of 1 → duplicate
+      (3L, "zxq! #@%"),         // low quality (and non-en — duplicate of nothing)
+      (4L, ("lorem ipsum dolor sit amet " * 25).trim)) // long, no stopwords → wrong_lang
+      .toDF("doc_id", "text")
+    val res = graft.operators.text.Curate.run(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Int]("keep"), Option(r.getAs[String]("drop_reason")))).toMap
+    assert(res(1L) == ((1, None)))
+    assert(res(2L) == ((0, Some("duplicate"))))
+    assert(res(3L) == ((0, Some("low_quality"))))
+    assert(res(4L) == ((0, Some("wrong_lang"))))
+  }
+
   test("PiiScan counts emails and urls, flags documents containing either") {
     import TestSpark.spark.implicits._
     val docs = Seq(
