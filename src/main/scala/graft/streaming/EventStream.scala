@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
+  /** Streaming exact deduplication: drop repeated `idCols` rows whose
+    * event times fall within the watermark of each other
+    * (`dropDuplicatesWithinWatermark`) — state holds one entry per key
+    * and is EVICTED once the watermark passes, so memory is bounded by
+    * the key arrival rate × watermark, never by stream history. The
+    * batch twin is [[graft.operators.dedup.Dedup.ExactDedup]].
+    */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Tumbling 1-hour windows keyed by event_type. Append-mode capable:
     * results emit once the watermark passes the window end.
     */

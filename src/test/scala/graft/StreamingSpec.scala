@@ -81,6 +81,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeated ids within the watermark, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "value")
+    val query = EventStream.dedupWithinWatermark(events, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("10:00"), 1L, 1.0), (ts("10:05"), 1L, 1.0), (ts("10:10"), 2L, 2.0))
+      query.processAllAvailable()
+      input.addData((ts("10:20"), 1L, 1.0)) // still within watermark → dropped
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(1)).toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally query.stop()
+  }
+
   test("file-source streaming: parquet files appearing in a directory flow through the agg") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
