@@ -44,6 +44,9 @@ object SparkEntry {
     // --- dbqt core surface (SURVEY §2 #3-10) ---
     "nullcheck_customer" -> ((s, d) => NullCheck.profile("customer", Tables(s, d, "customer"))),
     "nullcheck_events"   -> ((s, d) => NullCheck.profile("events", Tables(s, d, "events"))),
+    // whole-catalog profile: one plan, all tables' scans run concurrently
+    "nullcheck_all" -> ((s, d) => NullCheck.profileAll(
+      NullcheckAllTables.map(t => t -> Tables(s, d, t)))),
     "keyfinder_orders"   -> ((s, d) =>
       KeyFinder.candidateReport(s, Tables(s, d, "orders"), OrdersCols, size = 1)),
     "keyfinder_lineitem" -> ((s, d) =>
@@ -148,6 +151,12 @@ object SparkEntry {
   private val AnnK = 10
   private val AnnNumQueries = 5
 
+  private val NullcheckAllTables = Seq("region", "nation", "supplier", "customer")
+  private val NullcheckAllCols = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
   private val CustomerCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
   private val EventsCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
   private val OrdersCols = Seq(
@@ -267,6 +276,11 @@ object SparkEntry {
     "events_sessions" -> Sessionize.oracleSql("events", SessionGapMinutes),
     "nullcheck_customer" -> NullCheck.oracleSql("customer", CustomerCols),
     "nullcheck_events" -> NullCheck.oracleSql("events", EventsCols),
+    "nullcheck_all" ->
+      s"""SELECT * FROM (
+         |${NullcheckAllTables.map(t => s"(${NullCheck.oracleSql(t, NullcheckAllCols(t))})")
+             .mkString("\nUNION ALL\n")}
+         |) u ORDER BY table_name, column_name""".stripMargin,
     "keyfinder_orders" -> KeyFinder.size1OracleSql("orders", OrdersCols),
     "keyfinder_lineitem" ->
       KeyFinder.minimalKeysOracleSql("lineitem", LineitemKeyCandidates, maxKeySize = 4),

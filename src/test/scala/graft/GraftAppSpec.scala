@@ -44,4 +44,13 @@ class GraftAppSpec extends AnyFunSuite {
     intercept[RuntimeException](GraftApp.run(spark, Seq("nosuch")))
     intercept[RuntimeException](GraftApp.run(spark, Seq("nullcheck")))
   }
+
+  test("misaligned flag pairs are rejected, not silently shifted") {
+    // valueless flag shifts everything: must error, not run with defaults
+    intercept[RuntimeException](GraftApp.run(spark,
+      Seq("keyfinder", "--dir", TestSpark.sf0001, "--table", "orders",
+        "--force", "--max-size", "2")))
+    intercept[RuntimeException](GraftApp.run(spark,
+      Seq("rowcount", "stray", "--dir", TestSpark.sf0001)))
+  }
 }
