@@ -33,6 +33,15 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => RelationalQueries.eventsHourly(s, d)),
     "events_sessions" -> ((s, d) =>
       Sessionize.sessions(Tables(s, d, "events"), SessionGapMinutes)),
+    "asof_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      AsOfJoin.asof(
+        ev.where(col("event_type") === "click").select("event_id", "user_id", "ts"),
+        ev.where(col("event_type") === "error"),
+        keyCol = "user_id", tsCol = "ts",
+        rightPayload = Seq("ts", "value"), prefix = "prior_error_")
+        .orderBy("event_id")
+    }),
     // --- dbqt core surface (SURVEY §2 #1-2) ---
     "rowcount" -> ((s, d) => RowCount.counts(s, Tables.load(s, d))),
     "rowcount_compare" -> ((s, d) => RowCount.compare(s, Seq(
@@ -274,6 +283,13 @@ object SparkEntry {
         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'ONLY_IN_SOURCE'
         |) t ORDER BY table_name""".stripMargin,
     "events_sessions" -> Sessionize.oracleSql("events", SessionGapMinutes),
+    "asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  e.ts AS prior_error_ts, e.value AS prior_error_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin,
     "nullcheck_customer" -> NullCheck.oracleSql("customer", CustomerCols),
     "nullcheck_events" -> NullCheck.oracleSql("events", EventsCols),
     "nullcheck_all" ->
