@@ -33,6 +33,18 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => RelationalQueries.eventsHourly(s, d)),
     "events_sessions" -> ((s, d) =>
       Sessionize.sessions(Tables(s, d, "events"), SessionGapMinutes)),
+    "range_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val sessions = Sessionize.sessions(ev, SessionGapMinutes)
+        .select("user_id", "session_seq", "session_start", "session_end")
+      RangeJoin.pointInInterval(
+        ev.select("event_id", "user_id", "ts"), sessions,
+        keyCol = "user_id", tsCol = "ts",
+        startCol = "session_start", endCol = "session_end",
+        bucketWidthSec = 6 * 3600)
+        .select("event_id", "user_id", "ts", "session_seq", "session_start")
+        .orderBy("event_id")
+    }),
     "asof_join" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       AsOfJoin.asof(
@@ -283,6 +295,13 @@ object SparkEntry {
         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'ONLY_IN_SOURCE'
         |) t ORDER BY table_name""".stripMargin,
     "events_sessions" -> Sessionize.oracleSql("events", SessionGapMinutes),
+    "range_join" ->
+      s"""SELECT e.event_id, e.user_id, e.ts, s.session_seq, s.session_start
+         |FROM events e JOIN (
+         |${Sessionize.oracleSql("events", SessionGapMinutes)}
+         |) s ON e.user_id = s.user_id
+         |  AND e.ts >= s.session_start AND e.ts <= s.session_end
+         |ORDER BY e.event_id""".stripMargin,
     "asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts,
         |  e.ts AS prior_error_ts, e.value AS prior_error_value

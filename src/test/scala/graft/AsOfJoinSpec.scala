@@ -45,4 +45,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     val r = AsOfJoin.asof(left, right, "user_id", "ts", Seq("value")).collect().head
     assert(r.getAs[Double]("asof_value") == 9.0)
   }
+
+  test("range join matches brute-force inequality join incl. bucket-boundary points") {
+    import graft.operators.RangeJoin
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // bucket width 3600s: intervals span multiple buckets; points sit on
+    // starts, ends, and exact bucket boundaries
+    val points = Seq(
+      (1L, 1L, t(10, 0)), (2L, 1L, t(11, 0)), (3L, 1L, t(12, 30)),
+      (4L, 1L, t(23, 59)), (5L, 2L, t(10, 30)), (6L, 2L, t(10, 30))
+    ).toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      (1L, 10L, t(10, 0), t(12, 30)),   // 3-bucket interval, closed ends
+      (1L, 20L, t(12, 30), t(13, 0)),   // overlaps previous at a point
+      (2L, 30L, t(9, 0), t(10, 0))      // ends before its key's points
+    ).toDF("user_id", "interval_id", "start_ts", "end_ts")
+
+    val got = RangeJoin.pointInInterval(points, intervals,
+        "user_id", "ts", "start_ts", "end_ts", bucketWidthSec = 3600)
+      .select("event_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      p <- points.collect(); i <- intervals.collect()
+      if p.getLong(1) == i.getLong(0) &&
+        !p.getTimestamp(2).before(i.getTimestamp(2)) &&
+        !p.getTimestamp(2).after(i.getTimestamp(3))
+    } yield (p.getLong(0), i.getLong(1))).toSet
+    assert(got == want)
+    // the 12:30 point is in BOTH touching intervals
+    assert(got.contains((3L, 10L)) && got.contains((3L, 20L)))
+    assert(!got.exists(_._1 == 4L)) // no interval covers 23:59
+  }
 }
