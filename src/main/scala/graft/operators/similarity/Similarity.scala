@@ -99,8 +99,11 @@ object Similarity {
       // iterations on a bounded sample give the same recall at a
       // fraction of the training cost (and keep training O(sample), not
       // O(corpus), at scale)
+      // random init (not k-means||): the parallel init alone costs more
+      // passes than the 8 Lloyd iterations, and coarse-quantization
+      // recall is insensitive to init quality
       val model = new KMeans().setK(nCells).setSeed(Seed).setFeaturesCol("features")
-        .setMaxIter(8)
+        .setInitMode("random").setMaxIter(8)
         .fit(c.limit(100000))
       val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
         .select("corpus_id", "corpus_v", "cell")
