@@ -70,3 +70,87 @@ final class CsvDirConnection(val spark: SparkSession, dir: String,
     spark.read.option("header", "true").option("inferSchema", "true")
       .csv(s"$dir/$name.csv")
 }
+
+/** Live-database backend over Spark's public `jdbc` data source.
+  *
+  * The reference is, at its core, a multi-backend SQL pusher: its
+  * connector ABC (dbqt/connections.py:38-127 — `connect`/`run_query`/
+  * `fetch_table_metadata`/`fetch_schema_metadata`/`list_tables`/
+  * `count_rows`) fans the same tools across 9 SQL engines. One
+  * `JdbcConnection` covers any JDBC-speaking engine the same way —
+  * the engine-specific part is just the URL + driver jar (Derby, which
+  * ships with Spark, is the embedded test fixture).
+  *
+  * Faithful to the reference's execution model where it matters:
+  * `runQuery` and `countRows` PUSH the SQL to the database (the
+  * reference's run_query / `SELECT COUNT(*)`, connections.py:96-107)
+  * instead of pulling rows through Spark first, and `listTables` uses
+  * the portable `java.sql.DatabaseMetaData` API — the driver-side
+  * equivalent of the reference's information_schema queries
+  * (connections.py:128-146), tiny result sets only.
+  *
+  * Scale: `table()` is a DataSource read Catalyst pushes filters and
+  * projections into; for big tables [[tablePartitioned]] splits the
+  * scan into `numPartitions` range predicates so 1000 executors pull
+  * disjoint slices concurrently instead of one task draining the whole
+  * table through a single cursor.
+  */
+final class JdbcConnection(val spark: SparkSession, url: String,
+                           schema: Option[String] = None,
+                           props: Map[String, String] = Map.empty) extends Connection {
+
+  private def withJdbc[A](f: java.sql.Connection => A): A = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val c = java.sql.DriverManager.getConnection(url, p)
+    try f(c) finally c.close()
+  }
+
+  /** reference list_tables (connections.py:139-146): all tables in the
+    * schema, ordered by name.
+    */
+  override def listTables(): Seq[String] = withJdbc { c =>
+    val rs = c.getMetaData.getTables(null, schema.orNull, "%", Array("TABLE"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (rs.next()) buf += rs.getString("TABLE_NAME")
+    buf.sorted.toSeq
+  }
+
+  private def qualify(name: String): String =
+    if (name.contains(".")) name else schema.fold(name)(s => s"$s.$name")
+
+  private def reader = {
+    val base = spark.read.format("jdbc").option("url", url)
+    props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+  }
+
+  override def table(name: String): DataFrame =
+    reader.option("dbtable", qualify(name)).load()
+
+  /** Range-partitioned scan — the 100 TB path for JDBC pulls. Each of
+    * the `numPartitions` tasks reads `partitionCol` ∈ one range slice.
+    */
+  def tablePartitioned(name: String, partitionCol: String,
+                       lower: Long, upper: Long, numPartitions: Int): DataFrame =
+    reader.option("dbtable", qualify(name))
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", lower)
+      .option("upperBound", upper)
+      .option("numPartitions", numPartitions)
+      .load()
+
+  /** reference run_query (connections.py:60-65): the SQL executes IN
+    * the database (Spark wraps it as a subquery and streams the result)
+    * — dialect and semantics are the remote engine's, as in dbqt.
+    */
+  override def runQuery(sql: String): DataFrame =
+    reader.option("query", sql).load()
+
+  /** reference count_rows (connections.py:96-107): one pushed
+    * `SELECT COUNT(*)`; only the scalar crosses the wire. (JDBC COUNT
+    * may surface as INT or BIGINT depending on engine — normalized.)
+    */
+  override def countRows(name: String): Long =
+    runQuery(s"SELECT COUNT(*) AS n FROM ${qualify(name)}")
+      .collect()(0).get(0).asInstanceOf[Number].longValue()
+}
