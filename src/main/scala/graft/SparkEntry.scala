@@ -68,6 +68,10 @@ object SparkEntry {
     // whole-catalog profile: one plan, all tables' scans run concurrently
     "nullcheck_all" -> ((s, d) => NullCheck.profileAll(
       NullcheckAllTables.map(t => t -> Tables(s, d, t)))),
+    // HLL path for wide tables at 100 TB (no Expand); rows-only check —
+    // rsd-bound agreement with the exact profile is asserted in
+    // CoreOperatorsSpec
+    "nullcheck_approx" -> ((s, d) => NullCheck.approxProfile("events", Tables(s, d, "events"))),
     "keyfinder_orders"   -> ((s, d) =>
       KeyFinder.candidateReport(s, Tables(s, d, "orders"), OrdersCols, size = 1)),
     "keyfinder_lineitem" -> ((s, d) =>
@@ -138,10 +142,23 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) =>
       Dedup.MinHashDedup.nearDuplicates(Tables(s, d, "documents"), NgramJaccardThreshold)),
     "dedup_simhash" -> ((s, d) => Dedup.SimHash.hammingPairs(Tables(s, d, "documents"), maxHamming = 3)),
+    // exact-pairs components: oracle-checkable (recursive CTE); the
+    // quadratic pair source is the ORACLE path — dedup_clusters_minhash
+    // below is the 100 TB route with the same components algorithm
     "dedup_clusters" -> ((s, d) =>
+      Dedup.Components.components(
+        Dedup.NgramJaccard.allPairs(Tables(s, d, "documents"), NgramJaccardThreshold)
+          .select("doc_id_1", "doc_id_2"))),
+    "dedup_clusters_minhash" -> ((s, d) =>
       Dedup.Components.dedupGroups(Tables(s, d, "documents"), NgramJaccardThreshold)),
     "dedup_embedding" -> ((s, d) =>
       Dedup.EmbeddingDedup.allPairs(Tables(s, d, "embeddings"), EmbeddingDedupThreshold)),
+    // LSH-bucketed scale path: bits=4/tables=16 suits this corpus's
+    // 0.4-0.6 planted-similarity band (recall ≈0.94+ at the threshold);
+    // raise bits for high-threshold (0.9+) dedup where buckets prune more
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.EmbeddingDedup.lshPairs(Tables(s, d, "embeddings"), EmbeddingDedupThreshold,
+        dim = 64, bits = 4, tables = 16)),
     // --- similarity search (SURVEY §2 #30-31) ---
     "ann_cosine_topk" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
@@ -370,6 +387,7 @@ object SparkEntry {
     // and SimilaritySpec.
     "dedup_exact" -> Dedup.ExactDedup.oracleSql("documents"),
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
+    "dedup_clusters" -> Dedup.Components.oracleSql("documents", NgramJaccardThreshold),
     "dedup_embedding" -> Dedup.EmbeddingDedup.oracleSql("embeddings", EmbeddingDedupThreshold),
     "ann_cosine_topk" -> Similarity.CosineTopK.oracleSql("embeddings", AnnK, AnnNumQueries),
     "multimodal_meta" -> BinaryPipeline.oracleSql("documents"),

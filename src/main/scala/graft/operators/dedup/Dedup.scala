@@ -329,9 +329,10 @@ object Dedup {
     * representative, and transitive chains (A~B, B~C but not A~C)
     * collapse into one group, which pairwise output alone cannot do.
     *
-    * Algorithm: iterative min-label propagation. Each round is one
-    * join + aggregation (all distributed, nothing on the driver except
-    * the convergence check); labels converge in O(component diameter)
+    * Algorithm: iterative min-label propagation. Each round is ONE
+    * join + aggregation job (all distributed; the convergence flag is
+    * read from the round's materialized result, no extra join);
+    * labels converge in O(component diameter)
     * rounds and near-dup graphs are overwhelmingly tiny cliques, so
     * 2-4 rounds are typical. Each round's result is persisted and the
     * previous round unpersisted — lineage stays O(1) deep.
@@ -374,16 +375,18 @@ object Dedup {
         val jumped = labels.as("l1")
           .join(labels.as("l2"), col("l1.label") === col("l2.node"))
           .select(col("l1.node").as("node"), col("l2.label").as("label"))
+        // carry each node's previous label THROUGH the aggregation (the
+        // labels leg tags it; the other legs contribute null, which min
+        // ignores) so convergence needs no join-back probe — just a
+        // predicate scan over the already-materialized round result.
         val prop = edges.join(labels, edges("a") === labels("node"))
-          .select(col("b").as("node"), col("label"))
-          .unionAll(labels)
-          .unionAll(jumped)
-          .groupBy("node").agg(min("label").as("label"))
+          .select(col("b").as("node"), col("label"), lit(null).cast("long").as("old"))
+          .unionAll(labels.select(col("node"), col("label"), col("label").as("old")))
+          .unionAll(jumped.select(col("node"), col("label"), lit(null).cast("long").as("old")))
+          .groupBy("node").agg(min("label").as("label"), min("old").as("old"))
           .localCheckpoint(true)
-        val changed = prop.as("p").join(labels.as("l"), col("p.node") === col("l.node"))
-          .where(col("p.label") =!= col("l.label")).limit(1).count()
-        labels = prop
-        converged = changed == 0
+        converged = prop.where(col("label") =!= col("old")).isEmpty
+        labels = prop.select("node", "label")
         iter += 1
       }
       if (!converged) throw new IllegalStateException(
@@ -396,6 +399,27 @@ object Dedup {
     def dedupGroups(df: DataFrame, threshold: Double,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
       components(MinHashDedup.nearDuplicates(df, threshold, textCol, idCol))
+
+    /** DuckDB oracle for [[components]] over the EXACT n-gram Jaccard
+      * pairs: a recursive CTE walks the (bidirectional) edge relation
+      * to its transitive closure, then min(label) per node — the same
+      * min-reachable-id semantics as the distributed label propagation.
+      */
+    def oracleSql(table: String, threshold: Double): String = {
+      val pairsSql = NgramJaccard.oracleSql(table, threshold)
+      s"""WITH RECURSIVE pairs AS (
+         |$pairsSql
+         |),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+         |  UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+         |walk(node, label) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node)
+         |SELECT node AS doc_id, min(label) AS component
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+    }
   }
 
   // ---------------------------------------------------------------- #27
@@ -492,6 +516,38 @@ object Dedup {
         .withColumn("cos_raw", cosine(col("e1"), col("e2")))
         .where(col("cos_raw") >= threshold)
         .select(col("vec_id_1"), col("vec_id_2"), round(col("cos_raw"), 4).as("cosine"))
+        .orderBy("vec_id_1", "vec_id_2")
+    }
+
+    /** LSH-bucketed near-dup pairs — the 100 TB path. Buckets the
+      * corpus under L random-hyperplane tables
+      * ([[graft.operators.similarity.Similarity.LshAnn]], shared
+      * seed/kernel with ANN), pairs ONLY within (table, bucket), scores
+      * with the same exact codegen'd cosine as [[allPairs]], and keeps
+      * pairs ≥ threshold. Shuffle volume is O(rows × L), never
+      * O(rows²); the threshold filter runs BEFORE the pair-dedup
+      * shuffle so only true near-dups are shuffled twice. Bucketing
+      * affects recall only (high for threshold ≥ ~0.8 — near-parallel
+      * vectors collide with p = (1−θ/π)^bits per table); every emitted
+      * score is exact, so precision is 1 vs [[allPairs]].
+      */
+    def lshPairs(df: DataFrame, threshold: Double, dim: Int,
+                 bits: Int = graft.operators.similarity.Similarity.LshAnn.DefaultBits,
+                 tables: Int = graft.operators.similarity.Similarity.LshAnn.DefaultTables,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      val lsh = graft.operators.similarity.Similarity.LshAnn
+      val planes = lsh.hyperplanes(dim, bits, tables)
+      val b = lsh.withBuckets(df, "n", planes, vecCol, idCol)
+      val l = b.select(col("tbl"), col("n_bucket").as("bucket"),
+        col("n_id").as("vec_id_1"), col("n_v").as("e1"))
+      val r = b.select(col("tbl"), col("n_bucket").as("bucket"),
+        col("n_id").as("vec_id_2"), col("n_v").as("e2"))
+      l.join(r, Seq("tbl", "bucket"))
+        .where(col("vec_id_1") < col("vec_id_2"))
+        .withColumn("cos_raw", cosine(col("e1"), col("e2")))
+        .where(col("cos_raw") >= threshold)
+        .select(col("vec_id_1"), col("vec_id_2"), round(col("cos_raw"), 4).as("cosine"))
+        .dropDuplicates("vec_id_1", "vec_id_2")
         .orderBy("vec_id_1", "vec_id_2")
     }
 

@@ -82,10 +82,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     val Seed = 42L
+    val MaxTrainRows = 100000L
 
     def topK(corpus: DataFrame, queries: DataFrame, k: Int,
              nCells: Int = 32, nProbe: Int = 4,
-             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             maxTrain: Long = MaxTrainRows): DataFrame = {
       val spark = corpus.sparkSession
       val norm = {
         val v = col(vecCol)
@@ -102,9 +104,18 @@ object Similarity {
       // random init (not k-means||): the parallel init alone costs more
       // passes than the 8 Lloyd iterations, and coarse-quantization
       // recall is insensitive to init quality
+      // training sample selected by VALUE (hash of the id), never by
+      // partition layout: limit()/sample() change contents when file
+      // splits shift, which would silently change trained centroids —
+      // and thus recall — between cluster runs over the same data
+      val n = c.count()
+      val train =
+        if (n <= maxTrain) c
+        else c.where(pmod(xxhash64(col("corpus_id")),
+          lit((n + maxTrain - 1) / maxTrain)) === 0)
       val model = new KMeans().setK(nCells).setSeed(Seed).setFeaturesCol("features")
         .setInitMode("random").setMaxIter(8)
-        .fit(c.limit(100000))
+        .fit(train)
       val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
         .select("corpus_id", "corpus_v", "cell")
 
@@ -152,7 +163,7 @@ object Similarity {
       * must be a JIT'd loop, not interpreted Catalyst lambdas (the
       * higher-order-function formulation measured ~10× slower at sf0.1).
       */
-    private def withBuckets(df: DataFrame, side: String,
+    private[graft] def withBuckets(df: DataFrame, side: String,
                             planes: Seq[Seq[Array[Double]]],
                             vecCol: String, idCol: String): DataFrame = {
       val spark = df.sparkSession

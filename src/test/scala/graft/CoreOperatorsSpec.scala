@@ -31,15 +31,25 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(res("id") == "LOW_DISTINCT") // 3 distinct <= 5
   }
 
-  test("nullcheck: approx mode agrees on status classes") {
+  test("nullcheck: approx mode agrees on status classes, counts within rsd bounds") {
     val exact = NullCheck.profile("events", Tables(spark, sf0001, "events"))
-      .collect().map(r => r.getString(1) -> r.getString(5)).toMap
-    val approx = NullCheck.approxProfile("events", Tables(spark, sf0001, "events"))
-      .collect().map(r => r.getString(1) -> r.getString(5)).toMap
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getString(5))).toMap
+    val rsd = 0.02
+    val approx = NullCheck.approxProfile("events", Tables(spark, sf0001, "events"), rsd)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getString(5))).toMap
     // NULL detection is exact in both; OK/LOW_DISTINCT may only flip when a
     // true count sits at the threshold — not the case for these columns.
     assert(exact.keys == approx.keys)
-    assert(exact.filter(_._2 == "NULL") == approx.filter(_._2 == "NULL"))
+    assert(exact.filter(_._2._2 == "NULL") == approx.filter(_._2._2 == "NULL"))
+    // HLL++ relative error: |approx - exact| / exact within ~5σ of the
+    // configured rsd (deterministic for a fixed input — no flake)
+    exact.foreach { case (c, (d, _)) =>
+      if (d > 0) {
+        val a = approx(c)._1.toDouble
+        assert(math.abs(a - d) / d <= 5 * rsd,
+          s"$c: approx $a vs exact $d outside ${5 * rsd}")
+      }
+    }
   }
 
   test("keyfinder: id-column prioritization") {

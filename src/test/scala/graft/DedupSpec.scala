@@ -155,6 +155,19 @@ class DedupSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(groups(200L + i) == i.toLong))
   }
 
+  test("embedding LSH pairs: exact scores (precision 1), recall floor vs allPairs") {
+    val emb = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings")
+    val brute = Dedup.EmbeddingDedup.allPairs(emb, 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.EmbeddingDedup.lshPairs(emb, 0.4, dim = 64, bits = 4, tables = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every LSH pair is exact-scored, so it must appear in brute with
+    // the identical score — precision 1 by construction
+    lsh.foreach { case (k, v) => assert(brute(k) == v) }
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${brute.size})")
+  }
+
   test("embedding cosine allPairs: 1.0 for identical, orthogonal excluded") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -84,6 +84,15 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val recall = brute.keySet.count(ivf.contains).toDouble / brute.size
     assert(recall >= 0.9, s"IVF recall $recall below floor")
+
+    // training-sample selection is by VALUE (hash of id), so a different
+    // partition layout — and a train cap that forces the sampling path —
+    // must still clear the same recall floor
+    val ivf7 = asMap(Similarity.IvfAnn
+      .topK(clustered.repartition(7), queries, K, nCells = 16, nProbe = 4,
+        maxTrain = 300).collect())
+    val recall7 = brute.keySet.count(ivf7.contains).toDouble / brute.size
+    assert(recall7 >= 0.9, s"IVF recall $recall7 below floor after repartition(7)")
   }
 
   test("LSH identical vectors always collide (same signature in every table)") {
