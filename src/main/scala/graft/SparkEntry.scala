@@ -10,7 +10,7 @@ import graft.operators.similarity.Similarity
 import graft.operators.text.TextOps
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, max}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * entry maps to. Every key in [[queries]] either has a DuckDB oracle in
@@ -47,9 +47,13 @@ object SparkEntry {
     }),
     "asof_join" -> ((s, d) => {
       val ev = Tables(s, d, "events")
+      // right side deduped to one row per (user_id, ts): DuckDB's ASOF
+      // JOIN leaves the tie-break among equal-timestamp rows
+      // unspecified, so both engines see an unambiguous right table
       AsOfJoin.asof(
         ev.where(col("event_type") === "click").select("event_id", "user_id", "ts"),
-        ev.where(col("event_type") === "error"),
+        ev.where(col("event_type") === "error")
+          .groupBy("user_id", "ts").agg(max("value").as("value")),
         keyCol = "user_id", tsCol = "ts",
         rightPayload = Seq("ts", "value"), prefix = "prior_error_")
         .orderBy("event_id")
@@ -323,7 +327,8 @@ object SparkEntry {
       """SELECT c.event_id, c.user_id, c.ts,
         |  e.ts AS prior_error_ts, e.value AS prior_error_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts) e
         |  ON c.user_id = e.user_id AND c.ts >= e.ts
         |ORDER BY c.event_id""".stripMargin,
     "nullcheck_customer" -> NullCheck.oracleSql("customer", CustomerCols),

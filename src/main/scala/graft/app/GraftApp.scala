@@ -1,31 +1,48 @@
 package graft.app
 
 import graft.operators._
-import graft.operators.checks.Checks
+import graft.operators.checks.{Checks, Suite}
+import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.Dedup
 import graft.sources.{ParquetCombine, Parquetizer, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** CLI dispatch — the reference's `dbqt <tool>` surface (reference:
-  * dbqt/app.py) re-expressed over parquet table directories.
+  * dbqt/app.py auto-discovers every tool, app.py:7-21) re-expressed
+  * over Spark connections.
   *
-  * A "connection" is a directory of parquet tables (`--dir`); YAML
-  * configs are replaced by flags (documented divergence, SURVEY §5 —
-  * zero-dependency parsing). Results go to `--out` as parquet, or to
-  * the console.
+  * A "connection" is a directory of parquet tables (`--dir`) or a
+  * reference-shaped YAML config (`--config`, see [[YamlConfig]] —
+  * `connection:`/`tables_file:`/`excluded_tables:` load unchanged).
+  * Results go to `--out` as parquet (partitioned by default; pass
+  * `--single-file true` for one file, `--format csv` for CSV reports
+  * matching the reference's CSV outputs), or to the console.
   *
   * {{{
-  * graft.app.GraftApp rowcount   --dir /data/sf1 [--exclude tmp_%]
-  * graft.app.GraftApp nullcheck  --dir /data/sf1 --table customer
-  * graft.app.GraftApp keyfinder  --dir /data/sf1 --table orders \
+  * GraftApp rowcount        --dir /data/sf1 [--exclude tmp_%] | --config conn.yaml
+  * GraftApp dbstats-compare --source-dir a --target-dir b [--tables t1,t2]
+  * GraftApp nullcheck       --dir /data/sf1 --table customer
+  * GraftApp keyfinder       --dir /data/sf1 --table orders \
   *     --candidates o_orderkey,o_custkey [--max-size 3]
-  * graft.app.GraftApp colcompare --dir /data/sf1 --source a --target b
-  * graft.app.GraftApp combine    --files a.parquet,b.parquet --out c
-  * graft.app.GraftApp parquetizer --path /data/dropzone
-  * graft.app.GraftApp completeness --dir /data/sf1 --table documents
-  * graft.app.GraftApp dedup      --dir /data/sf1 --table documents \
-  *     [--threshold 0.8]
-  * graft.app.GraftApp sessionize --dir /data/sf1 [--gap-minutes 120]
+  * GraftApp colcompare      --dir /data/sf1 --source a --target b [--config cc.yaml]
+  * GraftApp combine         --files a.parquet,b.parquet --out c
+  * GraftApp parquetizer     --path /data/dropzone
+  * GraftApp dynamic-query   --dir /data/sf1 --query 'SELECT … {var_from_csv} …' \
+  *     --csv values.csv [--var var_from_csv]
+  * GraftApp completeness    --dir /data/sf1 --table documents
+  * GraftApp uniqueness      --dir /data/sf1 --table lineitem --keys l_orderkey,l_linenumber
+  * GraftApp format|range|values --dir /data/sf1 --checks checks.yaml
+  * GraftApp stats           --dir /data/sf1 --table lineitem --columns l_quantity,l_tax
+  * GraftApp referential     --dir /data/sf1 --table lineitem --fk l_orderkey \
+  *     --parent orders --ref o_orderkey
+  * GraftApp suite           --dir /data/sf1 --checks checks.yaml
+  * GraftApp skew            --dir /data/sf1 --table events --column user_id [--k 20]
+  * GraftApp asof            --dir /data/sf1 --table events --key user_id --ts ts \
+  *     --left-where "event_type='click'" --right-where "event_type='error'"
+  * GraftApp range-join      --dir /data/sf1 [--gap-minutes 120]
+  * GraftApp dedup           --dir /data/sf1 --table documents [--threshold 0.8]
+  * GraftApp sessionize      --dir /data/sf1 [--gap-minutes 120]
   * }}}
   */
 object GraftApp {
@@ -58,22 +75,45 @@ object GraftApp {
     (args.head, flags)
   }
 
+  private val tools = Seq("rowcount", "dbstats-compare", "nullcheck", "keyfinder",
+    "colcompare", "combine", "parquetizer", "dynamic-query", "completeness",
+    "uniqueness", "format", "range", "stats", "values", "referential", "suite",
+    "skew", "asof", "range-join", "dedup", "sessionize")
+
   private val usage =
-    "usage: GraftApp <rowcount|nullcheck|keyfinder|colcompare|combine|" +
-      "parquetizer|completeness|dedup|sessionize> --dir <tables-dir> [flags]"
+    s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
 
   def run(spark: SparkSession, args: Seq[String]): Unit = {
     val (tool, f) = parse(args)
     def dir = f.getOrElse("dir", sys.error("--dir required"))
     def tableName = f.getOrElse("table", sys.error("--table required"))
     def table = Tables(spark, dir, tableName)
+    def flag(k: String) = f.getOrElse(k, sys.error(s"--$k required"))
+    def checksCfg = YamlConfig.checks(flag("checks"))
+    def checksTable(cfg: YamlConfig.ChecksConfig) = Tables(spark, dir, cfg.table)
+    /** tables of one side: YAML connection config, or a parquet --dir. */
+    def catalog(dirFlag: String, cfgFlag: String): Map[String, DataFrame] =
+      f.get(cfgFlag) match {
+        case Some(path) =>
+          val cfg = YamlConfig.connection(path)
+          val conn = YamlConfig.open(spark, cfg)
+          YamlConfig.tablesFor(conn, cfg).map(t => t -> conn.table(t)).toMap
+        case None =>
+          val names = Tables.filterExcluded(
+            f.get("tables").map(_.split(",").toSeq).getOrElse(Tables.all),
+            f.get("exclude").map(_.split(",").toSeq).getOrElse(Nil))
+          names.map(t => t -> Tables(spark, f.getOrElse(dirFlag, dir), t)).toMap
+      }
 
     val result: DataFrame = tool match {
       case "rowcount" =>
-        val names = Tables.filterExcluded(
-          f.get("tables").map(_.split(",").toSeq).getOrElse(Tables.all),
-          f.get("exclude").map(_.split(",").toSeq).getOrElse(Nil))
-        RowCount.counts(spark, Tables.load(spark, dir, names))
+        RowCount.counts(spark, catalog("dir", "config"))
+      case "dbstats-compare" =>
+        // reference dbstats source/target mode (dbstats.py:201-214 +
+        // discovery notes): same-named tables reconciled across catalogs
+        RowCount.compareCatalogs(spark,
+          catalog("source-dir", "source-config"),
+          catalog("target-dir", "target-config"))
       case "nullcheck" =>
         NullCheck.profile(tableName, table)
       case "keyfinder" =>
@@ -87,24 +127,78 @@ object GraftApp {
         KeyFinder.requireSearchable(cands.size, maxSize, f.get("force").contains("true"))
         KeyFinder.findMinimalKeys(spark, t, cands, maxSize)
       case "colcompare" =>
+        val cc = f.get("config").map(YamlConfig.colcompare)
+          .getOrElse(YamlConfig.ColCompareConfig(TypeCompat.DefaultTypeMappings, Set.empty))
         ColCompare.compareColumns(spark,
-          Tables(spark, dir, f.getOrElse("source", sys.error("--source required"))),
-          Tables(spark, dir, f.getOrElse("target", sys.error("--target required"))))
+          Tables(spark, dir, flag("source")),
+          Tables(spark, dir, flag("target")),
+          excludedCols = cc.excludedCols, mappings = cc.typeMappings)
       case "combine" =>
-        val out = ParquetCombine.combine(spark,
-          f.getOrElse("files", sys.error("--files required")).split(",").toSeq)
-        out.df
+        ParquetCombine.combine(spark, flag("files").split(",").toSeq).df
       case "parquetizer" =>
-        val (renamed, skipped) = Parquetizer.renameExtensionless(spark,
-          f.getOrElse("path", sys.error("--path required")))
+        val (renamed, skipped) = Parquetizer.renameExtensionless(spark, flag("path"))
         import spark.implicits._
         (renamed.map(("RENAMED", _)) ++ skipped.map(("SKIPPED", _)))
           .toDF("action", "file")
+      case "dynamic-query" =>
+        // reference dynamic_query.py: {var_from_csv} template × CSV rows
+        val varName = f.getOrElse("var", "var_from_csv")
+        val values = YamlConfig.readTablesCsv(flag("csv"), varName)
+        Tables.registerViews(spark, dir)
+        DynamicQuery.run(spark, flag("query"), values.map(v => Map(varName -> v)))
       case "completeness" =>
         Checks.Completeness.run(tableName, table)
+      case "uniqueness" =>
+        Checks.Uniqueness.run(tableName, table, flag("keys").split(",").toSeq)
+      case "format" =>
+        val cfg = checksCfg
+        Checks.FormatCheck.run(cfg.table, checksTable(cfg), cfg.formatRules)
+      case "range" =>
+        val cfg = checksCfg
+        Checks.RangeCheck.run(cfg.table, checksTable(cfg), cfg.rangeRules)
+      case "values" =>
+        val cfg = checksCfg
+        Checks.ValueSet.run(cfg.table, checksTable(cfg), cfg.valueRules)
+      case "stats" =>
+        Checks.StatsCheck.run(tableName, table, flag("columns").split(",").toSeq)
+      case "referential" =>
+        Checks.Referential.runAll(Seq((
+          FkRule(f.getOrElse("name", s"${tableName}_${flag("parent")}"),
+            flag("fk"), flag("ref")),
+          table, Tables(spark, dir, flag("parent")))))
+      case "suite" =>
+        val cfg = checksCfg
+        val t = checksTable(cfg)
+        Suite.gate(
+          Suite.TableChecks(cfg.table, t,
+            completenessCols = cfg.completenessCols,
+            uniquenessKeys = cfg.uniquenessKeys,
+            formatRules = cfg.formatRules,
+            rangeRules = cfg.rangeRules,
+            valueRules = cfg.valueRules),
+          fkRules = cfg.fkRules.map(fk =>
+            (FkRule(fk.name, fk.fkCol, fk.refCol), t, Tables(spark, dir, fk.parentTable))))
+      case "skew" =>
+        SkewReport.topKeys(table, flag("column"), f.getOrElse("k", "20").toInt)
+      case "asof" =>
+        val t = table
+        AsOfJoin.asof(
+          t.where(expr(f.getOrElse("left-where", "true"))),
+          t.where(expr(f.getOrElse("right-where", "true"))),
+          keyCol = flag("key"), tsCol = flag("ts"),
+          rightPayload = f.getOrElse("payload", flag("ts")).split(",").toSeq,
+          prefix = f.getOrElse("prefix", "right_"))
+      case "range-join" =>
+        val ev = Tables(spark, dir, "events")
+        val sessions = Sessionize.sessions(ev, f.getOrElse("gap-minutes", "120").toInt)
+          .select("user_id", "session_seq", "session_start", "session_end")
+        RangeJoin.pointInInterval(
+          ev.select("event_id", "user_id", "ts"), sessions,
+          keyCol = "user_id", tsCol = "ts",
+          startCol = "session_start", endCol = "session_end",
+          bucketWidthSec = 6 * 3600)
       case "dedup" =>
-        Dedup.Components.dedupGroups(table,
-          f.getOrElse("threshold", "0.8").toDouble)
+        Dedup.Components.dedupGroups(table, f.getOrElse("threshold", "0.8").toDouble)
       case "sessionize" =>
         Sessionize.sessions(Tables(spark, dir, "events"),
           f.getOrElse("gap-minutes", "120").toInt)
@@ -112,7 +206,19 @@ object GraftApp {
     }
 
     f.get("out") match {
-      case Some(out) => result.coalesce(1).write.mode("overwrite").parquet(out)
+      case Some(out) =>
+        // Partitioned write by default — dedup/sessionize output at scale
+        // must not funnel through one task. `--single-file true` opts in
+        // to the reference's one-report-file shape for small results.
+        val target =
+          if (f.get("single-file").contains("true")) result.coalesce(1) else result
+        f.getOrElse("format", "parquet") match {
+          case "parquet" => target.write.mode("overwrite").parquet(out)
+          case "csv" =>
+            // reference tools write CSV reports (utils.py write-csv)
+            target.write.mode("overwrite").option("header", "true").csv(out)
+          case bad => sys.error(s"unknown --format '$bad' (parquet|csv)")
+        }
       case None => result.show(100, truncate = false)
     }
   }

@@ -37,9 +37,13 @@ object KmvSketch {
     }
   }
 
-  final class KmvAggregator(k: Int) extends Aggregator[Long, Array[Long], Sketch] {
+  final class KmvAggregator(k: Int) extends Aggregator[java.lang.Long, Array[Long], Sketch] {
     override def zero: Array[Long] = Array.empty
-    override def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h)
+    // NULL inputs are skipped — COUNT(DISTINCT)/approx_count_distinct
+    // semantics (sketch() null-gates before hashing so nulls arrive
+    // here as null, not as xxhash64's constant seed hash).
+    override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
+      if (h == null) buf else insert(buf, h.longValue())
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       b.foldLeft(a)(insert)
     override def finish(buf: Array[Long]): Sketch = Sketch(k, buf)
@@ -71,9 +75,13 @@ object KmvSketch {
   }
 
   /** Sketch of xxhash64-hashed values of a column, usable in any agg:
-    * df.groupBy(...).agg(KmvSketch.sketch(col("x"))).
+    * df.groupBy(...).agg(KmvSketch.sketch(col("x"))). NULLs are ignored
+    * (as in COUNT(DISTINCT)): xxhash64(NULL) would otherwise hash to
+    * the constant seed and count as one phantom distinct value.
     */
-  def sketch(c: Column, k: Int = DefaultK): Column =
-    udaf(new KmvAggregator(k), Encoders.scalaLong)
-      .apply(org.apache.spark.sql.functions.xxhash64(c))
+  def sketch(c: Column, k: Int = DefaultK): Column = {
+    import org.apache.spark.sql.functions.{when, xxhash64}
+    udaf(new KmvAggregator(k), Encoders.LONG)
+      .apply(when(c.isNotNull, xxhash64(c)))
+  }
 }

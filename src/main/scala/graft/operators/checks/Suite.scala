@@ -27,10 +27,11 @@ object Suite {
   def gate(cfg: TableChecks,
            fkRules: Seq[(FkRule, DataFrame, DataFrame)] = Nil): DataFrame = {
     val parts = Seq.newBuilder[DataFrame]
-    if (cfg.completenessCols.nonEmpty || cfg.df.columns.nonEmpty)
-      parts += Completeness.run(cfg.tableName, cfg.df, cfg.completenessCols)
-        .select(lit("completeness").as("check"),
-          col("column_name").as("item"), col("status"))
+    // completeness always runs (over completenessCols, or all columns
+    // when unset) — mirrored unconditionally in gateOracleSql
+    parts += Completeness.run(cfg.tableName, cfg.df, cfg.completenessCols)
+      .select(lit("completeness").as("check"),
+        col("column_name").as("item"), col("status"))
     cfg.uniquenessKeys.foreach { keys =>
       parts += Uniqueness.run(cfg.tableName, cfg.df, keys)
         .select(lit("uniqueness").as("check"),

@@ -38,9 +38,12 @@ object SessionizeStream extends Serializable {
   private def toTs(us: Long): Timestamp =
     Timestamp.from(java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
 
+  // Same rounding as the batch twin's round(sum, 2) (Sessionize.scala):
+  // Spark's Round is BigDecimal-HALF_UP over the shortest decimal repr,
+  // so a sum landing exactly on a .005 boundary agrees in both twins.
   private def emit(user: Long, s: SessionState): Session =
     Session(user, toTs(s.startUs), toTs(s.lastUs), s.n,
-      math.rint(s.sum * 100) / 100)
+      BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
   /** events: streaming DataFrame with (ts timestamp, user_id long,
     * value double). Returns closed sessions (append mode).

@@ -27,6 +27,14 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(err < 0.133, s"estimate ${s.estimate} off by ${err * 100}%")
   }
 
+  test("NULL inputs are ignored, matching COUNT(DISTINCT) semantics") {
+    val df = ((1 to 10).map(i => Some(i % 5)) ++ Seq(None, None, None))
+      .toDF("x").repartition(3)
+    val s = df.agg(KmvSketch.sketch(col("x")).as("s"))
+      .select("s.*").as[KmvSketch.Sketch].collect().head
+    assert(s.estimate == 5.0) // not 6: nulls contribute no hash
+  }
+
   test("per-group sketches and jaccard estimate between overlapping sets") {
     val a = (1 to 5000).map(("a", _)); val b = (2501 to 7500).map(("b", _))
     val df = (a ++ b).toDF("g", "x").repartition(8)
