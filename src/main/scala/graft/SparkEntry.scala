@@ -60,6 +60,8 @@ object SparkEntry {
     }),
     // --- dbqt core surface (SURVEY §2 #1-2) ---
     "rowcount" -> ((s, d) => RowCount.counts(s, Tables.load(s, d))),
+    // footer-metadata path: same answer, zero data pages read
+    "rowcount_meta" -> ((s, d) => RowCount.metaCounts(s, d)),
     "rowcount_compare" -> ((s, d) => RowCount.compare(s, Seq(
       ("customer_vs_orders", Tables(s, d, "customer"), Tables(s, d, "orders")),
       ("orders_vs_lineitem", Tables(s, d, "orders"), Tables(s, d, "lineitem"))))),
@@ -285,6 +287,9 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
     "rowcount" ->
+      Tables.all.sorted.map(t => s"SELECT '$t' AS table_name, count(*) AS row_count FROM $t")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name"),
+    "rowcount_meta" ->
       Tables.all.sorted.map(t => s"SELECT '$t' AS table_name, count(*) AS row_count FROM $t")
         .mkString("", "\nUNION ALL\n", "\nORDER BY table_name"),
     "rowcount_compare" ->

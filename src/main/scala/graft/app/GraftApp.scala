@@ -76,9 +76,9 @@ object GraftApp {
   }
 
   private val tools = Seq("rowcount", "dbstats-compare", "nullcheck", "keyfinder",
-    "colcompare", "combine", "parquetizer", "dynamic-query", "completeness",
-    "uniqueness", "format", "range", "stats", "values", "referential", "suite",
-    "skew", "asof", "range-join", "dedup", "sessionize")
+    "colcompare", "generate-config", "combine", "parquetizer", "dynamic-query",
+    "completeness", "uniqueness", "format", "range", "stats", "values",
+    "referential", "suite", "skew", "asof", "range-join", "dedup", "sessionize")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -133,6 +133,13 @@ object GraftApp {
           Tables(spark, dir, flag("source")),
           Tables(spark, dir, flag("target")),
           excludedCols = cc.excludedCols, mappings = cc.typeMappings)
+      case "generate-config" =>
+        // colcompare --generate-config parity (colcompare.py:99-131):
+        // write the default type-mappings YAML a user then customizes
+        val path = flag("path")
+        YamlConfig.writeDefaultColcompare(path)
+        import spark.implicits._
+        Seq(("GENERATED", path)).toDF("action", "file")
       case "combine" =>
         ParquetCombine.combine(spark, flag("files").split(",").toSeq).df
       case "parquetizer" =>

@@ -73,6 +73,28 @@ object YamlConfig {
       m.get("excluded_cols").map(strList).getOrElse(Nil).toSet)
   }
 
+  /** colcompare.py:99-131 generate_config_file parity: write the
+    * default type mappings plus commented excluded_cols/excluded_tables
+    * examples, in the same YAML block style the reference emits (so a
+    * generated file round-trips through [[colcompare]]).
+    */
+  def writeDefaultColcompare(path: String): Unit = {
+    val sb = new StringBuilder
+    sb ++= "# Column comparison type mappings configuration.\n"
+    sb ++= "# Each key represents a type group, and the list contains equivalent types.\n"
+    sb ++= "type_mappings:\n"
+    TypeCompat.DefaultTypeMappings.foreach { case (group, types) =>
+      sb ++= s"  $group:\n"
+      types.foreach(t => sb ++= s"  - $t\n")
+    }
+    sb ++= "\n# Column names to exclude from comparison (case-insensitive)\n"
+    sb ++= "excluded_cols:\n"
+    sb ++= "  # - CREATED_AT\n  # - UPDATED_AT\n"
+    sb ++= "\n# Table name patterns to exclude (SQL-like % wildcards, case-insensitive)\n"
+    sb ++= "# excluded_tables:\n#   - %_FINAL\n#   - TMP_%\n"
+    Files.write(Paths.get(path), sb.toString.getBytes("UTF-8"))
+  }
+
   // --------------------------------------------------------------------
   // connection config (reference examples/ yaml.example shape)
   // --------------------------------------------------------------------

@@ -65,8 +65,10 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into
-    * `nCells` k-means cells (MLlib KMeans on L2-normalized vectors ≈
-    * spherical k-means, fixed seed), then answer each query by probing
+    * `nCells` k-means cells (driver-local Lloyd on L2-normalized
+    * vectors ≈ spherical k-means, fixed seed — the training sample is
+    * bounded, so distributed training would be per-iteration scheduler
+    * overhead with no scale benefit), then answer each query by probing
     * only its `nProbe` nearest cells and exact-cosine-ranking the
     * candidates inside them.
     *
@@ -78,32 +80,78 @@ object Similarity {
     * trade-off — and returned scores are always exact.
     */
   object IvfAnn {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
 
     val Seed = 42L
     val MaxTrainRows = 100000L
+
+    /** L2-normalized copy of a float vector. */
+    private def normalized(v: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      val out = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+      out
+    }
+
+    /** Nearest centroid by squared Euclidean distance (lowest index on
+      * ties — deterministic).
+      */
+    private def nearest(x: Array[Double], ctrs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < ctrs.length) {
+        val ctr = ctrs(c)
+        var d = 0.0; var i = 0
+        while (i < x.length && i < ctr.length) {
+          val diff = x(i) - ctr(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    /** Plain Lloyd on the driver over the bounded training sample.
+      * Coarse quantization doesn't need converged centroids — `iters`
+      * rounds from a seeded random init give the same recall as a full
+      * MLlib fit, and because the sample is bounded (≤ maxTrain ×
+      * dim floats) by construction, training it ON THE DRIVER costs
+      * zero cluster jobs — versus one distributed pass per Lloyd round,
+      * which at any scale is scheduler overhead on a kilobyte-scale
+      * problem. Empty cells keep their previous centroid.
+      */
+    private[similarity] def lloyd(points: Array[Array[Double]], nCells: Int,
+                                  iters: Int, seed: Long): Array[Array[Double]] = {
+      val rng = new scala.util.Random(seed)
+      val k = math.min(nCells, points.length)
+      var ctrs = rng.shuffle(points.indices.toList).take(k)
+        .map(points(_).clone()).toArray
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k)(new Array[Double](points.head.length))
+        val counts = new Array[Long](k)
+        points.foreach { p =>
+          val c = nearest(p, ctrs)
+          counts(c) += 1
+          var i = 0
+          while (i < p.length) { sums(c)(i) += p(i); i += 1 }
+        }
+        ctrs = Array.tabulate(k) { c =>
+          if (counts(c) == 0) ctrs(c)
+          else sums(c).map(_ / counts(c))
+        }
+      }
+      ctrs
+    }
 
     def topK(corpus: DataFrame, queries: DataFrame, k: Int,
              nCells: Int = 32, nProbe: Int = 4,
              vecCol: String = "embedding", idCol: String = "vec_id",
              maxTrain: Long = MaxTrainRows): DataFrame = {
       val spark = corpus.sparkSession
-      val norm = {
-        val v = col(vecCol)
-        val n2 = sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x))
-        transform(v, x => (x.cast("double") / n2))
-      }
-      val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_v"),
-        array_to_vector(norm).as("features"))
-      // coarse quantization doesn't need converged centroids — 8 Lloyd
-      // iterations on a bounded sample give the same recall at a
-      // fraction of the training cost (and keep training O(sample), not
-      // O(corpus), at scale)
-      // random init (not k-means||): the parallel init alone costs more
-      // passes than the 8 Lloyd iterations, and coarse-quantization
-      // recall is insensitive to init quality
+      import spark.implicits._
+      val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_v"))
+        .as[(Long, Array[Float])]
       // training sample selected by VALUE (hash of the id), never by
       // partition layout: limit()/sample() change contents when file
       // splits shift, which would silently change trained centroids —
@@ -113,16 +161,21 @@ object Similarity {
         if (n <= maxTrain) c
         else c.where(pmod(xxhash64(col("corpus_id")),
           lit((n + maxTrain - 1) / maxTrain)) === 0)
-      val model = new KMeans().setK(nCells).setSeed(Seed).setFeaturesCol("features")
-        .setInitMode("random").setMaxIter(8)
-        .fit(train)
-      val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
-        .select("corpus_id", "corpus_v", "cell")
+      // sorted by id after collect → centroids are independent of the
+      // cluster's partition/split arrangement
+      val sample = train.collect().sortBy(_._1).map(t => normalized(t._2))
+      val ctrs = lloyd(sample, nCells, iters = 8, seed = Seed)
+
+      // assignment: one map-side pass, JIT'd kernel, no shuffle — the
+      // centroid array (nCells × dim doubles) rides the task closure
+      val assigned = c.mapPartitions { it =>
+        it.map { case (id, v) => (id, v, nearest(normalized(v), ctrs)) }
+      }.toDF("corpus_id", "corpus_v", "cell")
 
       // centroid table: tiny, broadcast into the query-side scoring
       val centroids = spark.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
-          (i, ctr.toArray.map(_.toFloat))
+        ctrs.zipWithIndex.map { case (ctr, i) =>
+          (i, ctr.map(_.toFloat))
         }.toSeq).toDF("cell", "centroid")
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
       val probed = q.crossJoin(broadcast(centroids))

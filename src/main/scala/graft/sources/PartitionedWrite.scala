@@ -27,4 +27,23 @@ object PartitionedWrite {
       .partitionBy(partitionCol)
       .mode("overwrite")
       .parquet(path)
+
+  /** Bucketed catalog table: rows are hash-clustered into `nBuckets`
+    * files by `bucketCol` AND sorted within each bucket. Two tables
+    * bucketed the same way join WITHOUT a shuffle (Catalyst sees the
+    * matching output partitioning) — the co-located-join half of the
+    * 100 TB design: pay one shuffle at write time, never again for the
+    * fact-to-fact joins that dominate at scale. Requires the session
+    * catalog (`saveAsTable`) because bucket metadata lives there.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val sorts = (bucketCol +: sortCols).distinct
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
 }

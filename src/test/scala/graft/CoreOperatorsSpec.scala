@@ -193,6 +193,15 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(Tables.filterExcluded(tables, Seq("%_final", "%TMP%")) == Seq("ORDERS"))
   }
 
+  test("metadata rowcount agrees with the scan-based counts") {
+    val meta = RowCount.metaCounts(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = RowCount.counts(spark, Tables.load(spark, TestSpark.sf0001))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(meta == full)
+    assert(meta.size == Tables.all.size)
+  }
+
   test("catalog compare: counts common tables, notes one-sided without counting") {
     import spark.implicits._
     val a3 = Seq(1, 2, 3).toDF("x")

@@ -76,6 +76,39 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions.col
+    val orders = graft.sources.Tables(spark, TestSpark.sf0001, "orders")
+    val lineitem = graft.sources.Tables(spark, TestSpark.sf0001, "lineitem")
+    // force the shuffle-join path: at this fixture size the small side
+    // would broadcast and the bucket test would pass vacuously
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.PartitionedWrite.writeBucketed(
+        orders, "b_orders", "o_orderkey", nBuckets = 4)
+      graft.sources.PartitionedWrite.writeBucketed(
+        lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey",
+        nBuckets = 4)
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val p = plan(joined)
+      // matched bucketing on both sides: the sort-merge join consumes
+      // the buckets directly — pay the shuffle once at write time,
+      // never per query
+      val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+      assert(exchanges == 0, s"bucketed join still shuffles:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$p")
+      assert(joined.count() == lineitem.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("text ops stay in one codegen'd projection over the scan (no agg shuffle)") {
     val p = plan(q("text_quality"))
     // the only exchange allowed is the final orderBy's range partition

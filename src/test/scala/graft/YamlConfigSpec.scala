@@ -95,6 +95,15 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(YamlConfig.readTablesCsv(extraCols) == Seq("foo"))
   }
 
+  test("generated default config round-trips to the default mappings") {
+    val path = java.nio.file.Files.createTempDirectory("yaml_gen")
+      .resolve("colcompare_config.yaml").toString
+    YamlConfig.writeDefaultColcompare(path)
+    val cfg = YamlConfig.colcompare(path)
+    assert(cfg.typeMappings == TypeCompat.DefaultTypeMappings)
+    assert(cfg.excludedCols.isEmpty) // examples stay commented out
+  }
+
   test("checks config parses every rule family") {
     val cfg = YamlConfig.checks(tmpFile("checks.yaml",
       """table: lineitem
