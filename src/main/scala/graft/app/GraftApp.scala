@@ -91,29 +91,47 @@ object GraftApp {
     def flag(k: String) = f.getOrElse(k, sys.error(s"--$k required"))
     def checksCfg = YamlConfig.checks(flag("checks"))
     def checksTable(cfg: YamlConfig.ChecksConfig) = Tables(spark, dir, cfg.table)
-    /** tables of one side: YAML connection config, or a parquet --dir. */
-    def catalog(dirFlag: String, cfgFlag: String): Map[String, DataFrame] =
+    /** One side's table list + loader: a YAML connection config, or a
+      * parquet --dir.
+      */
+    def side(dirFlag: String, cfgFlag: String): (Seq[String], String => DataFrame) =
       f.get(cfgFlag) match {
         case Some(path) =>
           val cfg = YamlConfig.connection(path)
           val conn = YamlConfig.open(spark, cfg)
-          YamlConfig.tablesFor(conn, cfg).map(t => t -> conn.table(t)).toMap
+          (YamlConfig.tablesFor(conn, cfg), conn.table)
         case None =>
           val names = Tables.filterExcluded(
             f.get("tables").map(_.split(",").toSeq).getOrElse(Tables.all),
             f.get("exclude").map(_.split(",").toSeq).getOrElse(Nil))
-          names.map(t => t -> Tables(spark, f.getOrElse(dirFlag, dir), t)).toMap
+          (names, t => Tables(spark, f.getOrElse(dirFlag, dir), t))
       }
+    def catalog(dirFlag: String, cfgFlag: String): Map[String, DataFrame] = {
+      val (names, load) = side(dirFlag, cfgFlag)
+      names.map(t => t -> load(t)).toMap
+    }
 
     val result: DataFrame = tool match {
       case "rowcount" =>
         RowCount.counts(spark, catalog("dir", "config"))
       case "dbstats-compare" =>
         // reference dbstats source/target mode (dbstats.py:201-214 +
-        // discovery notes): same-named tables reconciled across catalogs
-        RowCount.compareCatalogs(spark,
-          catalog("source-dir", "source-config"),
-          catalog("target-dir", "target-config"))
+        // discovery notes). With --tables-file, a dual-database pairs
+        // CSV (source_table,target_table — README.md:214) maps
+        // differently-named tables across the two sides; without it,
+        // same-named tables are reconciled catalog-to-catalog.
+        f.get("tables-file") match {
+          case Some(tf) =>
+            val (_, srcLoad) = side("source-dir", "source-config")
+            val (_, tgtLoad) = side("target-dir", "target-config")
+            RowCount.compare(spark, YamlConfig.readTablePairsCsv(tf).map {
+              case (s, t) => (s"${s}_vs_$t", srcLoad(s), tgtLoad(t))
+            })
+          case None =>
+            RowCount.compareCatalogs(spark,
+              catalog("source-dir", "source-config"),
+              catalog("target-dir", "target-config"))
+        }
       case "nullcheck" =>
         NullCheck.profile(tableName, table)
       case "keyfinder" =>

@@ -132,6 +132,21 @@ object YamlConfig {
       .filterNot { case (v, i) => i == 0 && v.equalsIgnoreCase(columnName) }
       .map(_._1)
 
+  /** Dual-database tables file (reference README.md:214 — "CSV with
+    * source_table and target_table columns"): (source, target) name
+    * pairs, header skipped when present. Rows with one column map the
+    * table to the same name on both sides.
+    */
+  def readTablePairsCsv(path: String): Seq[(String, String)] =
+    Files.readAllLines(Paths.get(path)).asScala.toSeq
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .zipWithIndex
+      .filterNot { case (cols, i) =>
+        i == 0 && cols.head.equalsIgnoreCase("source_table")
+      }
+      .map { case (cols, _) => (cols(0), if (cols.length > 1) cols(1) else cols(0)) }
+
   /** connection.type → backend (reference create_connector fans over 9
     * engines, connections.py; here a parquet/csv dir covers the file
     * backends and one JDBC backend covers every SQL engine — the

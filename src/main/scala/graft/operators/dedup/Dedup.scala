@@ -329,13 +329,15 @@ object Dedup {
     * representative, and transitive chains (A~B, B~C but not A~C)
     * collapse into one group, which pairwise output alone cannot do.
     *
-    * Algorithm: iterative min-label propagation. Each round is ONE
-    * join + aggregation job (all distributed; the convergence flag is
-    * read from the round's materialized result, no extra join);
-    * labels converge in O(component diameter)
-    * rounds and near-dup graphs are overwhelmingly tiny cliques, so
-    * 2-4 rounds are typical. Each round's result is persisted and the
-    * previous round unpersisted — lineage stays O(1) deep.
+    * Algorithm: hybrid by edge count. A bounded pair list (≤
+    * [[Components.SmallGraphMaxPairs]], ~64 MB of longs) collects to
+    * the driver for union-find — shuffle rounds on a kilobyte graph
+    * are pure scheduler overhead. Larger graphs run iterative
+    * min-label propagation: each round is ONE join + aggregation job
+    * (all distributed; the convergence flag is read from the round's
+    * materialized result, no extra join); labels converge in
+    * O(log component diameter) rounds via pointer jumping. Each
+    * round's result is checkpointed and lineage stays O(1) deep.
     */
   object Components {
 
@@ -343,7 +345,17 @@ object Dedup {
       * where component = min doc id reachable — includes ONLY docs that
       * appear in at least one pair (singletons are their own keepers).
       */
-    def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    /** Pair counts at or below this run union-find on the driver: the
+      * edge list (two longs per pair) is bounded to ~64 MB, and a
+      * driver pass beats paying full shuffle machinery per propagation
+      * round on a graph that small. Above it, the distributed O(log
+      * diameter) label propagation runs — its per-round cost amortizes
+      * exactly when the graph is too big to collect.
+      */
+    val SmallGraphMaxPairs = 4000000L
+
+    def components(pairs: DataFrame, maxIters: Int = 20,
+                   smallGraphMax: Long = SmallGraphMaxPairs): DataFrame = {
       // localCheckpoint (eager) — NOT persist — on every iterative
       // frame: persist alone leaves the logical plan in place, so the
       // plan tree DOUBLES per iteration (labels feeds both the join and
@@ -357,6 +369,7 @@ object Dedup {
       // materialize the (possibly expensive) pair pipeline ONCE — the
       // bidirectional union below references it twice
       val p = pairs.localCheckpoint(true)
+      if (p.count() <= smallGraphMax) return unionFindComponents(p)
       val edges = p.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
         .unionAll(p.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
         .distinct()
@@ -393,6 +406,32 @@ object Dedup {
         s"component labels did not converge in $maxIters rounds; raise maxIters")
       labels.select(col("node").as("doc_id"), col("label").as("component"))
         .orderBy("doc_id")
+    }
+
+    /** Driver union-find over a collected (bounded) pair list — same
+      * min-reachable-id semantics as the distributed propagation, path
+      * compression keeps it near-linear.
+      */
+    private def unionFindComponents(pairs: DataFrame): DataFrame = {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = pairs.select(col("doc_id_1").cast("long"), col("doc_id_2").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.map(n => (n, find(n))).sorted
+      spark.createDataFrame(rows).toDF("doc_id", "component")
     }
 
     /** End-to-end near-dup grouping: MinHash pairs → components. */

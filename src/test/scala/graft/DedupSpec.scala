@@ -146,6 +146,12 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.Components.components(edges.toDF("doc_id_1", "doc_id_2"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
+    // the distributed label-propagation path (smallGraphMax = 0 forces
+    // it past the driver union-find shortcut) must agree exactly
+    val distributed = Dedup.Components.components(
+      edges.toDF("doc_id_1", "doc_id_2"), smallGraphMax = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == want)
   }
 
   test("dedupGroups: exact copies land in one group keyed by the min doc id") {

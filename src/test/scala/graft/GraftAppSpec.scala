@@ -52,6 +52,20 @@ class GraftAppSpec extends AnyFunSuite {
       "--tables", "region,nation,customer") == 3)
   }
 
+  test("dbstats-compare maps differently-named tables via a pairs CSV") {
+    val pairs = tmpFile("pairs.csv", "source_table,target_table\nregion,nation\norders,orders\n")
+    val out = java.nio.file.Files.createTempDirectory("graft_app").toString + "/res"
+    GraftApp.run(spark, Seq("dbstats-compare",
+      "--source-dir", TestSpark.sf0001, "--target-dir", TestSpark.sf0001,
+      "--tables-file", pairs, "--out", out))
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("region_vs_nation", "orders_vs_orders"))
+    assert(rows("region_vs_nation")._1 == 5)  // region rows
+    assert(rows("region_vs_nation")._2 == 25) // nation rows
+    assert(rows("orders_vs_orders")._1 == rows("orders_vs_orders")._2)
+  }
+
   test("dynamic-query substitutes template per CSV row") {
     val csv = tmpFile("vals.csv", "var_from_csv\nAFRICA\nASIA\n")
     assert(runToParquet("dynamic-query", "--dir", TestSpark.sf0001,
