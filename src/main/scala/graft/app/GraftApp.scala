@@ -91,29 +91,46 @@ object GraftApp {
     def flag(k: String) = f.getOrElse(k, sys.error(s"--$k required"))
     def checksCfg = YamlConfig.checks(flag("checks"))
     def checksTable(cfg: YamlConfig.ChecksConfig) = Tables(spark, dir, cfg.table)
-    /** One side's table list + loader: a YAML connection config, or a
-      * parquet --dir.
+    /** One side's table list + loader (+ the Connection when a config
+      * is used, for backends that can push work): a YAML connection
+      * config, or a parquet dir via the EXACT dirFlag — no silent
+      * fallback to --dir, which would quietly compare a catalog to
+      * itself. CLI flags compose with the config: --tables overrides
+      * its table list, --exclude adds to its excluded_tables.
       */
-    def side(dirFlag: String, cfgFlag: String): (Seq[String], String => DataFrame) =
+    def side(dirFlag: String, cfgFlag: String)
+        : (Seq[String], String => DataFrame, Option[graft.sources.Connection]) = {
+      val cliTables = f.get("tables").map(_.split(",").toSeq)
+      val cliExclude = f.get("exclude").map(_.split(",").toSeq).getOrElse(Nil)
       f.get(cfgFlag) match {
         case Some(path) =>
           val cfg = YamlConfig.connection(path)
           val conn = YamlConfig.open(spark, cfg)
-          (YamlConfig.tablesFor(conn, cfg), conn.table)
+          val base = cliTables.getOrElse(
+            if (cfg.tables.nonEmpty) cfg.tables else conn.listTables())
+          (Tables.filterExcluded(base, cfg.excludedTables ++ cliExclude),
+            conn.table, Some(conn))
         case None =>
-          val names = Tables.filterExcluded(
-            f.get("tables").map(_.split(",").toSeq).getOrElse(Tables.all),
-            f.get("exclude").map(_.split(",").toSeq).getOrElse(Nil))
-          (names, t => Tables(spark, f.getOrElse(dirFlag, dir), t))
+          val d = f.getOrElse(dirFlag,
+            sys.error(s"--$dirFlag or --$cfgFlag required"))
+          (Tables.filterExcluded(cliTables.getOrElse(Tables.all), cliExclude),
+            t => Tables(spark, d, t), None)
       }
+    }
     def catalog(dirFlag: String, cfgFlag: String): Map[String, DataFrame] = {
-      val (names, load) = side(dirFlag, cfgFlag)
+      val (names, load, _) = side(dirFlag, cfgFlag)
       names.map(t => t -> load(t)).toMap
     }
 
     val result: DataFrame = tool match {
       case "rowcount" =>
-        RowCount.counts(spark, catalog("dir", "config"))
+        side("dir", "config") match {
+          // connection-backed: let the backend count (JDBC pushes one
+          // COUNT(*) per table instead of pulling rows through Spark)
+          case (names, _, Some(conn)) => conn.rowCounts(names)
+          case (names, load, None) =>
+            RowCount.counts(spark, names.map(t => t -> load(t)).toMap)
+        }
       case "dbstats-compare" =>
         // reference dbstats source/target mode (dbstats.py:201-214 +
         // discovery notes). With --tables-file, a dual-database pairs
@@ -122,8 +139,8 @@ object GraftApp {
         // same-named tables are reconciled catalog-to-catalog.
         f.get("tables-file") match {
           case Some(tf) =>
-            val (_, srcLoad) = side("source-dir", "source-config")
-            val (_, tgtLoad) = side("target-dir", "target-config")
+            val (_, srcLoad, _) = side("source-dir", "source-config")
+            val (_, tgtLoad, _) = side("target-dir", "target-config")
             RowCount.compare(spark, YamlConfig.readTablePairsCsv(tf).map {
               case (s, t) => (s"${s}_vs_$t", srcLoad(s), tgtLoad(t))
             })

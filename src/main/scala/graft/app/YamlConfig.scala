@@ -127,7 +127,10 @@ object YamlConfig {
     */
   def readTablesCsv(path: String, columnName: String = "table_name"): Seq[String] =
     Files.readAllLines(Paths.get(path)).asScala.toSeq
-      .map(_.split(",")(0).trim).zipWithIndex
+      // split of a commas-only line yields an EMPTY array (Java drops
+      // trailing empties) — headOption, not (0), so such lines skip
+      // like blank ones
+      .map(_.split(",").headOption.getOrElse("").trim).zipWithIndex
       .filter(_._1.nonEmpty)
       .filterNot { case (v, i) => i == 0 && v.equalsIgnoreCase(columnName) }
       .map(_._1)

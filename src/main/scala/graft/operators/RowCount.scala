@@ -41,20 +41,36 @@ object RowCount {
   def metaCounts(spark: SparkSession, dir: String,
                  names: Seq[String] = graft.sources.Tables.all): DataFrame = {
     import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // ship the session's hadoop conf to the tasks as plain pairs — a
+    // fresh Configuration() there would drop spark.hadoop.* settings
+    // (object-store credentials/endpoints) and fail on exactly the
+    // deployments this path exists for
+    val confPairs = {
+      import scala.jdk.CollectionConverters._
+      hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }
     val files: Seq[(String, String)] = names.flatMap { t =>
       val path = new org.apache.hadoop.fs.Path(graft.sources.Tables.path(dir, t))
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(path)) Nil
-      else if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(s => (t, s.getPath.toString))
-      else Seq((t, path.toString))
+      val fs = path.getFileSystem(hconf)
+      // missing table = loud error, matching what counts() would do
+      require(fs.exists(path), s"table path does not exist: $path")
+      if (fs.getFileStatus(path).isDirectory) {
+        // recursive: partitioned layouts nest files under col=value dirs
+        val it = fs.listFiles(path, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet")) buf += ((t, s.getPath.toString))
+        }
+        buf
+      } else Seq((t, path.toString))
     }
-    spark.sparkContext
+    val counted = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 256)))
       .map { case (t, f) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confPairs.foreach { case (k, v) => conf.set(k, v) }
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(f), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -62,6 +78,11 @@ object RowCount {
       }
       .toDF("table_name", "file_rows")
       .groupBy("table_name").agg(sum("file_rows").as("row_count"))
+    // a table dir with zero data files is a legal empty table: report 0,
+    // don't silently omit the row
+    names.toDF("table_name").join(counted, Seq("table_name"), "left")
+      .select(col("table_name"),
+        coalesce(col("row_count"), lit(0L)).as("row_count"))
       .orderBy("table_name")
   }
 

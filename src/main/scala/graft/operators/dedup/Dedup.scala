@@ -345,14 +345,16 @@ object Dedup {
       * where component = min doc id reachable — includes ONLY docs that
       * appear in at least one pair (singletons are their own keepers).
       */
-    /** Pair counts at or below this run union-find on the driver: the
-      * edge list (two longs per pair) is bounded to ~64 MB, and a
-      * driver pass beats paying full shuffle machinery per propagation
-      * round on a graph that small. Above it, the distributed O(log
-      * diameter) label propagation runs — its per-round cost amortizes
-      * exactly when the graph is too big to collect.
+    /** Pair counts at or below this run union-find on the driver. The
+      * bound accounts for COLLECTED representation, not packed longs:
+      * ~1M boxed tuples plus a LongMap over up to 2M nodes stays well
+      * under ~100 MB of driver heap, and a driver pass beats paying
+      * full shuffle machinery per propagation round on a graph that
+      * small. Above it, the distributed O(log diameter) label
+      * propagation runs — its per-round cost amortizes exactly when
+      * the graph is too big to collect.
       */
-    val SmallGraphMaxPairs = 4000000L
+    val SmallGraphMaxPairs = 1000000L
 
     def components(pairs: DataFrame, maxIters: Int = 20,
                    smallGraphMax: Long = SmallGraphMaxPairs): DataFrame = {
@@ -417,7 +419,9 @@ object Dedup {
       import spark.implicits._
       val es = pairs.select(col("doc_id_1").cast("long"), col("doc_id_2").cast("long"))
         .as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      // LongMap: open-addressed over primitive keys — no per-entry
+      // boxing, which matters at the SmallGraphMaxPairs bound
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -426,7 +430,8 @@ object Dedup {
         r
       }
       es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }

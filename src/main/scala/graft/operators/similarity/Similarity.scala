@@ -155,7 +155,10 @@ object Similarity {
       // training sample selected by VALUE (hash of the id), never by
       // partition layout: limit()/sample() change contents when file
       // splits shift, which would silently change trained centroids —
-      // and thus recall — between cluster runs over the same data
+      // and thus recall — between cluster runs over the same data.
+      // The count prunes to an empty schema (cheap pass); total corpus
+      // reads = count + sample-collect + assignment, versus one pass
+      // PER LLOYD ROUND for distributed training
       val n = c.count()
       val train =
         if (n <= maxTrain) c

@@ -45,6 +45,14 @@ trait Connection {
   def countRows(name: String): Long =
     table(name).groupBy().count().collect()(0).getLong(0)
 
+  /** (table_name, row_count) for many tables, as one plan whose scans
+    * run concurrently. Backends where counting can be pushed to the
+    * engine (JDBC) override this — pulling whole tables through Spark
+    * just to count them defeats the reference's execution model.
+    */
+  def rowCounts(names: Seq[String]): org.apache.spark.sql.DataFrame =
+    graft.operators.RowCount.counts(spark, names.map(n => n -> table(n)).toMap)
+
   /** reference: run_query — registers this connection's tables as temp
     * views, then runs Spark SQL (Catalyst plans it; nothing is pushed
     * to a remote engine).
@@ -55,17 +63,24 @@ trait Connection {
   }
 }
 
-/** Directory of `<name>.parquet` tables. */
+/** Directory of `<name>.parquet` tables. Without an explicit name list,
+  * tables are DISCOVERED by listing the directory (reference:
+  * list_tables) — never assumed.
+  */
 final class ParquetDirConnection(val spark: SparkSession, dir: String,
-                                 names: Seq[String] = Tables.all) extends Connection {
-  override def listTables(): Seq[String] = names
+                                 names: Seq[String] = Nil) extends Connection {
+  override def listTables(): Seq[String] =
+    if (names.nonEmpty) names else Tables.discover(spark, dir, "parquet")
   override def table(name: String): DataFrame = Tables(spark, dir, name)
 }
 
-/** Directory of `<name>.csv` tables with header + schema inference. */
+/** Directory of `<name>.csv` tables with header + schema inference.
+  * Same discovery rule as the parquet backend.
+  */
 final class CsvDirConnection(val spark: SparkSession, dir: String,
-                             names: Seq[String]) extends Connection {
-  override def listTables(): Seq[String] = names
+                             names: Seq[String] = Nil) extends Connection {
+  override def listTables(): Seq[String] =
+    if (names.nonEmpty) names else Tables.discover(spark, dir, "csv")
   override def table(name: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true")
       .csv(s"$dir/$name.csv")
@@ -153,4 +168,14 @@ final class JdbcConnection(val spark: SparkSession, url: String,
   override def countRows(name: String): Long =
     runQuery(s"SELECT COUNT(*) AS n FROM ${qualify(name)}")
       .collect()(0).get(0).asInstanceOf[Number].longValue()
+
+  /** Counting N tables pushes N scalar COUNT(*) queries concurrently
+    * (the reference's thread-pooled dbstats, utils.py:39) — never a
+    * full-table pull through Spark just to count.
+    */
+  override def rowCounts(names: Seq[String]): DataFrame = {
+    import scala.collection.parallel.CollectionConverters._
+    val counts = names.par.map(n => (n, countRows(n))).seq.sortBy(_._1)
+    spark.createDataFrame(counts).toDF("table_name", "row_count")
+  }
 }

@@ -24,6 +24,19 @@ class ConnectionSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(1)).sum == 25)
   }
 
+  test("file backends discover tables by listing when no names are given") {
+    val discovered = new ParquetDirConnection(spark, TestSpark.sf0001).listTables()
+    assert(discovered == graft.sources.Tables.all.sorted)
+    val dir = java.nio.file.Files.createTempDirectory("graft_disc").toString
+    try {
+      parquetConn.table("region").coalesce(1)
+        .write.option("header", "true").mode("overwrite").csv(s"$dir/region.csv")
+      assert(new CsvDirConnection(spark, dir).listTables() == Seq("region"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("csv backend serves the same surface") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     try {
@@ -76,6 +89,12 @@ class ConnectionSpec extends AnyFunSuite {
     assert(parts.rdd.getNumPartitions == 4)
     assert(parts.count() == 26)
     assert(parts.select("N_NATIONKEY").distinct().count() == 26)
+  }
+
+  test("jdbc rowCounts pushes one COUNT(*) per table, no table pull") {
+    val rc = jdbcConn.rowCounts(Seq("NATION", "REGION")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rc == Map("NATION" -> 26L, "REGION" -> 5L))
   }
 
   test("operators run end-to-end through the jdbc backend") {

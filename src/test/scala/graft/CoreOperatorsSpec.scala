@@ -202,6 +202,23 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(meta.size == Tables.all.size)
   }
 
+  test("metadata rowcount recurses into partitioned table layouts") {
+    val base = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    try {
+      val docs = Tables(spark, TestSpark.sf0001, "documents")
+      graft.sources.PartitionedWrite.write(
+        docs, s"$base/docs_part.parquet", partitionCol = "lang")
+      val meta = RowCount.metaCounts(spark, base, Seq("docs_part"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(meta == Map("docs_part" -> docs.count()))
+      // missing table errors loudly instead of silently dropping the row
+      intercept[IllegalArgumentException](
+        RowCount.metaCounts(spark, base, Seq("no_such_table")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("catalog compare: counts common tables, notes one-sided without counting") {
     import spark.implicits._
     val a3 = Seq(1, 2, 3).toDF("x")

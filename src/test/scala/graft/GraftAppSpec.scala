@@ -162,6 +162,10 @@ class GraftAppSpec extends AnyFunSuite {
   test("unknown tool and missing flags fail loudly") {
     intercept[RuntimeException](GraftApp.run(spark, Seq("nosuch")))
     intercept[RuntimeException](GraftApp.run(spark, Seq("nullcheck")))
+    // dbstats-compare must NOT fall back to --dir for a missing side —
+    // that would silently compare a catalog to itself
+    intercept[RuntimeException](GraftApp.run(spark, Seq("dbstats-compare",
+      "--dir", TestSpark.sf0001, "--source-dir", TestSpark.sf0001)))
   }
 
   test("misaligned flag pairs are rejected, not silently shifted") {
