@@ -141,6 +141,14 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(Tables(s, d, "documents"))),
     "text_pii" -> ((s, d) => TextOps.PiiScan.run(Tables(s, d, "documents"))),
     "text_curate" -> ((s, d) => graft.operators.text.Curate.run(Tables(s, d, "documents"))),
+    // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
+    "sample_split" -> ((s, d) =>
+      Sampling.hashSplit(Tables(s, d, "documents"), "doc_id", SplitWeights)
+        .select("doc_id", "split").orderBy("doc_id")),
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables(s, d, "documents"), "doc_id", "lang",
+        StratFractions, StratDefault)
+        .select("doc_id", "lang").orderBy("doc_id")),
     // --- dedup for LLM-data pipelines (SURVEY §2 #25-29) ---
     "dedup_exact" -> ((s, d) => Dedup.ExactDedup.run(Tables(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -189,6 +197,9 @@ object SparkEntry {
   )
 
   private val SessionGapMinutes = 120
+  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val StratFractions = Map("en" -> 0.5)
+  private val StratDefault = 0.1
   private val FrameStride = 4
   private val NgramJaccardThreshold = 0.7
   private val EmbeddingDedupThreshold = 0.4
@@ -395,6 +406,9 @@ object SparkEntry {
     // generators (not SQL-expressible) → rows-only check here; their
     // recall/precision vs the brute-force paths is asserted in DedupSpec
     // and SimilaritySpec.
+    "sample_split" -> Sampling.splitOracleSql("documents", "doc_id", SplitWeights),
+    "sample_stratified" -> Sampling.stratifiedOracleSql(
+      "documents", "doc_id", "lang", StratFractions, StratDefault),
     "dedup_exact" -> Dedup.ExactDedup.oracleSql("documents"),
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
     "dedup_clusters" -> Dedup.Components.oracleSql("documents", NgramJaccardThreshold),

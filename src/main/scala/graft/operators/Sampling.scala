@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines: train/val/test splits, per-stratum sampling, and
+  * fraction sampling that are pure functions of the row id — never of
+  * partition layout, row order, or cluster size.
+  *
+  * Why not `df.sample()` / `randomSplit()`: their assignment depends
+  * on partition iteration order, so the same table re-read with
+  * different file splits lands rows in different sets — poison for
+  * reproducible training runs and for joining a split decision back
+  * to other derived tables. Here membership is a threshold on a
+  * multiplicative hash of the id (Knuth's golden-ratio scheme), so
+  * any engine — including the DuckDB oracle — reproduces it with
+  * integer arithmetic, and a re-run at any scale assigns every row
+  * identically. Everything is a map-side projection: zero shuffles,
+  * fully codegen'd.
+  */
+object Sampling {
+
+  /** 2^31: the hash ring size. Products stay under Long.MaxValue
+    * (2^31 × A < 2^63), which matters because the DuckDB oracle runs
+    * the same arithmetic with BIGINT overflow ERRORS, not wrapping.
+    */
+  val M = 2147483648L
+
+  /** Knuth's multiplicative constant (2^32/φ), odd → a bijection
+    * mod M, equidistributed over sequential ids.
+    */
+  val A = 2654435761L
+
+  /** Deterministic position of an id on the unit interval [0, 1). */
+  def unitPos(id: Column, salt: Long = 0): Column =
+    pmod(pmod(id.cast("long") + salt, lit(M)) * A, lit(M)).cast("double") / M
+
+  /** The same position in portable SQL (pmod spelled as ((x % m) + m) % m). */
+  def unitPosSql(idExpr: String, salt: Long = 0): String =
+    s"(((($idExpr + $salt) % $M + $M) % $M) * $A % $M) / $M.0"
+
+  /** Split assignment: weights are normalized, cumulative thresholds
+    * partition the unit interval, and each row's hash position picks
+    * its split — disjoint, exhaustive, reproducible.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)], salt: Long = 0): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    val total = splits.map(_._2).sum
+    val pos = unitPos(col(idCol), salt)
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val assign = splits.zip(cums).init
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
+        when(pos < cum, name).otherwise(rest)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** Keep a deterministic `fraction` of rows. */
+  def sampleFraction(df: DataFrame, idCol: String, fraction: Double,
+                     salt: Long = 0): DataFrame =
+    df.where(unitPos(col(idCol), salt) < fraction)
+
+  /** Per-stratum fractions (e.g. keep 50% of English docs, 10% of the
+    * rest): the stratum picks the threshold, the id hash picks the
+    * rows. Rebalancing a skewed corpus in one codegen'd pass.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double], defaultFraction: Double,
+                       salt: Long = 0): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultFraction): Column) { case ((value, frac), rest) =>
+        when(col(stratumCol) === value, frac).otherwise(rest)
+      }
+    df.where(unitPos(col(idCol), salt) < threshold)
+  }
+
+  /** Oracle SQL twin of [[hashSplit]] projected to (id, split). */
+  def splitOracleSql(table: String, idCol: String,
+                     splits: Seq[(String, Double)], salt: Long = 0): String = {
+    val total = splits.map(_._2).sum
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val cases = splits.zip(cums).init
+      .map { case ((name, _), cum) => s"WHEN pos < $cum THEN '$name'" }
+      .mkString(" ")
+    s"""SELECT $idCol, CASE $cases ELSE '${splits.last._1}' END AS split
+       |FROM (SELECT $idCol, ${unitPosSql(idCol, salt)} AS pos FROM $table) t
+       |ORDER BY $idCol""".stripMargin
+  }
+
+  /** Oracle SQL twin of [[stratifiedSample]] projected to (id, stratum). */
+  def stratifiedOracleSql(table: String, idCol: String, stratumCol: String,
+                          fractions: Map[String, Double], defaultFraction: Double,
+                          salt: Long = 0): String = {
+    val cases = fractions.toSeq.sortBy(_._1)
+      .map { case (v, f) => s"WHEN $stratumCol = '$v' THEN $f" }
+      .mkString(" ")
+    s"""SELECT $idCol, $stratumCol
+       |FROM $table
+       |WHERE ${unitPosSql(idCol, salt)} < CASE $cases ELSE $defaultFraction END
+       |ORDER BY $idCol""".stripMargin
+  }
+}
