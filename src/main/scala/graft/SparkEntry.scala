@@ -112,6 +112,17 @@ object SparkEntry {
       Checks.RangeCheck.run("lineitem", Tables(s, d, "lineitem"), RangeRules)),
     "check_stats" -> ((s, d) =>
       Checks.StatsCheck.run("lineitem", Tables(s, d, "lineitem"), StatsCols)),
+    // drift detection: target is the same table with a planted +5%
+    // shift on l_quantity — mean/stddev/min/max flip to DRIFT at 1%
+    // tolerance, the untouched columns stay OK
+    "stats_compare" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      Checks.StatsCompare.run(StatsCols,
+        li.select(StatsCols.map(col): _*),
+        li.select((col("l_quantity") * 1.05).as("l_quantity"),
+          col("l_extendedprice"), col("l_discount")),
+        tolerancePct = 1.0)
+    }),
     "check_suite" -> ((s, d) => {
       val li = Tables(s, d, "lineitem")
       Suite.gate(
@@ -385,6 +396,10 @@ object SparkEntry {
     "check_format" -> Checks.FormatCheck.oracleSql("documents", FormatRules),
     "check_range" -> Checks.RangeCheck.oracleSql("lineitem", RangeRules),
     "check_stats" -> Checks.StatsCheck.oracleSql("lineitem", StatsCols),
+    "stats_compare" -> Checks.StatsCompare.oracleSql(StatsCols,
+      s"SELECT ${StatsCols.mkString(", ")} FROM lineitem",
+      "SELECT l_quantity * 1.05 AS l_quantity, l_extendedprice, l_discount FROM lineitem",
+      tolerancePct = 1.0),
     "check_suite" -> Suite.gateOracleSql("lineitem",
       completenessCols = StatsCols,
       uniquenessKeys = Seq(Seq("l_orderkey", "l_linenumber")),

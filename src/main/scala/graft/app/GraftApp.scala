@@ -77,8 +77,9 @@ object GraftApp {
 
   private val tools = Seq("rowcount", "dbstats-compare", "nullcheck", "keyfinder",
     "colcompare", "generate-config", "combine", "parquetizer", "dynamic-query",
-    "completeness", "uniqueness", "format", "range", "stats", "values",
-    "referential", "suite", "skew", "asof", "range-join", "dedup", "sessionize")
+    "completeness", "uniqueness", "format", "range", "stats", "stats-compare",
+    "values", "referential", "suite", "skew", "asof", "range-join", "dedup",
+    "sessionize")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -203,6 +204,13 @@ object GraftApp {
         Checks.ValueSet.run(cfg.table, checksTable(cfg), cfg.valueRules)
       case "stats" =>
         Checks.StatsCheck.run(tableName, table, flag("columns").split(",").toSeq)
+      case "stats-compare" =>
+        // distribution drift between the same table in two catalogs
+        val (_, srcLoad, _) = side("source-dir", "source-config")
+        val (_, tgtLoad, _) = side("target-dir", "target-config")
+        Checks.StatsCompare.run(flag("columns").split(",").toSeq,
+          srcLoad(tableName), tgtLoad(tableName),
+          f.getOrElse("tolerance", "1.0").toDouble)
       case "referential" =>
         Checks.Referential.runAll(Seq((
           FkRule(f.getOrElse("name", s"${tableName}_${flag("parent")}"),

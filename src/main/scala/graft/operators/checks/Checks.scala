@@ -252,6 +252,86 @@ object Checks {
     }
   }
 
+  // ---------------------------------------------------------------- #17b
+  /** Cross-catalog drift detection: the statistical profile computed
+    * on a source AND a target table (ONE single-pass aggregation per
+    * side — never per column), compared metric-by-metric against a
+    * relative tolerance. The dbstats source/target reconciliation
+    * extended from row counts to distributions: catches a silently
+    * skewed reload where the counts still match.
+    */
+  object StatsCompare {
+    private val Metrics = Seq("mean", "stddev", "min", "max", "null_count")
+
+    def run(colNames: Seq[String], source: DataFrame, target: DataFrame,
+            tolerancePct: Double): DataFrame = {
+      def side(df: DataFrame, tag: String) = {
+        val aggs = colNames.flatMap { c =>
+          Seq(
+            avg(col(c)).as(s"${tag}_mean__$c"),
+            stddev(col(c)).as(s"${tag}_stddev__$c"),
+            min(col(c)).cast("double").as(s"${tag}_min__$c"),
+            max(col(c)).cast("double").as(s"${tag}_max__$c"),
+            (count(lit(1)) - count(col(c))).cast("double").as(s"${tag}_null_count__$c"))
+        }
+        df.agg(aggs.head, aggs.tail: _*)
+      }
+      val joined = side(source, "s").crossJoin(side(target, "t"))
+      val entries = array(colNames.flatMap { c =>
+        Metrics.map { m =>
+          struct(lit(c).as("column_name"), lit(m).as("metric"),
+            col(s"s_${m}__$c").as("source_value"),
+            col(s"t_${m}__$c").as("target_value"))
+        }
+      }: _*)
+      val s = col("source_value"); val t = col("target_value")
+      joined.select(explode(entries).as("e"))
+        .select(col("e.column_name"), col("e.metric"),
+          round(col("e.source_value"), 2).as("source_value"),
+          round(col("e.target_value"), 2).as("target_value"))
+        .withColumn("pct_diff",
+          when(s.isNull && t.isNull, 0.0)
+            .when(s === 0 && t === 0, 0.0)
+            .when(s === 0, lit(null).cast("double"))
+            .otherwise(round((t - s) * 100.0 / abs(s), 2)))
+        .withColumn("status",
+          when(col("pct_diff").isNull, "DRIFT")
+            .when(abs(col("pct_diff")) <= tolerancePct, "OK")
+            .otherwise("DRIFT"))
+        .orderBy("column_name", "metric")
+    }
+
+    /** source/target are full SELECTs so a perturbed or remote-loaded
+      * twin can be compared against the original.
+      */
+    def oracleSql(colNames: Seq[String], sourceSql: String, targetSql: String,
+                  tolerancePct: Double): String = {
+      val exprs = Map[String, String => String](
+        "mean" -> (c => s"avg($c)"),
+        "stddev" -> (c => s"stddev($c)"),
+        "min" -> (c => s"CAST(min($c) AS DOUBLE)"),
+        "max" -> (c => s"CAST(max($c) AS DOUBLE)"),
+        "null_count" -> (c => s"CAST(count(*) - count($c) AS DOUBLE)"))
+      val parts = for { c <- colNames; m <- Metrics } yield
+        s"""SELECT '$c' AS column_name, '$m' AS metric,
+           |  round((SELECT ${exprs(m)(c)} FROM ($sourceSql) src), 2) AS source_value,
+           |  round((SELECT ${exprs(m)(c)} FROM ($targetSql) tgt), 2) AS target_value""".stripMargin
+      s"""SELECT column_name, metric, source_value, target_value, pct_diff,
+         |  CASE WHEN pct_diff IS NULL THEN 'DRIFT'
+         |       WHEN abs(pct_diff) <= $tolerancePct THEN 'OK'
+         |       ELSE 'DRIFT' END AS status
+         |FROM (
+         |  SELECT *,
+         |    CASE WHEN source_value IS NULL AND target_value IS NULL THEN 0.0
+         |         WHEN source_value = 0 AND target_value = 0 THEN 0.0
+         |         WHEN source_value = 0 THEN NULL
+         |         ELSE round((target_value - source_value) * 100.0 / abs(source_value), 2)
+         |    END AS pct_diff
+         |  FROM (${parts.mkString("\n", "\nUNION ALL\n", "\n")}) raw
+         |) d ORDER BY column_name, metric""".stripMargin
+    }
+  }
+
   // ---------------------------------------------------------------- #18
   /** Referential integrity: orphaned foreign keys via left_anti join.
     * The dimension side is broadcast when small; at scale AQE converts

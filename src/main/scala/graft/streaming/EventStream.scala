@@ -31,6 +31,31 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Watermarked stream-stream interval join: each left event joins
+    * the right events of the same `keyCol` whose timestamps fall
+    * within the `windowMinutes` BEFORE it — the streaming twin of
+    * [[graft.operators.RangeJoin]] / [[graft.operators.AsOfJoin]]'s
+    * candidate set. Both sides carry watermarks AND the join condition
+    * bounds the time range, which is exactly what lets Spark evict
+    * buffered rows once the watermark passes the interval — state is
+    * bounded by arrival-rate × (watermark + window), never by stream
+    * history.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   windowMinutes: Int,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id"), col(keyCol).as("l_key"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("r_key"), col("ts").as("r_ts"), col("value"))
+    l.join(r, expr(
+      s"""l_key = r_key AND
+         |r_ts >= l_ts - INTERVAL $windowMinutes MINUTES AND
+         |r_ts <= l_ts""".stripMargin))
+      .select(col("event_id"), col("l_key").as(keyCol), col("l_ts"),
+        col("r_ts"), col("value"))
+  }
+
   /** Tumbling 1-hour windows keyed by event_type. Append-mode capable:
     * results emit once the watermark passes the window end.
     */

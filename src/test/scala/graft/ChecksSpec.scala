@@ -74,6 +74,19 @@ class ChecksSpec extends AnyFunSuite {
     assert(r.getAs[Long]("non_null_count") === 4L)
   }
 
+  test("StatsCompare flags planted drift and passes unchanged columns") {
+    import org.apache.spark.sql.functions.col
+    val src = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0), (4.0, 5.0)).toDF("a", "b")
+    val tgt = src.select((col("a") * 1.1).as("a"), col("b"))
+    val res = Checks.StatsCompare.run(Seq("a", "b"), src, tgt, tolerancePct = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(5)).toMap
+    assert(res(("a", "mean")) == "DRIFT")
+    assert(res(("a", "max")) == "DRIFT")
+    assert(res(("a", "null_count")) == "OK") // 0 == 0 nulls on both sides
+    assert(res(("b", "mean")) == "OK")
+    assert(res(("b", "stddev")) == "OK")    // 0.0 == 0.0 (constant column)
+  }
+
   test("Referential finds orphans and ignores null FKs") {
     val child = Seq((1L, Some(10L)), (2L, Some(11L)), (3L, Some(99L)), (4L, None))
       .toDF("id", "fk")

@@ -83,6 +83,10 @@ class GraftAppSpec extends AnyFunSuite {
       "--parent", "orders", "--ref", "o_orderkey") == 1)
     assert(runToParquet("skew", "--dir", TestSpark.sf0001,
       "--table", "events", "--column", "user_id", "--k", "5") == 5)
+    // same catalog on both sides: 2 columns × 5 metrics, all OK
+    assert(runToParquet("stats-compare",
+      "--source-dir", TestSpark.sf0001, "--target-dir", TestSpark.sf0001,
+      "--table", "lineitem", "--columns", "l_quantity,l_tax") == 10)
   }
 
   test("format/range/values/suite tools load a checks YAML") {

@@ -56,6 +56,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches the batch join on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val errors = MemoryStream[(Timestamp, Long, Double)]
+    val query = EventStream.intervalJoin(
+      clicks.toDF().toDF("event_id", "ts", "user_id"),
+      errors.toDF().toDF("ts", "user_id", "value"),
+      keyCol = "user_id", windowMinutes = 30)
+      .writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").start()
+    try {
+      errors.addData((ts("10:00"), 1L, 0.5), (ts("10:40"), 1L, 0.7),
+        (ts("10:05"), 2L, 0.9))
+      clicks.addData((100L, ts("10:20"), 1L), (101L, ts("10:50"), 1L),
+        (102L, ts("11:00"), 2L))
+      query.processAllAvailable()
+      // advance both watermarks so all joinable pairs emit
+      errors.addData((ts("13:00"), 9L, 0.0))
+      clicks.addData((999L, ts("13:00"), 9L))
+      query.processAllAvailable()
+
+      val got = spark.table("ij_test").where(col("event_id") < 999)
+        .select("event_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toSet
+      // click 100 @10:20 sees the 10:00 error (within 30 min); click
+      // 101 @10:50 sees both the 10:40 error and NOT 10:00 (50 min
+      // old); click 102 @11:00 for user 2 sees nothing (55 min old)
+      assert(got == Set(100L -> 0.5, 101L -> 0.7))
+    } finally query.stop()
+  }
+
   test("append mode emits only watermark-closed windows (bounded state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
