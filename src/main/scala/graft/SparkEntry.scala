@@ -151,6 +151,7 @@ object SparkEntry {
     "text_quality"     -> ((s, d) => TextOps.QualityScore.run(Tables(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(Tables(s, d, "documents"))),
     "text_pii" -> ((s, d) => TextOps.PiiScan.run(Tables(s, d, "documents"))),
+    "text_repetition" -> ((s, d) => TextOps.Repetition.run(Tables(s, d, "documents"))),
     "text_curate" -> ((s, d) => graft.operators.text.Curate.run(Tables(s, d, "documents"))),
     // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
     "sample_split" -> ((s, d) =>
@@ -416,6 +417,7 @@ object SparkEntry {
     "text_quality"     -> TextOps.QualityScore.oracleSql("documents"),
     "text_fingerprint" -> TextOps.Fingerprint.oracleSql("documents"),
     "text_pii" -> TextOps.PiiScan.oracleSql("documents"),
+    "text_repetition" -> TextOps.Repetition.oracleSql("documents"),
     "text_curate" -> graft.operators.text.Curate.oracleSql("documents"),
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their

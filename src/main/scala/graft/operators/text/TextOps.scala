@@ -169,6 +169,32 @@ object TextOps {
     * semantics in Java regex (Spark) and RE2 (DuckDB): character
     * classes, `+`, `{2,}`, alternation-free literals.
     */
+  // ---------------------------------------------------------------- #33b
+  /** Within-document repetition signals (the Gopher-rule family):
+    * fraction of duplicate lines and duplicate word tokens. High
+    * values mark boilerplate/listing/spam documents that CROSS-document
+    * dedup never sees. One codegen'd projection, zero shuffles.
+    */
+  object Repetition {
+    def run(df: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+      def dupFrac(arr: Column) =
+        round(lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr), 4)
+      df.select(col(idCol),
+        dupFrac(split(col(textCol), "\n")).as("dup_line_fraction"),
+        dupFrac(tokens(col(textCol))).as("dup_word_fraction"))
+        .orderBy(idCol)
+    }
+
+    def oracleSql(table: String): String =
+      s"""SELECT doc_id,
+         |  round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+         |    / len(string_split(text, chr(10))), 4) AS dup_line_fraction,
+         |  round(1.0 - CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS DOUBLE)
+         |    / len(string_split_regex(trim(lower(text)), '\\s+')), 4) AS dup_word_fraction
+         |FROM $table ORDER BY doc_id""".stripMargin
+  }
+
   object PiiScan {
     val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val UrlPattern = "https?://[A-Za-z0-9./_%-]+"

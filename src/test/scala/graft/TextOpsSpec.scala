@@ -60,6 +60,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(overlapOther < 0.1)
   }
 
+  test("Repetition: duplicate lines and words raise the fractions") {
+    val docs = Seq(
+      (1L, "a b c d"),                       // all unique
+      (2L, "spam spam spam spam"),           // 1 distinct word of 4
+      (3L, "line one\nline two\nline one"))  // 2 distinct lines of 3
+      .toDF("doc_id", "text")
+    val r = TextOps.Repetition.run(docs).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((0.0, 0.0)))
+    assert(r(2L)._2 == 0.75)
+    assert(r(3L)._1 == 0.3333)
+  }
+
   test("Curate: duplicate beats quality beats language in drop reasons") {
     import TestSpark.spark.implicits._
     val en = ("the a of and to in is on for with " * 12).trim // stopword-rich, long
