@@ -270,7 +270,12 @@ object Dedup {
                        shingler: Shingler = CharNgrams()): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
-      val sigs = signatures(df, textCol, idCol, shingler)
+      // materialize the signature kernel ONCE: sigs feeds the band
+      // explode plus BOTH sides of the verify join, and those branches
+      // share no exchange — without this the O(hashes × grams) kernel
+      // re-executes up to three times (localCheckpoint spills
+      // memory-then-disk on executors, so the pattern holds at scale)
+      val sigs = signatures(df, textCol, idCol, shingler).localCheckpoint(true)
       val estCutoff =
         threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / NumHashes)
 
