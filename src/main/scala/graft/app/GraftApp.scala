@@ -34,6 +34,8 @@ import org.apache.spark.sql.functions.expr
   * GraftApp uniqueness      --dir /data/sf1 --table lineitem --keys l_orderkey,l_linenumber
   * GraftApp format|range|values --dir /data/sf1 --checks checks.yaml
   * GraftApp stats           --dir /data/sf1 --table lineitem --columns l_quantity,l_tax
+  * GraftApp stats-compare   --source-dir a --target-dir b --table lineitem \
+  *     --columns l_quantity,l_tax [--tolerance 1.0]
   * GraftApp referential     --dir /data/sf1 --table lineitem --fk l_orderkey \
   *     --parent orders --ref o_orderkey
   * GraftApp suite           --dir /data/sf1 --checks checks.yaml

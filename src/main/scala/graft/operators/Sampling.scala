@@ -43,6 +43,12 @@ object Sampling {
   /** Split assignment: weights are normalized, cumulative thresholds
     * partition the unit interval, and each row's hash position picks
     * its split — disjoint, exhaustive, reproducible.
+    *
+    * Rows whose id is NULL (or not castable to long) have no hash
+    * position: their split is NULL — visible and filterable — rather
+    * than silently polluting the last split. The sampling functions
+    * below likewise exclude such rows (a NULL position passes no
+    * threshold).
     */
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Double)], salt: Long = 0): DataFrame = {
@@ -54,7 +60,7 @@ object Sampling {
       .foldRight(lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
         when(pos < cum, name).otherwise(rest)
       }
-    df.withColumn("split", assign)
+    df.withColumn("split", when(pos.isNotNull, assign))
   }
 
   /** Keep a deterministic `fraction` of rows. */
@@ -84,7 +90,8 @@ object Sampling {
     val cases = splits.zip(cums).init
       .map { case ((name, _), cum) => s"WHEN pos < $cum THEN '$name'" }
       .mkString(" ")
-    s"""SELECT $idCol, CASE $cases ELSE '${splits.last._1}' END AS split
+    s"""SELECT $idCol, CASE WHEN pos IS NULL THEN NULL
+       |  ELSE CASE $cases ELSE '${splits.last._1}' END END AS split
        |FROM (SELECT $idCol, ${unitPosSql(idCol, salt)} AS pos FROM $table) t
        |ORDER BY $idCol""".stripMargin
   }

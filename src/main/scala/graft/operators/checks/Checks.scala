@@ -284,11 +284,11 @@ object Checks {
             col(s"t_${m}__$c").as("target_value"))
         }
       }: _*)
-      val s = col("source_value"); val t = col("target_value")
+      // pct_diff from the RAW values — rounding first would quantize
+      // drift detection (an 8% shift on a mean of 0.05 vanishes at
+      // 2 decimals); rounding is display-only, applied at the end
+      val s = col("e.source_value"); val t = col("e.target_value")
       joined.select(explode(entries).as("e"))
-        .select(col("e.column_name"), col("e.metric"),
-          round(col("e.source_value"), 2).as("source_value"),
-          round(col("e.target_value"), 2).as("target_value"))
         .withColumn("pct_diff",
           when(s.isNull && t.isNull, 0.0)
             .when(s === 0 && t === 0, 0.0)
@@ -298,6 +298,9 @@ object Checks {
           when(col("pct_diff").isNull, "DRIFT")
             .when(abs(col("pct_diff")) <= tolerancePct, "OK")
             .otherwise("DRIFT"))
+        .select(col("e.column_name"), col("e.metric"),
+          round(s, 2).as("source_value"), round(t, 2).as("target_value"),
+          col("pct_diff"), col("status"))
         .orderBy("column_name", "metric")
     }
 
@@ -312,23 +315,35 @@ object Checks {
         "min" -> (c => s"CAST(min($c) AS DOUBLE)"),
         "max" -> (c => s"CAST(max($c) AS DOUBLE)"),
         "null_count" -> (c => s"CAST(count(*) - count($c) AS DOUBLE)"))
+      // mirror the Spark shape: ONE aggregation pass per side (a 1-row
+      // CTE of every metric), not a scalar subquery per (column, metric)
+      def sideCte(tag: String) =
+        colNames.flatMap(c => Metrics.map(m =>
+          s"${exprs(m)(c)} AS ${tag}_${m}__$c")).mkString(", ")
       val parts = for { c <- colNames; m <- Metrics } yield
         s"""SELECT '$c' AS column_name, '$m' AS metric,
-           |  round((SELECT ${exprs(m)(c)} FROM ($sourceSql) src), 2) AS source_value,
-           |  round((SELECT ${exprs(m)(c)} FROM ($targetSql) tgt), 2) AS target_value""".stripMargin
-      s"""SELECT column_name, metric, source_value, target_value, pct_diff,
-         |  CASE WHEN pct_diff IS NULL THEN 'DRIFT'
-         |       WHEN abs(pct_diff) <= $tolerancePct THEN 'OK'
-         |       ELSE 'DRIFT' END AS status
-         |FROM (
+           |  s_${m}__$c AS source_value, t_${m}__$c AS target_value
+           |FROM both_sides""".stripMargin
+      s"""WITH src AS (SELECT ${sideCte("s")} FROM ($sourceSql) x),
+         |tgt AS (SELECT ${sideCte("t")} FROM ($targetSql) x),
+         |both_sides AS (SELECT * FROM src CROSS JOIN tgt),
+         |raw AS (${parts.mkString("\n", "\nUNION ALL\n", "\n")}),
+         |d AS (
          |  SELECT *,
          |    CASE WHEN source_value IS NULL AND target_value IS NULL THEN 0.0
          |         WHEN source_value = 0 AND target_value = 0 THEN 0.0
          |         WHEN source_value = 0 THEN NULL
          |         ELSE round((target_value - source_value) * 100.0 / abs(source_value), 2)
          |    END AS pct_diff
-         |  FROM (${parts.mkString("\n", "\nUNION ALL\n", "\n")}) raw
-         |) d ORDER BY column_name, metric""".stripMargin
+         |  FROM raw)
+         |SELECT column_name, metric,
+         |  round(source_value, 2) AS source_value,
+         |  round(target_value, 2) AS target_value,
+         |  pct_diff,
+         |  CASE WHEN pct_diff IS NULL THEN 'DRIFT'
+         |       WHEN abs(pct_diff) <= $tolerancePct THEN 'OK'
+         |       ELSE 'DRIFT' END AS status
+         |FROM d ORDER BY column_name, metric""".stripMargin
     }
   }
 

@@ -273,9 +273,12 @@ object Dedup {
       // materialize the signature kernel ONCE: sigs feeds the band
       // explode plus BOTH sides of the verify join, and those branches
       // share no exchange — without this the O(hashes × grams) kernel
-      // re-executes up to three times (localCheckpoint spills
-      // memory-then-disk on executors, so the pattern holds at scale)
-      val sigs = signatures(df, textCol, idCol, shingler).localCheckpoint(true)
+      // re-executes up to three times. persist (NOT localCheckpoint):
+      // this plan is non-iterative, so lineage can stay intact for
+      // recompute-on-executor-loss; the count() materializes eagerly
+      val sigs = signatures(df, textCol, idCol, shingler)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigs.count()
       val estCutoff =
         threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / NumHashes)
 

@@ -163,13 +163,7 @@ object TextOps {
     }
   }
 
-  /** PII / link scanning — the cheap pre-filter an LLM-data pipeline
-    * runs before redaction: counts of email-like and URL-like spans per
-    * document. Regexes deliberately use only constructs with identical
-    * semantics in Java regex (Spark) and RE2 (DuckDB): character
-    * classes, `+`, `{2,}`, alternation-free literals.
-    */
-  // ---------------------------------------------------------------- #33b
+  // ---------------------------------------------------------------- #35d
   /** Within-document repetition signals (the Gopher-rule family):
     * fraction of duplicate lines and duplicate word tokens. High
     * values mark boilerplate/listing/spam documents that CROSS-document
@@ -195,6 +189,12 @@ object TextOps {
          |FROM $table ORDER BY doc_id""".stripMargin
   }
 
+  /** PII / link scanning — the cheap pre-filter an LLM-data pipeline
+    * runs before redaction: counts of email-like and URL-like spans per
+    * document. Regexes deliberately use only constructs with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): character
+    * classes, `+`, `{2,}`, alternation-free literals.
+    */
   object PiiScan {
     val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val UrlPattern = "https?://[A-Za-z0-9./_%-]+"

@@ -87,6 +87,16 @@ class ChecksSpec extends AnyFunSuite {
     assert(res(("b", "stddev")) == "OK")    // 0.0 == 0.0 (constant column)
   }
 
+  test("StatsCompare detects drift on small-magnitude metrics (raw pct, not rounded)") {
+    import org.apache.spark.sql.functions.col
+    val src = Seq(0.05, 0.05, 0.05).toDF("a")
+    val tgt = src.select((col("a") * 1.08).as("a")) // 8% drift, invisible at 2dp
+    val res = Checks.StatsCompare.run(Seq("a"), src, tgt, tolerancePct = 1.0)
+      .collect().map(r => r.getString(1) -> r.getString(5)).toMap
+    assert(res("mean") == "DRIFT")
+    assert(res("max") == "DRIFT")
+  }
+
   test("Referential finds orphans and ignores null FKs") {
     val child = Seq((1L, Some(10L)), (2L, Some(11L)), (3L, Some(99L)), (4L, None))
       .toDF("id", "fk")

@@ -56,6 +56,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(kept("de") - 200) < 80, s"de=${kept("de")}")
   }
 
+  test("null ids get a NULL split, never silently the last split") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val out = Sampling.hashSplit(df, "doc_id", Seq("train" -> 0.9, "test" -> 0.1))
+      .collect().map(r => Option(r.get(0)) -> Option(r.getString(1))).toMap
+    assert(out(None).isEmpty)       // visible, filterable
+    assert(out(Some(1L)).nonEmpty)
+    // and sampling excludes them rather than keeping them by accident
+    assert(Sampling.sampleFraction(df, "doc_id", 1.0).count() == 2)
+  }
+
   test("sampling plans are map-side only: no exchange before the filter") {
     val plan = Sampling.sampleFraction(ids, "doc_id", 0.5)
       .queryExecution.executedPlan.toString
