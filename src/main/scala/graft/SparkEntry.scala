@@ -152,6 +152,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(Tables(s, d, "documents"))),
     "text_pii" -> ((s, d) => TextOps.PiiScan.run(Tables(s, d, "documents"))),
     "text_repetition" -> ((s, d) => TextOps.Repetition.run(Tables(s, d, "documents"))),
+    "text_domain_cap" -> ((s, d) =>
+      TextOps.DomainCap.run(Tables(s, d, "documents"), cap = DomainCapN)),
     "text_curate" -> ((s, d) => graft.operators.text.Curate.run(Tables(s, d, "documents"))),
     // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
     "sample_split" -> ((s, d) =>
@@ -210,6 +212,7 @@ object SparkEntry {
 
   private val SessionGapMinutes = 120
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val DomainCapN = 50
   private val StratFractions = Map("en" -> 0.5)
   private val StratDefault = 0.1
   private val FrameStride = 4
@@ -418,6 +421,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.Fingerprint.oracleSql("documents"),
     "text_pii" -> TextOps.PiiScan.oracleSql("documents"),
     "text_repetition" -> TextOps.Repetition.oracleSql("documents"),
+    "text_domain_cap" -> TextOps.DomainCap.oracleSql("documents", DomainCapN),
     "text_curate" -> graft.operators.text.Curate.oracleSql("documents"),
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their

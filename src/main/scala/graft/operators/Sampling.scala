@@ -68,6 +68,16 @@ object Sampling {
                      salt: Long = 0): DataFrame =
     df.where(unitPos(col(idCol), salt) < fraction)
 
+  /** Quality-weighted sampling: each row's keep-probability is its own
+    * `weightCol` (clamped to [0,1], NULL keeps nothing). The standard
+    * curation move — keep high-quality documents with high
+    * probability — as one deterministic map-side filter.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     salt: Long = 0): DataFrame =
+    df.where(unitPos(col(idCol), salt) <
+      greatest(lit(0.0), least(lit(1.0), col(weightCol).cast("double"))))
+
   /** Per-stratum fractions (e.g. keep 50% of English docs, 10% of the
     * rest): the stratum picks the threshold, the id hash picks the
     * rows. Rebalancing a skewed corpus in one codegen'd pass.

@@ -163,6 +163,46 @@ object TextOps {
     }
   }
 
+  // ---------------------------------------------------------------- #35e
+  /** Per-domain capping (the RefinedWeb/C4 curation rule): extract
+    * each document's first URL domain, rank documents within the
+    * domain, keep at most `cap`. The rank<=cap predicate compiles to
+    * WindowGroupLimit, so each input partition forwards only its local
+    * top-`cap` per domain into the shuffle — a mega-domain (the exact
+    * thing this rule exists for) never ships all its documents.
+    * Documents with no URL share the "none" domain and are capped the
+    * same way.
+    */
+  object DomainCap {
+    /** RE2-safe subset, same contract as [[PiiScan]]'s patterns. */
+    val DomainPattern = "https?://([A-Za-z0-9.-]+)"
+
+    def run(df: DataFrame, cap: Int, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy(idCol)
+      val domain = regexp_extract(col(textCol), DomainPattern, 1)
+      df.select(col(idCol),
+          when(domain === "", "none").otherwise(domain).as("domain"))
+        .withColumn("domain_rank", row_number().over(w).cast("int"))
+        .withColumn("kept", col("domain_rank") <= cap)
+        .orderBy(idCol)
+    }
+
+    def oracleSql(table: String, cap: Int): String =
+      s"""SELECT doc_id, domain,
+         |  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INTEGER)
+         |    AS domain_rank,
+         |  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INTEGER) <= $cap
+         |    AS kept
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN regexp_extract(text, '$DomainPattern', 1) = '' THEN 'none'
+         |         ELSE regexp_extract(text, '$DomainPattern', 1) END AS domain
+         |  FROM $table) t
+         |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- #35d
   /** Within-document repetition signals (the Gopher-rule family):
     * fraction of duplicate lines and duplicate word tokens. High

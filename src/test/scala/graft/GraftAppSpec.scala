@@ -121,6 +121,14 @@ class GraftAppSpec extends AnyFunSuite {
       "--gap-minutes", "240") > 0)
   }
 
+  test("generate-config writes a loadable default colcompare YAML") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gen")
+      .resolve("cc.yaml").toString
+    assert(runToParquet("generate-config", "--path", path) == 1)
+    assert(graft.app.YamlConfig.colcompare(path).typeMappings ==
+      graft.operators.TypeCompat.DefaultTypeMappings)
+  }
+
   test("rowcount accepts a reference-shaped connection YAML") {
     val tablesCsv = tmpFile("tables.csv", "table_name\nregion\nnation\ntmp_scratch\n")
     val yaml = tmpFile("conn.yaml",

@@ -56,6 +56,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(kept("de") - 200) < 80, s"de=${kept("de")}")
   }
 
+  test("weighted sampling keeps rows in proportion to their weight") {
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 8000L).toDF("doc_id")
+      .withColumn("q", (col("doc_id") % 2 === 0).cast("double") * 0.9 + 0.05)
+    // even ids weight 0.95, odd ids weight 0.05
+    val kept = Sampling.weightedSample(df, "doc_id", "q")
+      .groupBy((col("doc_id") % 2 === 0).as("even")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept(true) - 3800) < 250, s"even=${kept(true)}")
+    assert(math.abs(kept.getOrElse(false, 0L) - 200) < 100, s"odd=${kept.getOrElse(false, 0L)}")
+  }
+
   test("null ids get a NULL split, never silently the last split") {
     val df = Seq(Some(1L), Some(2L), None).toDF("doc_id")
     val out = Sampling.hashSplit(df, "doc_id", Seq("train" -> 0.9, "test" -> 0.1))

@@ -60,6 +60,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(overlapOther < 0.1)
   }
 
+  test("DomainCap: caps per extracted domain, no-URL docs share 'none'") {
+    val docs = Seq(
+      (1L, "see https://a.com/x now"),
+      (2L, "also https://a.com/y here"),
+      (3L, "and https://a.com/z too"),
+      (4L, "from https://b.org/1"),
+      (5L, "no links at all"))
+      .toDF("doc_id", "text")
+    val r = TextOps.DomainCap.run(docs, cap = 2).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getInt(2), x.getBoolean(3))).toMap
+    assert(r(1L) == (("a.com", 1, true)))
+    assert(r(2L) == (("a.com", 2, true)))
+    assert(r(3L) == (("a.com", 3, false))) // over the cap
+    assert(r(4L) == (("b.org", 1, true)))
+    assert(r(5L)._1 == "none")
+  }
+
   test("Repetition: duplicate lines and words raise the fractions") {
     val docs = Seq(
       (1L, "a b c d"),                       // all unique
