@@ -163,6 +163,12 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables(s, d, "documents"), "doc_id", "lang",
         StratFractions, StratDefault)
         .select("doc_id", "lang").orderBy("doc_id")),
+    "sample_weighted" -> ((s, d) =>
+      Sampling.weightedSample(
+        Tables(s, d, "documents")
+          .withColumn("w", (col("doc_id") % 100) / 100.0),
+        "doc_id", "w")
+        .select("doc_id").orderBy("doc_id")),
     // --- dedup for LLM-data pipelines (SURVEY §2 #25-29) ---
     "dedup_exact" -> ((s, d) => Dedup.ExactDedup.run(Tables(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -430,6 +436,8 @@ object SparkEntry {
     "sample_split" -> Sampling.splitOracleSql("documents", "doc_id", SplitWeights),
     "sample_stratified" -> Sampling.stratifiedOracleSql(
       "documents", "doc_id", "lang", StratFractions, StratDefault),
+    "sample_weighted" -> Sampling.weightedOracleSql(
+      "documents", "doc_id", "(doc_id % 100) / 100.0"),
     "dedup_exact" -> Dedup.ExactDedup.oracleSql("documents"),
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
     "dedup_clusters" -> Dedup.Components.oracleSql("documents", NgramJaccardThreshold),

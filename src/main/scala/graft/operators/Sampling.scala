@@ -69,14 +69,35 @@ object Sampling {
     df.where(unitPos(col(idCol), salt) < fraction)
 
   /** Quality-weighted sampling: each row's keep-probability is its own
-    * `weightCol` (clamped to [0,1], NULL keeps nothing). The standard
+    * `weightCol` (clamped to [0,1]; NULL and NaN weights keep
+    * nothing — Spark orders NaN ABOVE all doubles, so without nanvl a
+    * NaN would clamp to 1.0 and keep everything). The standard
     * curation move — keep high-quality documents with high
     * probability — as one deterministic map-side filter.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
-                     salt: Long = 0): DataFrame =
-    df.where(unitPos(col(idCol), salt) <
-      greatest(lit(0.0), least(lit(1.0), col(weightCol).cast("double"))))
+                     salt: Long = 0): DataFrame = {
+    val w = col(weightCol).cast("double")
+    // explicit guard, NOT nanvl/coalesce into least/greatest: Spark's
+    // least/greatest SKIP nulls (least(1.0, NULL) = 1.0), so a bare
+    // clamp would keep 100% of null-weight rows
+    val safe = when(w.isNull || isnan(w), 0.0)
+      .otherwise(greatest(lit(0.0), least(lit(1.0), w)))
+    df.where(unitPos(col(idCol), salt) < safe)
+  }
+
+  /** Oracle SQL twin of [[weightedSample]] for a SQL-expressible
+    * weight, projected to the id.
+    */
+  def weightedOracleSql(table: String, idCol: String, weightExpr: String,
+                        salt: Long = 0): String =
+    s"""SELECT $idCol FROM (
+       |  SELECT $idCol, ${unitPosSql(idCol, salt)} AS pos,
+       |    CAST(($weightExpr) AS DOUBLE) AS w
+       |  FROM $table) t
+       |WHERE pos < (CASE WHEN w IS NULL OR isnan(w) THEN 0.0
+       |  ELSE greatest(0.0, least(1.0, w)) END)
+       |ORDER BY $idCol""".stripMargin
 
   /** Per-stratum fractions (e.g. keep 50% of English docs, 10% of the
     * rest): the stratum picks the threshold, the id hash picks the

@@ -165,29 +165,46 @@ object TextOps {
 
   // ---------------------------------------------------------------- #35e
   /** Per-domain capping (the RefinedWeb/C4 curation rule): extract
-    * each document's first URL domain, rank documents within the
-    * domain, keep at most `cap`. The rank<=cap predicate compiles to
-    * WindowGroupLimit, so each input partition forwards only its local
-    * top-`cap` per domain into the shuffle — a mega-domain (the exact
-    * thing this rule exists for) never ships all its documents.
+    * each document's first URL domain (lowercased — hosts are
+    * case-insensitive, and case variants must not each get their own
+    * cap), rank documents within the domain, keep at most `cap`.
     * Documents with no URL share the "none" domain and are capped the
     * same way.
+    *
+    * [[run]] is the AUDIT report: every document with its rank and a
+    * kept flag — by definition it ships all rows. [[capped]] is the
+    * curation/scale path: the rank<=cap FILTER compiles to
+    * WindowGroupLimit, so each input partition forwards only its local
+    * top-`cap` per domain into the shuffle and a mega-domain never
+    * ships all its documents (plan-asserted in PlanAuditSpec).
     */
   object DomainCap {
     /** RE2-safe subset, same contract as [[PiiScan]]'s patterns. */
     val DomainPattern = "https?://([A-Za-z0-9.-]+)"
 
-    def run(df: DataFrame, cap: Int, textCol: String = "text",
-            idCol: String = "doc_id"): DataFrame = {
+    private def withRank(df: DataFrame, textCol: String, idCol: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("domain").orderBy(idCol)
-      val domain = regexp_extract(col(textCol), DomainPattern, 1)
+      val domain = lower(regexp_extract(col(textCol), DomainPattern, 1))
       df.select(col(idCol),
           when(domain === "", "none").otherwise(domain).as("domain"))
         .withColumn("domain_rank", row_number().over(w).cast("int"))
+    }
+
+    def run(df: DataFrame, cap: Int, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+      withRank(df, textCol, idCol)
         .withColumn("kept", col("domain_rank") <= cap)
         .orderBy(idCol)
-    }
+
+    /** Only the kept documents — the filter shape WindowGroupLimit
+      * prunes pre-shuffle.
+      */
+    def capped(df: DataFrame, cap: Int, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame =
+      withRank(df, textCol, idCol)
+        .where(col("domain_rank") <= cap)
+        .orderBy(idCol)
 
     def oracleSql(table: String, cap: Int): String =
       s"""SELECT doc_id, domain,
@@ -198,7 +215,7 @@ object TextOps {
          |FROM (
          |  SELECT doc_id,
          |    CASE WHEN regexp_extract(text, '$DomainPattern', 1) = '' THEN 'none'
-         |         ELSE regexp_extract(text, '$DomainPattern', 1) END AS domain
+         |         ELSE lower(regexp_extract(text, '$DomainPattern', 1)) END AS domain
          |  FROM $table) t
          |ORDER BY doc_id""".stripMargin
   }

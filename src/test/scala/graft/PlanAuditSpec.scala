@@ -47,6 +47,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("domain capping: the capped (filtering) path prunes pre-shuffle") {
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+    val p = plan(graft.operators.text.TextOps.DomainCap.capped(docs, cap = 5))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
   test("nullcheck: single scan, no per-column jobs") {
     val p = plan(q("nullcheck_customer"))
     // one parquet scan feeding one aggregate — the reference's

@@ -68,6 +68,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(kept.getOrElse(false, 0L) - 200) < 100, s"odd=${kept.getOrElse(false, 0L)}")
   }
 
+  test("NaN and NULL weights keep nothing (not everything)") {
+    val df = Seq((1L, Double.NaN), (2L, Double.NaN), (3L, 1.0))
+      .toDF("doc_id", "w")
+      .union(Seq((4L, null.asInstanceOf[java.lang.Double]))
+        .toDF("doc_id", "w"))
+    val kept = Sampling.weightedSample(df, "doc_id", "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L)) // weight 1.0 keeps; NaN/NULL drop
+  }
+
   test("null ids get a NULL split, never silently the last split") {
     val df = Seq(Some(1L), Some(2L), None).toDF("doc_id")
     val out = Sampling.hashSplit(df, "doc_id", Seq("train" -> 0.9, "test" -> 0.1))

@@ -63,7 +63,7 @@ class TextOpsSpec extends AnyFunSuite {
   test("DomainCap: caps per extracted domain, no-URL docs share 'none'") {
     val docs = Seq(
       (1L, "see https://a.com/x now"),
-      (2L, "also https://a.com/y here"),
+      (2L, "also https://A.COM/y here"),   // case variant: same host
       (3L, "and https://a.com/z too"),
       (4L, "from https://b.org/1"),
       (5L, "no links at all"))
@@ -71,10 +71,13 @@ class TextOpsSpec extends AnyFunSuite {
     val r = TextOps.DomainCap.run(docs, cap = 2).collect()
       .map(x => x.getLong(0) -> (x.getString(1), x.getInt(2), x.getBoolean(3))).toMap
     assert(r(1L) == (("a.com", 1, true)))
-    assert(r(2L) == (("a.com", 2, true)))
+    assert(r(2L) == (("a.com", 2, true)))  // lowercased into the same cap
     assert(r(3L) == (("a.com", 3, false))) // over the cap
     assert(r(4L) == (("b.org", 1, true)))
     assert(r(5L)._1 == "none")
+    // capped = only the kept rows
+    assert(TextOps.DomainCap.capped(docs, cap = 2).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L))
   }
 
   test("Repetition: duplicate lines and words raise the fractions") {
