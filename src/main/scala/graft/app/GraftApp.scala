@@ -43,6 +43,8 @@ import org.apache.spark.sql.functions.expr
   * GraftApp asof            --dir /data/sf1 --table events --key user_id --ts ts \
   *     --left-where "event_type='click'" --right-where "event_type='error'"
   * GraftApp range-join      --dir /data/sf1 [--gap-minutes 120]
+  * GraftApp split           --dir /data/sf1 --table documents --id doc_id \
+  *     [--weights train:0.8,val:0.1,test:0.1] [--salt 0]
   * GraftApp dedup           --dir /data/sf1 --table documents [--threshold 0.8]
   * GraftApp sessionize      --dir /data/sf1 [--gap-minutes 120]
   * }}}
@@ -80,8 +82,8 @@ object GraftApp {
   private val tools = Seq("rowcount", "dbstats-compare", "nullcheck", "keyfinder",
     "colcompare", "generate-config", "combine", "parquetizer", "dynamic-query",
     "completeness", "uniqueness", "format", "range", "stats", "stats-compare",
-    "values", "referential", "suite", "skew", "asof", "range-join", "dedup",
-    "sessionize")
+    "values", "referential", "suite", "skew", "asof", "range-join", "split",
+    "dedup", "sessionize")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -249,6 +251,18 @@ object GraftApp {
           keyCol = "user_id", tsCol = "ts",
           startCol = "session_start", endCol = "session_end",
           bucketWidthSec = 6 * 3600)
+      case "split" =>
+        // deterministic train/val/test assignment; weights as
+        // name:weight pairs, e.g. --weights train:0.8,val:0.1,test:0.1
+        val weights = f.getOrElse("weights", "train:0.8,val:0.1,test:0.1")
+          .split(",").toSeq.map { pair =>
+            pair.split(":") match {
+              case Array(n, w) => n -> w.toDouble
+              case _ => sys.error(s"bad --weights entry '$pair' (name:weight)")
+            }
+          }
+        Sampling.hashSplit(table, flag("id"), weights,
+          f.getOrElse("salt", "0").toLong)
       case "dedup" =>
         Dedup.Components.dedupGroups(table, f.getOrElse("threshold", "0.8").toDouble)
       case "sessionize" =>

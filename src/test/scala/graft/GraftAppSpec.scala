@@ -112,6 +112,17 @@ class GraftAppSpec extends AnyFunSuite {
     assert(runToParquet("suite", "--dir", TestSpark.sf0001, "--checks", yaml) == 6)
   }
 
+  test("split tool assigns every row to a named split") {
+    val out = java.nio.file.Files.createTempDirectory("graft_app").toString + "/res"
+    GraftApp.run(spark, Seq("split", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--id", "doc_id",
+      "--weights", "train:0.9,test:0.1", "--out", out))
+    val res = spark.read.parquet(out)
+    assert(res.count() == 500)
+    assert(res.select("split").distinct().collect().map(_.getString(0)).toSet
+      == Set("train", "test"))
+  }
+
   test("asof and range-join tools run end-to-end") {
     assert(runToParquet("asof", "--dir", TestSpark.sf0001,
       "--table", "events", "--key", "user_id", "--ts", "ts",
