@@ -56,6 +56,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stateless operators (hashSplit) run unchanged on streams, same assignments") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val query = graft.operators.Sampling.hashSplit(
+      input.toDF().toDF("doc_id"), "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2))
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(0L until 500L: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("split_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.operators.Sampling.hashSplit(
+        (0L until 500L).toDF("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "test" -> 0.2))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // identical assignment batch vs stream — membership is a pure
+      // function of the id, not of execution mode
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches the batch join on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
