@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Partition-layout writer: the storage-side half of the 100 TB design.
   *
@@ -45,5 +45,53 @@ object PartitionedWrite {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(tableName)
+  }
+
+  /** Interleave the low 32 bits of two non-negative ints into a
+    * 64-bit Morton (Z-order) value — pure bit arithmetic, codegen'd.
+    */
+  private[sources] def morton(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      // classic bit-spread: insert one zero bit between each of the
+      // low 32 bits
+      var x = c.cast("long")
+      x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x3333333333333333L))
+      (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-order clustering write: rows are range-partitioned and sorted
+    * by the Morton interleave of two columns' normalized positions, so
+    * parquet row-group min/max statistics stay NARROW on BOTH columns
+    * — a filter on either dimension (or both) skips most files. Plain
+    * sorting gives this for the first sort column only; Z-ordering is
+    * the standard lakehouse answer when queries filter on two.
+    *
+    * Normalization is min/max linear scaling into 16-bit grid cells
+    * (one tiny agg job to fetch the bounds); monotone per dimension,
+    * which is all Morton ordering needs.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    nFiles: Int): Unit = {
+    val Cells = 65535 // 16-bit grid per dimension
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .collect()(0)
+    def cell(c: String, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      else round((col(c).cast("double") - lo) / (hi - lo) * Cells, 0).cast("long")
+    val z = morton(
+      cell(colA, b.getDouble(0), b.getDouble(1)),
+      cell(colB, b.getDouble(2), b.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 }

@@ -115,6 +115,54 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order write keeps row-group stats narrow on BOTH columns") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // independent uniform dimensions: x = i mod 64, y = i div 64
+    val grid = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft_z")
+
+    def ranges(dir: String, column: String): Seq[(Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      new java.io.File(dir).listFiles
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getPath),
+            new org.apache.hadoop.conf.Configuration())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val stats = r.getFooter.getBlocks.asScala.flatMap(b =>
+              b.getColumns.asScala
+                .filter(_.getPath.toDotString == column).map(_.getStatistics))
+            (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+              stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+          } finally r.close()
+        }
+    }
+    // mean fraction of the column's global range a file's stats span —
+    // the probability a point filter CANNOT skip the file
+    def coverage(rs: Seq[(Long, Long)]): Double = {
+      val lo = rs.map(_._1).min; val hi = rs.map(_._2).max
+      rs.map { case (a, b) => (b - a).toDouble / math.max(1L, hi - lo) }
+        .sum / rs.size
+    }
+
+    val plain = base.resolve("plain").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(plain)
+    val zord = base.resolve("zord").toString
+    graft.sources.PartitionedWrite.writeZOrdered(grid, zord, "x", "y", nFiles = 16)
+
+    // plain sort: x prunes perfectly but y stats span ~the full range
+    assert(coverage(ranges(plain, "y")) > 0.9, "fixture not adversarial for y")
+    // z-order: BOTH dimensions stay narrow — a filter on either skips
+    // most files
+    val (zx, zy) = (coverage(ranges(zord, "x")), coverage(ranges(zord, "y")))
+    assert(zx < 0.6, s"x coverage $zx not narrowed by z-ordering")
+    assert(zy < 0.6, s"y coverage $zy not narrowed by z-ordering")
+  }
+
   test("text ops stay in one codegen'd projection over the scan (no agg shuffle)") {
     val p = plan(q("text_quality"))
     // the only exchange allowed is the final orderBy's range partition
