@@ -261,8 +261,21 @@ object GraftApp {
               case _ => sys.error(s"bad --weights entry '$pair' (name:weight)")
             }
           }
-        Sampling.hashSplit(table, flag("id"), weights,
-          f.getOrElse("salt", "0").toLong)
+        val t = table
+        val idCol = flag("id")
+        // loud up-front type check: under ANSI mode (Spark 4 default) a
+        // string id would make unitPos's cast throw mid-job instead
+        val idType = t.schema(idCol).dataType
+        val integral = {
+          import org.apache.spark.sql.types._
+          idType match {
+            case LongType | IntegerType | ShortType | ByteType => true
+            case _ => false
+          }
+        }
+        require(integral,
+          s"--id column '$idCol' must be integral (long/int), got ${idType.simpleString}")
+        Sampling.hashSplit(t, idCol, weights, f.getOrElse("salt", "0").toLong)
       case "dedup" =>
         Dedup.Components.dedupGroups(table, f.getOrElse("threshold", "0.8").toDouble)
       case "sessionize" =>

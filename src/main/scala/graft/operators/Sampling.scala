@@ -44,11 +44,14 @@ object Sampling {
     * partition the unit interval, and each row's hash position picks
     * its split — disjoint, exhaustive, reproducible.
     *
-    * Rows whose id is NULL (or not castable to long) have no hash
-    * position: their split is NULL — visible and filterable — rather
-    * than silently polluting the last split. The sampling functions
-    * below likewise exclude such rows (a NULL position passes no
-    * threshold).
+    * Rows whose id is NULL have no hash position: their split is NULL
+    * — visible and filterable — rather than silently polluting the
+    * last split. The sampling functions below likewise exclude such
+    * rows (a NULL position passes no threshold). The id column must be
+    * integral-castable (long/int/date-epoch…): under Spark's ANSI mode
+    * (the Spark 4 default) a string id column would make the cast
+    * throw, so [[graft.app.GraftApp]]'s split tool validates the
+    * column type up front.
     */
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Double)], salt: Long = 0): DataFrame = {

@@ -77,21 +77,39 @@ object PartitionedWrite {
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     nFiles: Int): Unit = {
+    require(!df.columns.contains("__z"),
+      "writeZOrdered reserves the column name __z")
     val Cells = 65535 // 16-bit grid per dimension
-    val b = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double"))
-      .collect()(0)
-    def cell(c: String, lo: Double, hi: Double): Column =
-      if (hi == lo) lit(0L)
-      else round((col(c).cast("double") - lo) / (hi - lo) * Cells, 0).cast("long")
-    val z = morton(
-      cell(colA, b.getDouble(0), b.getDouble(1)),
-      cell(colB, b.getDouble(2), b.getDouble(3)))
-    df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    // NaN-safe bounds (max() would order NaN above every double and
+    // poison the scale factor); persist around the two actions so the
+    // bounds agg doesn't recompute an expensive upstream twice
+    def safe(c: String) = {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null).cast("double")).otherwise(d)
+    }
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b = cached.agg(
+        min(safe(colA)), max(safe(colA)), min(safe(colB)), max(safe(colB)))
+        .collect()(0)
+      // empty input or an all-NULL/NaN column: no clustering possible —
+      // write the data unclustered rather than crash the pipeline
+      if ((0 to 3).exists(b.isNullAt)) {
+        cached.write.mode("overwrite").parquet(path)
+        return
+      }
+      def cell(c: String, lo: Double, hi: Double): Column =
+        if (hi == lo) lit(0L)
+        else coalesce( // NULL/NaN values land in cell 0, clustered together
+          round((safe(c) - lo) / (hi - lo) * Cells, 0).cast("long"), lit(0L))
+      val z = morton(
+        cell(colA, b.getDouble(0), b.getDouble(1)),
+        cell(colB, b.getDouble(2), b.getDouble(3)))
+      cached.withColumn("__z", z)
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    } finally cached.unpersist(blocking = false)
   }
 }

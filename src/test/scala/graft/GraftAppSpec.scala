@@ -121,6 +121,12 @@ class GraftAppSpec extends AnyFunSuite {
     assert(res.count() == 500)
     assert(res.select("split").distinct().collect().map(_.getString(0)).toSet
       == Set("train", "test"))
+    // string id columns are rejected up front (ANSI cast would throw
+    // mid-job otherwise)
+    val e = intercept[IllegalArgumentException](GraftApp.run(spark,
+      Seq("split", "--dir", TestSpark.sf0001, "--table", "documents",
+        "--id", "lang")))
+    assert(e.getMessage.contains("integral"))
   }
 
   test("asof and range-join tools run end-to-end") {

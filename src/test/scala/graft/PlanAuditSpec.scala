@@ -161,6 +161,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val (zx, zy) = (coverage(ranges(zord, "x")), coverage(ranges(zord, "y")))
     assert(zx < 0.6, s"x coverage $zx not narrowed by z-ordering")
     assert(zy < 0.6, s"y coverage $zy not narrowed by z-ordering")
+
+    // degenerate inputs write unclustered instead of crashing
+    val empty = base.resolve("empty").toString
+    graft.sources.PartitionedWrite.writeZOrdered(
+      grid.where(col("x") < 0), empty, "x", "y", nFiles = 4)
+    assert(spark.read.parquet(empty).count() == 0)
+    val withNan = base.resolve("nan").toString
+    graft.sources.PartitionedWrite.writeZOrdered(
+      grid.withColumn("x",
+        org.apache.spark.sql.functions.when(col("x") === 0, Double.NaN)
+          .otherwise(col("x").cast("double"))),
+      withNan, "x", "y", nFiles = 4)
+    assert(spark.read.parquet(withNan).count() == 4096)
+    // reserved temp column name is rejected loudly
+    intercept[IllegalArgumentException](
+      graft.sources.PartitionedWrite.writeZOrdered(
+        grid.withColumn("__z", col("x")), base.resolve("zz").toString,
+        "x", "y", nFiles = 4))
   }
 
   test("text ops stay in one codegen'd projection over the scan (no agg shuffle)") {
