@@ -227,30 +227,165 @@ object Dedup {
         }.toDF("gid", "sig", "ghash")
     }
 
-    /** Candidate pairs from LSH banding: explode each signature into
-      * (band, band_hash) keys, shuffle on the key, pair within buckets.
+    /** Residual-bucket cap applied AFTER exact-content collapse. A
+      * bucket of B distinct contents emits ≤ C(B,2) rep pairs into the
+      * estimate prefilter — 1024 bounds that at ~524k pairs, a
+      * single-task-sized unit of work. Buckets over the cap are
+      * SKIPPED (recall loss, never precision loss) and reported by
+      * [[heavyBuckets]]; raise the cap with the audit in hand rather
+      * than letting one degenerate band key run a 10¹²-pair join task
+      * at 100 TB. AQE skew splitting cannot substitute: the blowup is
+      * join OUTPUT, not input partition size.
       */
-    def candidatePairs(sigDf: DataFrame): DataFrame = {
-      val banded = sigDf.select(
-        col("gid"),
-        posexplode(array((0 until Bands).map { b =>
-          xxhash64(slice(col("sig"), b * Rows + 1, Rows))
-        }: _*)).as(Seq("band", "band_hash")))
-      val l = banded.select(col("band"), col("band_hash"), col("gid").as("doc_id_1"))
-      val r = banded.select(col("band"), col("band_hash"), col("gid").as("doc_id_2"))
-      l.join(r, Seq("band", "band_hash"))
-        .where(col("doc_id_1") < col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2")
-        .distinct()
+    val DefaultMaxBucket = 1024
+
+    /** Exact-content collapse (hot-bucket bound, part 1): group docs
+      * by a 128-bit fingerprint of the sorted distinct gram-hash set
+      * (two independent xxhash64 views; collision odds ~2⁻¹²⁸, which
+      * is what licenses emitting in-group pairs as jaccard 1.0 without
+      * re-verification). Identical gram sets ⇒ jaccard exactly 1.0 ⇒
+      * in-group pairs need no banding at all, so a million identical
+      * boilerplate pages contribute ONE row per band instead of a
+      * million rows that the band self-join would expand to C(10⁶,2)
+      * pairs before any filter could run.
+      *
+      * Returns (gid, rep, n_docs, n_grams): rep = min gid of the
+      * content group, n_grams = |gram set| (0 for empty/short docs,
+      * whose similarity to anything is 0.0 by convention).
+      */
+    private[graft] def contentMembers(sigs: DataFrame): DataFrame = {
+      val keyed = sigs.select(col("gid"),
+        xxhash64(col("ghash")).as("fp1"),
+        xxhash64(reverse(col("ghash"))).as("fp2"),
+        size(col("ghash")).as("n_grams"))
+      val groups = keyed.groupBy("fp1", "fp2")
+        .agg(min("gid").as("rep"), count(lit(1)).as("n_docs"),
+          max("n_grams").as("n_grams"))
+      keyed.select("gid", "fp1", "fp2")
+        .join(groups, Seq("fp1", "fp2"))
+        .select("gid", "rep", "n_docs", "n_grams")
     }
 
-    /** Full pipeline: LSH candidates, signature-estimate prefilter,
-      * then exact-Jaccard verification — identical output schema to
-      * [[NgramJaccard.allPairs]] but with O(docs × bands) shuffle.
+    /** (gid, sig, band, band_hash) for the non-empty content
+      * representatives — the only rows that enter the band self-join.
+      */
+    private def bandedRepsRaw(sigs: DataFrame, members: DataFrame): DataFrame =
+      sigs.join(
+          members.where(col("gid") === col("rep") && col("n_grams") > 0)
+            .select("gid"),
+          Seq("gid"))
+        .select(
+          col("gid"), col("sig"),
+          posexplode(array((0 until Bands).map { b =>
+            xxhash64(slice(col("sig"), b * Rows + 1, Rows))
+          }: _*)).as(Seq("band", "band_hash")))
+
+    /** Banded reps with over-cap buckets removed (hot-bucket bound,
+      * part 2). One window count over the band key — the window's
+      * hash partitioning is exactly the subsequent join's key, so the
+      * exchange is reused, not repeated.
+      */
+    private[graft] def bandedReps(sigs: DataFrame, members: DataFrame,
+                                  maxBucket: Int): DataFrame = {
+      val w = Window.partitionBy("band", "band_hash")
+      bandedRepsRaw(sigs, members)
+        .withColumn("bucket_n", count(lit(1)).over(w))
+        .where(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+    }
+
+    /** Skew-report-style audit of the band buckets the cap drops:
+      * (band, band_hash, n_reps) for every bucket with more than
+      * `maxBucket` DISTINCT contents, largest first. Empty on healthy
+      * corpora — a non-empty result is the signal to inspect the
+      * colliding content class and either dedup it upstream or raise
+      * the cap deliberately.
+      */
+    def heavyBuckets(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     shingler: Shingler = CharNgrams(),
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      val sigs = signatures(df, textCol, idCol, shingler).localCheckpoint(true)
+      bandedRepsRaw(sigs, contentMembers(sigs))
+        .groupBy("band", "band_hash").agg(count(lit(1)).as("n_reps"))
+        .where(col("n_reps") > maxBucket)
+        .orderBy(col("n_reps").desc, col("band"), col("band_hash"))
+    }
+
+    /** Candidate pairs from LSH banding: collapse identical SIGNATURES
+      * to one representative, band the reps (over-cap buckets dropped),
+      * pair within buckets, then restore member pairs — in-group pairs
+      * (identical signatures collide in every band by definition) plus
+      * cross-group pairs expanded through the membership. The band
+      * self-join is O(distinct sigs × bands); only the final, contract-
+      * mandated pair OUTPUT can be quadratic in a degenerate class.
+      * (Collapse here keys on the signature, not the gram set — safe
+      * because candidates are verified downstream; [[nearDuplicates]]
+      * keys on content, which its unverified 1.0 pairs require.)
+      */
+    def candidatePairs(sigDf: DataFrame,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      val keyed = sigDf.select(col("gid"), col("sig"),
+        xxhash64(col("sig")).as("fp1"),
+        xxhash64(reverse(col("sig"))).as("fp2"))
+        .localCheckpoint(true)
+      val groups = keyed.groupBy("fp1", "fp2")
+        .agg(min("gid").as("rep"), count(lit(1)).as("n_docs"))
+      val members = keyed.select("gid", "fp1", "fp2")
+        .join(groups, Seq("fp1", "fp2"))
+        .select("gid", "rep", "n_docs")
+        .localCheckpoint(true)
+      val banded = keyed
+        .join(members.where(col("gid") === col("rep")).select("gid"), Seq("gid"))
+        .select(
+          col("gid"),
+          posexplode(array((0 until Bands).map { b =>
+            xxhash64(slice(col("sig"), b * Rows + 1, Rows))
+          }: _*)).as(Seq("band", "band_hash")))
+      val w = Window.partitionBy("band", "band_hash")
+      val capped = banded.withColumn("bucket_n", count(lit(1)).over(w))
+        .where(col("bucket_n") <= maxBucket).drop("bucket_n")
+      val l = capped.select(col("band"), col("band_hash"), col("gid").as("rep_1"))
+      val r = capped.select(col("band"), col("band_hash"), col("gid").as("rep_2"))
+      val repPairs = l.join(r, Seq("band", "band_hash"))
+        .where(col("rep_1") < col("rep_2"))
+        .select("rep_1", "rep_2")
+        .distinct()
+      val m1 = members.select(col("rep").as("rep_1"), col("gid").as("m1"))
+      val m2 = members.select(col("rep").as("rep_2"), col("gid").as("m2"))
+      val cross = repPairs.join(m1, Seq("rep_1")).join(m2, Seq("rep_2"))
+        .select(least(col("m1"), col("m2")).as("doc_id_1"),
+          greatest(col("m1"), col("m2")).as("doc_id_2"))
+      val dup = members.where(col("n_docs") >= 2)
+      val within = dup.select(col("rep"), col("gid").as("doc_id_1"))
+        .join(dup.select(col("rep"), col("gid").as("doc_id_2")), Seq("rep"))
+        .where(col("doc_id_1") < col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+      cross.unionAll(within)
+    }
+
+    /** Full pipeline: exact-content collapse, LSH banding over the
+      * distinct-content representatives (over-cap buckets dropped),
+      * signature-estimate prefilter, exact-Jaccard verification, then
+      * member expansion — identical output schema and (cap permitting)
+      * identical rows to [[NgramJaccard.allPairs]], with O(distinct
+      * contents × bands) shuffle.
       *
-      * Three-stage funnel, each stage cutting the pair count before the
-      * next (wider) payload is touched:
-      *  1. band join on (band, band_hash) — the only O(docs)-sized
+      * Hot-bucket bound: degenerate corpora (millions of identical
+      * boilerplate pages, empty/short docs that share the all-MaxValue
+      * signature) previously hit the band self-join as one bucket and
+      * expanded to C(c,2) pairs BEFORE any filter could run — join
+      * OUTPUT blowup, which AQE skew splitting cannot touch. Now
+      * identical content enters banding exactly once ([[contentMembers]]
+      * — in-group pairs are emitted directly at jaccard 1.0, which
+      * identical gram sets guarantee), empty docs never enter at all
+      * (similarity 0.0 by convention), and residual buckets over
+      * `maxBucket` DISTINCT contents are skipped (recall loss only,
+      * audited by [[heavyBuckets]]).
+      *
+      * Funnel stages after the collapse, each cutting the pair count
+      * before the next (wider) payload is touched:
+      *  1. band join on (band, band_hash) — the only O(reps)-sized
       *     shuffle carries (gid, 1 KB signature) per band;
       *  2. estimate Jaccard from the 128 signature components IN the
       *     join output (JIT'd kernel, no extra shuffle) and drop pairs
@@ -261,39 +396,44 @@ object Dedup {
       *  3. exact verification only for survivors: join back to the
       *     SORTED GRAM-HASH sets (8 bytes/gram vs ~10-byte strings)
       *     and intersect with a merge-walk — an order of magnitude
-      *     cheaper than Catalyst array_intersect on string arrays.
+      *     cheaper than Catalyst array_intersect on string arrays;
+      *  4. expansion through the membership: verified (rep_1, rep_2)
+      *     scores apply verbatim to every cross-group member pair
+      *     (identical gram sets ⇒ identical jaccard), plus in-group
+      *     pairs at 1.0. Only this final, contract-mandated OUTPUT can
+      *     be quadratic in a duplicate class.
       * Measured at sf0.1: 100 s (HOF signatures + string verify) →
-      * 45 s (kernel signatures, unfiltered verify) → ~7 s (this).
+      * 45 s (kernel signatures, unfiltered verify) → ~7 s (funnel) →
+      * ~equal with the collapse (no degenerate classes at sf0.1).
       */
     def nearDuplicates(df: DataFrame, threshold: Double,
                        textCol: String = "text", idCol: String = "doc_id",
-                       shingler: Shingler = CharNgrams()): DataFrame = {
+                       shingler: Shingler = CharNgrams(),
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      require(threshold > 0.0 && threshold <= 1.0,
+        s"threshold must be in (0, 1], got $threshold (at 0 every pair matches — " +
+          "that output is quadratic by definition; use allPairs on a blocked domain)")
       val spark = df.sparkSession
       import spark.implicits._
-      // materialize the signature kernel ONCE: sigs feeds the band
-      // explode plus BOTH sides of the verify join, and those branches
-      // share no exchange — without this the O(hashes × grams) kernel
-      // re-executes up to three times. persist (NOT localCheckpoint):
-      // this plan is non-iterative, so lineage can stay intact for
-      // recompute-on-executor-loss; the count() materializes eagerly
-      val sigs = signatures(df, textCol, idCol, shingler)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sigs.count()
+      // localCheckpoint (eager) — materialize the signature kernel ONCE:
+      // sigs feeds the membership, the band explode, AND both sides of
+      // the verify join, and those branches share no exchange. Unlike
+      // the previous persist(MEMORY_AND_DISK) there is no session-long
+      // cache leak: checkpoint blocks are reference-tracked and freed
+      // by the ContextCleaner once the plan is unreachable.
+      val sigs = signatures(df, textCol, idCol, shingler).localCheckpoint(true)
+      val members = contentMembers(sigs).localCheckpoint(true)
       val estCutoff =
         threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / NumHashes)
 
-      val banded = sigs.select(
-        col("gid"), col("sig"),
-        posexplode(array((0 until Bands).map { b =>
-          xxhash64(slice(col("sig"), b * Rows + 1, Rows))
-        }: _*)).as(Seq("band", "band_hash")))
-      val l = banded.select(col("band"), col("band_hash"),
-        col("gid").as("doc_id_1"), col("sig").as("s1"))
-      val r = banded.select(col("band"), col("band_hash"),
-        col("gid").as("doc_id_2"), col("sig").as("s2"))
+      val capped = bandedReps(sigs, members, maxBucket)
+      val l = capped.select(col("band"), col("band_hash"),
+        col("gid").as("rep_1"), col("sig").as("s1"))
+      val r = capped.select(col("band"), col("band_hash"),
+        col("gid").as("rep_2"), col("sig").as("s2"))
       val survivors = l.join(r, Seq("band", "band_hash"))
-        .where(col("doc_id_1") < col("doc_id_2"))
-        .select(col("doc_id_1"), col("doc_id_2"), col("s1"), col("s2"))
+        .where(col("rep_1") < col("rep_2"))
+        .select(col("rep_1"), col("rep_2"), col("s1"), col("s2"))
         .as[(Long, Long, Array[Long], Array[Long])]
         .mapPartitions { it =>
           it.flatMap { case (a, b, s1, s2) =>
@@ -302,17 +442,17 @@ object Dedup {
             val est = eq.toDouble / s1.length
             if (est >= estCutoff) Iterator.single((a, b)) else Iterator.empty
           }
-        }.toDF("doc_id_1", "doc_id_2")
-        .dropDuplicates("doc_id_1", "doc_id_2")
+        }.toDF("rep_1", "rep_2")
+        .dropDuplicates("rep_1", "rep_2")
 
       val g = sigs.select(col("gid"), col("ghash"))
-      survivors
-        .join(g.select(col("gid").as("doc_id_1"), col("ghash").as("h1")), Seq("doc_id_1"))
-        .join(g.select(col("gid").as("doc_id_2"), col("ghash").as("h2")), Seq("doc_id_2"))
-        .select(col("doc_id_1"), col("doc_id_2"), col("h1"), col("h2"))
+      val verified = survivors
+        .join(g.select(col("gid").as("rep_1"), col("ghash").as("h1")), Seq("rep_1"))
+        .join(g.select(col("gid").as("rep_2"), col("ghash").as("h2")), Seq("rep_2"))
+        .select(col("rep_1"), col("rep_2"), col("h1"), col("h2"))
         .as[(Long, Long, Array[Long], Array[Long])]
         .mapPartitions { it =>
-          it.map { case (a, b, h1, h2) =>
+          it.flatMap { case (a, b, h1, h2) =>
             var i = 0; var j = 0; var inter = 0
             while (i < h1.length && j < h2.length) {
               if (h1(i) == h2(j)) { inter += 1; i += 1; j += 1 }
@@ -321,10 +461,24 @@ object Dedup {
             }
             val union = h1.length + h2.length - inter
             val jac = if (union == 0) 0.0 else inter.toDouble / union
-            (a, b, jac)
+            if (jac >= threshold) Iterator.single((a, b, jac)) else Iterator.empty
           }
-        }.toDF("doc_id_1", "doc_id_2", "jaccard_raw")
-        .where(col("jaccard_raw") >= threshold)
+        }.toDF("rep_1", "rep_2", "jaccard_raw")
+
+      val m1 = members.select(col("rep").as("rep_1"), col("gid").as("m1"))
+      val m2 = members.select(col("rep").as("rep_2"), col("gid").as("m2"))
+      val cross = verified.join(m1, Seq("rep_1")).join(m2, Seq("rep_2"))
+        .select(least(col("m1"), col("m2")).as("doc_id_1"),
+          greatest(col("m1"), col("m2")).as("doc_id_2"), col("jaccard_raw"))
+      // in-group pairs: identical gram sets ⇒ jaccard exactly 1.0 ≥ any
+      // valid threshold; empty-content groups (n_grams = 0) are
+      // similarity 0.0 by convention and emit nothing
+      val dup = members.where(col("n_docs") >= 2 && col("n_grams") > 0)
+      val within = dup.select(col("rep"), col("gid").as("doc_id_1"))
+        .join(dup.select(col("rep"), col("gid").as("doc_id_2")), Seq("rep"))
+        .where(col("doc_id_1") < col("doc_id_2"))
+        .select(col("doc_id_1"), col("doc_id_2"), lit(1.0).as("jaccard_raw"))
+      cross.unionAll(within)
         .select(col("doc_id_1"), col("doc_id_2"),
           round(col("jaccard_raw"), 4).as("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
@@ -516,28 +670,64 @@ object Dedup {
         }.toDF("gid", "simhash")
     }
 
-    /** Near-dup pairs with Hamming distance ≤ maxHamming (default 3). */
+    /** Near-dup pairs with Hamming distance ≤ maxHamming (default 3).
+      *
+      * Hot-bucket bound (same family as
+      * [[MinHashDedup.nearDuplicates]]): identical signatures collapse
+      * to one representative before chunk blocking — hamming is a pure
+      * signature distance, so in-group pairs are distance 0 by
+      * definition and re-deriving them through the 4-chunk self-join
+      * would expand a c-strong identical class (empty docs all hash to
+      * simhash 0; boilerplate pages to one value) to 4·C(c,2) join rows
+      * before any filter ran. Residual chunk buckets with more than
+      * `maxBucket` DISTINCT signatures are skipped (recall loss only —
+      * each such bucket holds ≥ maxBucket mutually-near signatures for
+      * some chunk, the same degenerate-corpus signal [[heavyBuckets]]
+      * audits on the MinHash side).
+      */
     def hammingPairs(df: DataFrame, maxHamming: Int = 3,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-      val sigs = signatures(df, textCol, idCol)
-      val chunked = sigs.select(
-        col("gid"), col("simhash"),
-        posexplode(array((0 until Chunks).map { c =>
-          expr(s"shiftright(simhash, ${c * ChunkBits}) & 65535")
-        }: _*)).as(Seq("chunk", "chunk_val")))
-      val l = chunked.select(col("chunk"), col("chunk_val"),
-        col("gid").as("doc_id_1"), col("simhash").as("s1"))
-      val r = chunked.select(col("chunk"), col("chunk_val"),
-        col("gid").as("doc_id_2"), col("simhash").as("s2"))
-      l.join(r, Seq("chunk", "chunk_val"))
-        .where(col("doc_id_1") < col("doc_id_2"))
-        .select(col("doc_id_1"), col("doc_id_2"),
+                     textCol: String = "text", idCol: String = "doc_id",
+                     maxBucket: Int = MinHashDedup.DefaultMaxBucket): DataFrame = {
+      val sigs = signatures(df, textCol, idCol).localCheckpoint(true)
+      val groups = sigs.groupBy("simhash")
+        .agg(min("gid").as("rep"), count(lit(1)).as("n_docs"))
+      val members = sigs.join(groups, Seq("simhash"))
+        .select("gid", "rep", "n_docs")
+        .localCheckpoint(true)
+      val chunked = sigs
+        .join(members.where(col("gid") === col("rep")).select("gid"), Seq("gid"))
+        .select(
+          col("gid"), col("simhash"),
+          posexplode(array((0 until Chunks).map { c =>
+            expr(s"shiftright(simhash, ${c * ChunkBits}) & 65535")
+          }: _*)).as(Seq("chunk", "chunk_val")))
+      val w = Window.partitionBy("chunk", "chunk_val")
+      val capped = chunked.withColumn("bucket_n", count(lit(1)).over(w))
+        .where(col("bucket_n") <= maxBucket).drop("bucket_n")
+      val l = capped.select(col("chunk"), col("chunk_val"),
+        col("gid").as("rep_1"), col("simhash").as("s1"))
+      val r = capped.select(col("chunk"), col("chunk_val"),
+        col("gid").as("rep_2"), col("simhash").as("s2"))
+      val repPairs = l.join(r, Seq("chunk", "chunk_val"))
+        .where(col("rep_1") < col("rep_2"))
+        .select(col("rep_1"), col("rep_2"),
           expr("bit_count(s1 ^ s2)").as("hamming"))
         // filter BEFORE the dedup shuffle: bit_count is codegen'd and
         // cheap per candidate; distinct() then only shuffles survivors
         .where(col("hamming") <= maxHamming)
         .distinct()
-        .orderBy("doc_id_1", "doc_id_2")
+      val m1 = members.select(col("rep").as("rep_1"), col("gid").as("m1"))
+      val m2 = members.select(col("rep").as("rep_2"), col("gid").as("m2"))
+      val cross = repPairs.join(m1, Seq("rep_1")).join(m2, Seq("rep_2"))
+        .select(least(col("m1"), col("m2")).as("doc_id_1"),
+          greatest(col("m1"), col("m2")).as("doc_id_2"), col("hamming"))
+      val dup = members.where(col("n_docs") >= 2)
+      val within = dup.select(col("rep"), col("gid").as("doc_id_1"))
+        .join(dup.select(col("rep"), col("gid").as("doc_id_2")), Seq("rep"))
+        .where(col("doc_id_1") < col("doc_id_2"))
+        .select(col("doc_id_1"), col("doc_id_2"),
+          lit(0).cast("int").as("hamming"))
+      cross.unionAll(within).orderBy("doc_id_1", "doc_id_2")
     }
   }
 
@@ -586,20 +776,58 @@ object Dedup {
     def lshPairs(df: DataFrame, threshold: Double, dim: Int,
                  bits: Int = graft.operators.similarity.Similarity.LshAnn.DefaultBits,
                  tables: Int = graft.operators.similarity.Similarity.LshAnn.DefaultTables,
-                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+                 vecCol: String = "embedding", idCol: String = "vec_id",
+                 maxBucket: Int = MinHashDedup.DefaultMaxBucket): DataFrame = {
       val lsh = graft.operators.similarity.Similarity.LshAnn
       val planes = lsh.hyperplanes(dim, bits, tables)
-      val b = lsh.withBuckets(df, "n", planes, vecCol, idCol)
-      val l = b.select(col("tbl"), col("n_bucket").as("bucket"),
-        col("n_id").as("vec_id_1"), col("n_v").as("e1"))
-      val r = b.select(col("tbl"), col("n_bucket").as("bucket"),
-        col("n_id").as("vec_id_2"), col("n_v").as("e2"))
-      l.join(r, Seq("tbl", "bucket"))
-        .where(col("vec_id_1") < col("vec_id_2"))
+      // Hot-bucket bound (same family as MinHashDedup.nearDuplicates):
+      // byte-identical embeddings collapse to one representative before
+      // bucketing — identical vectors collide in EVERY table (all-zero
+      // embeddings all land in bucket 0), so a c-strong identical class
+      // would expand to L·C(c,2) join rows before the cosine filter ran.
+      // In-group pairs are scored as cosine(v, v) through the SAME
+      // expression as the cross path, so the zero-vector convention
+      // (0/0 → no pair) is preserved rather than hardcoding 1.0.
+      // Residual buckets over `maxBucket` DISTINCT vectors are skipped
+      // (recall loss only, the audit signal for degenerate corpora).
+      val ded = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+        .localCheckpoint(true)
+      val groups = ded.groupBy("v")
+        .agg(min("vid").as("rep"), count(lit(1)).as("n_docs"))
+      val members = ded.join(groups, Seq("v"))
+        .select(col("vid"), col("rep"), col("n_docs"), col("v"))
+        .localCheckpoint(true)
+      val reps = members.where(col("vid") === col("rep"))
+        .select(col("vid").as("vec_id"), col("v").as("embedding"))
+      val b = lsh.withBuckets(reps, "n", planes, "embedding", "vec_id")
+      val w = Window.partitionBy("tbl", "n_bucket")
+      val capped = b.withColumn("bucket_n", count(lit(1)).over(w))
+        .where(col("bucket_n") <= maxBucket).drop("bucket_n")
+      val l = capped.select(col("tbl"), col("n_bucket").as("bucket"),
+        col("n_id").as("rep_1"), col("n_v").as("e1"))
+      val r = capped.select(col("tbl"), col("n_bucket").as("bucket"),
+        col("n_id").as("rep_2"), col("e2"))
+      val repPairs = l.join(r, Seq("tbl", "bucket"))
+        .where(col("rep_1") < col("rep_2"))
         .withColumn("cos_raw", cosine(col("e1"), col("e2")))
         .where(col("cos_raw") >= threshold)
-        .select(col("vec_id_1"), col("vec_id_2"), round(col("cos_raw"), 4).as("cosine"))
-        .dropDuplicates("vec_id_1", "vec_id_2")
+        .select(col("rep_1"), col("rep_2"), col("cos_raw"))
+        .dropDuplicates("rep_1", "rep_2")
+      val m1 = members.select(col("rep").as("rep_1"), col("vid").as("m1"))
+      val m2 = members.select(col("rep").as("rep_2"), col("vid").as("m2"))
+      val cross = repPairs.join(m1, Seq("rep_1")).join(m2, Seq("rep_2"))
+        .select(least(col("m1"), col("m2")).as("vec_id_1"),
+          greatest(col("m1"), col("m2")).as("vec_id_2"), col("cos_raw"))
+      val dup = members.where(col("n_docs") >= 2)
+      val within = dup.select(col("rep"), col("vid").as("vec_id_1"), col("v"))
+        .join(dup.select(col("rep"), col("vid").as("vec_id_2")), Seq("rep"))
+        .where(col("vec_id_1") < col("vec_id_2"))
+        .withColumn("cos_raw", cosine(col("v"), col("v")))
+        .where(col("cos_raw") >= threshold)
+        .select(col("vec_id_1"), col("vec_id_2"), col("cos_raw"))
+      cross.unionAll(within)
+        .select(col("vec_id_1"), col("vec_id_2"),
+          round(col("cos_raw"), 4).as("cosine"))
         .orderBy("vec_id_1", "vec_id_2")
     }
 
