@@ -29,21 +29,42 @@ object Bench {
       "dedup_clusters" -> "components over the quadratic oracle pairs; scalable twin dedup_clusters_minhash benched")
     // Two passes, min per query: steady-state timing (pass 1 additionally
     // pays OS page-cache warm-up and first-plan codegen for each query).
-    val headline = SparkEntry.queries.filterNot(q => skip.contains(q._1)).toSeq
-    def onePass(): Map[String, Double] = headline.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for iterating on one
+    // query family without paying the full-suite wall clock
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val headline = SparkEntry.queries
+      .filterNot(q => skip.contains(q._1))
+      .filter(q => only.forall(_.contains(q._1)))
+      .toSeq
+    // A query that throws must be visible as a FAILURE, not a fast run:
+    // time-to-throw once masqueraded as a 3x speedup in a round bench.
+    def onePass(): Map[String, (Double, Option[String])] = headline.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString) }
+        name -> ((System.nanoTime() - t0) / 1e9, err)
     }.toMap
     val (p1, p2) = (onePass(), onePass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = p1.map { case (k, (v, e1)) =>
+      val (v2, e2) = p2(k)
+      k -> (math.min(v, v2), e1.orElse(e2))
+    }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errors = results.collect { case (k, (_, Some(e))) => s"\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(_._2._2.isDefined)
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val skipped = skip.toSeq.sortBy(_._1)
       .map { case (k, why) => s"\"" + k + "\":\"" + why + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$skipped,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"failed":$nFailed,"skipped":$skipped,"sf":"$sfDir"}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

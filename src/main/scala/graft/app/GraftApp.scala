@@ -118,7 +118,16 @@ object GraftApp {
         case None =>
           val d = f.getOrElse(dirFlag,
             sys.error(s"--$dirFlag or --$cfgFlag required"))
-          (Tables.filterExcluded(cliTables.getOrElse(Tables.all), cliExclude),
+          // default table list = what the directory actually contains
+          // (reference list_tables discovery), not a fixture list — a
+          // user's dir with other table names must just work
+          val base = cliTables.getOrElse {
+            val found = Tables.discover(spark, d, "parquet")
+            if (found.isEmpty) sys.error(
+              s"no *.parquet tables found in --$dirFlag '$d' (pass --tables to name them)")
+            found
+          }
+          (Tables.filterExcluded(base, cliExclude),
             t => Tables(spark, d, t), None)
       }
     }
@@ -191,7 +200,7 @@ object GraftApp {
         // reference dynamic_query.py: {var_from_csv} template × CSV rows
         val varName = f.getOrElse("var", "var_from_csv")
         val values = YamlConfig.readTablesCsv(flag("csv"), varName)
-        Tables.registerViews(spark, dir)
+        Tables.registerViews(spark, dir, Tables.discover(spark, dir, "parquet"))
         DynamicQuery.run(spark, flag("query"), values.map(v => Map(varName -> v)))
       case "completeness" =>
         Checks.Completeness.run(tableName, table)

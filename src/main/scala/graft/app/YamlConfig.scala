@@ -139,16 +139,29 @@ object YamlConfig {
     * source_table and target_table columns"): (source, target) name
     * pairs, header skipped when present. Rows with one column map the
     * table to the same name on both sides.
+    *
+    * STRICT: a row with more than two columns, or with an empty cell
+    * in a two-column row (`a,,b`, `,b`), fails loudly with its line
+    * number — silently pairing the wrong tables would make every
+    * downstream count comparison answer a different question.
     */
   def readTablePairsCsv(path: String): Seq[(String, String)] =
     Files.readAllLines(Paths.get(path)).asScala.toSeq
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
-      .filter(_.nonEmpty)
       .zipWithIndex
-      .filterNot { case (cols, i) =>
-        i == 0 && cols.head.equalsIgnoreCase("source_table")
+      .filter(_._1.trim.nonEmpty)
+      .filterNot { case (line, i) =>
+        i == 0 && line.split(",").headOption.exists(_.trim.equalsIgnoreCase("source_table"))
       }
-      .map { case (cols, _) => (cols(0), if (cols.length > 1) cols(1) else cols(0)) }
+      .map { case (line, i) =>
+        // -1: keep trailing empty cells so `a,` is caught, not dropped
+        val cols = line.split(",", -1).map(_.trim).toSeq
+        cols match {
+          case Seq(s) if s.nonEmpty      => (s, s)
+          case Seq(s, t) if s.nonEmpty && t.nonEmpty => (s, t)
+          case _ => sys.error(s"$path:${i + 1}: malformed table-pairs row " +
+            s"'$line' (expected 'source_table' or 'source_table,target_table')")
+        }
+      }
 
   /** connection.type → backend (reference create_connector fans over 9
     * engines, connections.py; here a parquet/csv dir covers the file

@@ -239,31 +239,45 @@ object Dedup {
       */
     val DefaultMaxBucket = 1024
 
+    /** Second-fingerprint seed (golden-ratio constant). The second view
+      * must be INDEPENDENT of the first for every input: the previous
+      * `xxhash64(reverse(ghash))` collapses to fp1 whenever
+      * reverse(x) == x — size-≤1 and palindromic hash arrays, i.e.
+      * exactly the short-doc classes that are most numerous — silently
+      * degrading the 128-bit fingerprint to 64 bits where it matters
+      * most. Prepending a fixed seed column gives a differently-keyed
+      * hash for ALL inputs.
+      */
+    private val Fp2Seed = 0x9E3779B97F4A7C15L
+
     /** Exact-content collapse (hot-bucket bound, part 1): group docs
       * by a 128-bit fingerprint of the sorted distinct gram-hash set
-      * (two independent xxhash64 views; collision odds ~2⁻¹²⁸, which
-      * is what licenses emitting in-group pairs as jaccard 1.0 without
-      * re-verification). Identical gram sets ⇒ jaccard exactly 1.0 ⇒
-      * in-group pairs need no banding at all, so a million identical
-      * boilerplate pages contribute ONE row per band instead of a
-      * million rows that the band self-join would expand to C(10⁶,2)
-      * pairs before any filter could run.
+      * (two independently-seeded xxhash64 views; collision odds ~2⁻¹²⁸,
+      * which is what licenses emitting in-group pairs as jaccard 1.0
+      * without re-verification). Identical gram sets ⇒ jaccard exactly
+      * 1.0 ⇒ in-group pairs need no banding at all, so a million
+      * identical boilerplate pages contribute ONE row per band instead
+      * of a million rows that the band self-join would expand to
+      * C(10⁶,2) pairs before any filter could run.
       *
       * Returns (gid, rep, n_docs, n_grams): rep = min gid of the
       * content group, n_grams = |gram set| (0 for empty/short docs,
       * whose similarity to anything is 0.0 by convention).
+      *
+      * ONE shuffle: group stats ride a window over the fingerprint
+      * instead of a groupBy + join-back (which shuffles the same rows
+      * twice over the same key).
       */
     private[graft] def contentMembers(sigs: DataFrame): DataFrame = {
-      val keyed = sigs.select(col("gid"),
-        xxhash64(col("ghash")).as("fp1"),
-        xxhash64(reverse(col("ghash"))).as("fp2"),
-        size(col("ghash")).as("n_grams"))
-      val groups = keyed.groupBy("fp1", "fp2")
-        .agg(min("gid").as("rep"), count(lit(1)).as("n_docs"),
-          max("n_grams").as("n_grams"))
-      keyed.select("gid", "fp1", "fp2")
-        .join(groups, Seq("fp1", "fp2"))
-        .select("gid", "rep", "n_docs", "n_grams")
+      val w = Window.partitionBy("fp1", "fp2")
+      sigs.select(col("gid"),
+          xxhash64(col("ghash")).as("fp1"),
+          xxhash64(lit(Fp2Seed), col("ghash")).as("fp2"),
+          size(col("ghash")).as("n_grams"))
+        .select(col("gid"),
+          min("gid").over(w).as("rep"),
+          count(lit(1)).over(w).as("n_docs"),
+          col("n_grams"))
     }
 
     /** (gid, sig, band, band_hash) for the non-empty content
@@ -325,25 +339,32 @@ object Dedup {
       */
     def candidatePairs(sigDf: DataFrame,
                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      // Empty docs all share the all-MaxValue signature; similarity to
+      // anything is 0.0 by convention, so their group enters NEITHER
+      // the banding NOR the within-group expansion — otherwise c empty
+      // docs emit C(c,2) candidates that downstream verification must
+      // reject one by one: the exact quadratic blowup this path bounds.
+      // Group stats ride one window over the fingerprint (single
+      // shuffle); the lazy checkpoint materializes with the first
+      // consuming job and is shared by the three frames built on it.
+      val w = Window.partitionBy("fp1", "fp2")
       val keyed = sigDf.select(col("gid"), col("sig"),
-        xxhash64(col("sig")).as("fp1"),
-        xxhash64(reverse(col("sig"))).as("fp2"))
-        .localCheckpoint(true)
-      val groups = keyed.groupBy("fp1", "fp2")
-        .agg(min("gid").as("rep"), count(lit(1)).as("n_docs"))
-      val members = keyed.select("gid", "fp1", "fp2")
-        .join(groups, Seq("fp1", "fp2"))
-        .select("gid", "rep", "n_docs")
-        .localCheckpoint(true)
+          xxhash64(col("sig")).as("fp1"),
+          xxhash64(lit(Fp2Seed), col("sig")).as("fp2"),
+          (col("sig") === array_repeat(lit(Long.MaxValue), NumHashes)).as("empty"))
+        .select(col("gid"), col("sig"), col("empty"),
+          min("gid").over(w).as("rep"),
+          count(lit(1)).over(w).as("n_docs"))
+        .localCheckpoint(false)
       val banded = keyed
-        .join(members.where(col("gid") === col("rep")).select("gid"), Seq("gid"))
+        .where(col("gid") === col("rep") && !col("empty"))
         .select(
           col("gid"),
           posexplode(array((0 until Bands).map { b =>
             xxhash64(slice(col("sig"), b * Rows + 1, Rows))
           }: _*)).as(Seq("band", "band_hash")))
-      val w = Window.partitionBy("band", "band_hash")
-      val capped = banded.withColumn("bucket_n", count(lit(1)).over(w))
+      val wb = Window.partitionBy("band", "band_hash")
+      val capped = banded.withColumn("bucket_n", count(lit(1)).over(wb))
         .where(col("bucket_n") <= maxBucket).drop("bucket_n")
       val l = capped.select(col("band"), col("band_hash"), col("gid").as("rep_1"))
       val r = capped.select(col("band"), col("band_hash"), col("gid").as("rep_2"))
@@ -351,12 +372,12 @@ object Dedup {
         .where(col("rep_1") < col("rep_2"))
         .select("rep_1", "rep_2")
         .distinct()
-      val m1 = members.select(col("rep").as("rep_1"), col("gid").as("m1"))
-      val m2 = members.select(col("rep").as("rep_2"), col("gid").as("m2"))
+      val m1 = keyed.select(col("rep").as("rep_1"), col("gid").as("m1"))
+      val m2 = keyed.select(col("rep").as("rep_2"), col("gid").as("m2"))
       val cross = repPairs.join(m1, Seq("rep_1")).join(m2, Seq("rep_2"))
         .select(least(col("m1"), col("m2")).as("doc_id_1"),
           greatest(col("m1"), col("m2")).as("doc_id_2"))
-      val dup = members.where(col("n_docs") >= 2)
+      val dup = keyed.where(col("n_docs") >= 2 && !col("empty"))
       val within = dup.select(col("rep"), col("gid").as("doc_id_1"))
         .join(dup.select(col("rep"), col("gid").as("doc_id_2")), Seq("rep"))
         .where(col("doc_id_1") < col("doc_id_2"))
@@ -409,20 +430,40 @@ object Dedup {
     def nearDuplicates(df: DataFrame, threshold: Double,
                        textCol: String = "text", idCol: String = "doc_id",
                        shingler: Shingler = CharNgrams(),
+                       maxBucket: Int = DefaultMaxBucket): DataFrame =
+      nearDuplicatesUnordered(df, threshold, textCol, idCol, shingler, maxBucket)
+        .orderBy("doc_id_1", "doc_id_2")
+
+    /** [[nearDuplicates]] without the final global sort — the variant
+      * consumers that aggregate the pairs (connected components) feed
+      * on: a total order on pair output is presentation, and at scale
+      * it is a full range-partition exchange the next groupBy throws
+      * away.
+      */
+    private[dedup] def nearDuplicatesUnordered(
+                       df: DataFrame, threshold: Double,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       shingler: Shingler = CharNgrams(),
                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
       require(threshold > 0.0 && threshold <= 1.0,
         s"threshold must be in (0, 1], got $threshold (at 0 every pair matches — " +
           "that output is quadratic by definition; use allPairs on a blocked domain)")
       val spark = df.sparkSession
       import spark.implicits._
-      // localCheckpoint (eager) — materialize the signature kernel ONCE:
-      // sigs feeds the membership, the band explode, AND both sides of
-      // the verify join, and those branches share no exchange. Unlike
-      // the previous persist(MEMORY_AND_DISK) there is no session-long
-      // cache leak: checkpoint blocks are reference-tracked and freed
-      // by the ContextCleaner once the plan is unreachable.
-      val sigs = signatures(df, textCol, idCol, shingler).localCheckpoint(true)
-      val members = contentMembers(sigs).localCheckpoint(true)
+      // localCheckpoint — materialize the signature kernel ONCE: sigs
+      // feeds the membership, the band explode, AND both sides of the
+      // verify join, and those branches share no exchange. Unlike a
+      // persist(MEMORY_AND_DISK) there is no session-long cache leak:
+      // checkpoint blocks are reference-tracked and freed by the
+      // ContextCleaner once the plan is unreachable. LAZY (eager=false)
+      // on both frames: materialization happens inside the first
+      // consuming job instead of as its own blocking job — eager
+      // checkpoints here added two scheduling barriers per call, which
+      // benched as a 2.7× regression on sub-second corpora while
+      // buying nothing at scale (the work is identical, only the
+      // barrier moves).
+      val sigs = signatures(df, textCol, idCol, shingler).localCheckpoint(false)
+      val members = contentMembers(sigs).localCheckpoint(false)
       val estCutoff =
         threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / NumHashes)
 
@@ -481,7 +522,6 @@ object Dedup {
       cross.unionAll(within)
         .select(col("doc_id_1"), col("doc_id_2"),
           round(col("jaccard_raw"), 4).as("jaccard"))
-        .orderBy("doc_id_1", "doc_id_2")
     }
   }
 
@@ -575,6 +615,12 @@ object Dedup {
     /** Driver union-find over a collected (bounded) pair list — same
       * min-reachable-id semantics as the distributed propagation, path
       * compression keeps it near-linear.
+      *
+      * Ordering contract: returns rows ordered by doc_id, matching the
+      * distributed path's `.orderBy("doc_id")` — callers (and the
+      * correctness oracle's ORDER BY) may rely on it, so it is stated
+      * in the PLAN, not left to the driver-side `.sorted` happening to
+      * survive createDataFrame's partitioning.
       */
     private def unionFindComponents(pairs: DataFrame): DataFrame = {
       val spark = pairs.sparkSession
@@ -598,13 +644,16 @@ object Dedup {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val rows = parent.keys.toSeq.map(n => (n, find(n))).sorted
-      spark.createDataFrame(rows).toDF("doc_id", "component")
+      spark.createDataFrame(rows).toDF("doc_id", "component").orderBy("doc_id")
     }
 
-    /** End-to-end near-dup grouping: MinHash pairs → components. */
+    /** End-to-end near-dup grouping: MinHash pairs → components. Feeds
+      * on the UNORDERED pair variant — components aggregates the pairs,
+      * so sorting them first would be a thrown-away global exchange.
+      */
     def dedupGroups(df: DataFrame, threshold: Double,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-      components(MinHashDedup.nearDuplicates(df, threshold, textCol, idCol))
+      components(MinHashDedup.nearDuplicatesUnordered(df, threshold, textCol, idCol))
 
     /** DuckDB oracle for [[components]] over the EXACT n-gram Jaccard
       * pairs: a recursive CTE walks the (bidirectional) edge relation
@@ -688,14 +737,17 @@ object Dedup {
     def hammingPairs(df: DataFrame, maxHamming: Int = 3,
                      textCol: String = "text", idCol: String = "doc_id",
                      maxBucket: Int = MinHashDedup.DefaultMaxBucket): DataFrame = {
-      val sigs = signatures(df, textCol, idCol).localCheckpoint(true)
-      val groups = sigs.groupBy("simhash")
-        .agg(min("gid").as("rep"), count(lit(1)).as("n_docs"))
-      val members = sigs.join(groups, Seq("simhash"))
-        .select("gid", "rep", "n_docs")
-        .localCheckpoint(true)
-      val chunked = sigs
-        .join(members.where(col("gid") === col("rep")).select("gid"), Seq("gid"))
+      // group stats ride ONE window over the signature (vs groupBy +
+      // join-back = two shuffles of the same rows); lazy checkpoint —
+      // materialized inside the first consuming job, shared by the
+      // banding, the expansion joins, and the within-group pairs
+      val wg = Window.partitionBy("simhash")
+      val members = signatures(df, textCol, idCol)
+        .select(col("gid"), col("simhash"),
+          min("gid").over(wg).as("rep"),
+          count(lit(1)).over(wg).as("n_docs"))
+        .localCheckpoint(false)
+      val chunked = members.where(col("gid") === col("rep"))
         .select(
           col("gid"), col("simhash"),
           posexplode(array((0 until Chunks).map { c =>
@@ -790,13 +842,16 @@ object Dedup {
       // (0/0 → no pair) is preserved rather than hardcoding 1.0.
       // Residual buckets over `maxBucket` DISTINCT vectors are skipped
       // (recall loss only, the audit signal for degenerate corpora).
-      val ded = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
-        .localCheckpoint(true)
-      val groups = ded.groupBy("v")
-        .agg(min("vid").as("rep"), count(lit(1)).as("n_docs"))
-      val members = ded.join(groups, Seq("v"))
-        .select(col("vid"), col("rep"), col("n_docs"), col("v"))
-        .localCheckpoint(true)
+      // group stats ride ONE window over the vector value (vs groupBy +
+      // join-back = two shuffles); lazy checkpoint — materialized
+      // inside the first consuming job, shared by the bucketing, the
+      // expansion joins, and the within-group pairs
+      val wg = Window.partitionBy("v")
+      val members = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+        .select(col("vid"), col("v"),
+          min("vid").over(wg).as("rep"),
+          count(lit(1)).over(wg).as("n_docs"))
+        .localCheckpoint(false)
       val reps = members.where(col("vid") === col("rep"))
         .select(col("vid").as("vec_id"), col("v").as("embedding"))
       val b = lsh.withBuckets(reps, "n", planes, "embedding", "vec_id")
@@ -806,7 +861,7 @@ object Dedup {
       val l = capped.select(col("tbl"), col("n_bucket").as("bucket"),
         col("n_id").as("rep_1"), col("n_v").as("e1"))
       val r = capped.select(col("tbl"), col("n_bucket").as("bucket"),
-        col("n_id").as("rep_2"), col("e2"))
+        col("n_id").as("rep_2"), col("n_v").as("e2"))
       val repPairs = l.join(r, Seq("tbl", "bucket"))
         .where(col("rep_1") < col("rep_2"))
         .withColumn("cos_raw", cosine(col("e1"), col("e2")))

@@ -150,7 +150,11 @@ object Similarity {
              maxTrain: Long = MaxTrainRows): DataFrame = {
       val spark = corpus.sparkSession
       import spark.implicits._
-      val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_v"))
+      // accept any numeric array (array<double> from upstream UDFs or
+      // parquet written by another engine): an explicit cast to
+      // array<float> — the typed encoder alone rejects double arrays
+      val c = corpus.select(col(idCol).as("corpus_id"),
+          col(vecCol).cast("array<float>").as("corpus_v"))
         .as[(Long, Array[Float])]
       // training sample selected by VALUE (hash of the id), never by
       // partition layout: limit()/sample() change contents when file
@@ -180,7 +184,8 @@ object Similarity {
         ctrs.zipWithIndex.map { case (ctr, i) =>
           (i, ctr.map(_.toFloat))
         }.toSeq).toDF("cell", "centroid")
-      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+      val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<float>").as("query_v"))
       val probed = q.crossJoin(broadcast(centroids))
         .withColumn("cdist", EmbeddingDedup.cosine(col("query_v"), col("centroid")))
       val w = org.apache.spark.sql.expressions.Window
