@@ -175,6 +175,14 @@ object SparkEntry {
       Dedup.NgramJaccard.allPairs(Tables(s, d, "documents"), NgramJaccardThreshold)),
     "dedup_minhash" -> ((s, d) =>
       Dedup.MinHashDedup.nearDuplicates(Tables(s, d, "documents"), NgramJaccardThreshold)),
+    // raw LSH candidate generation (no verification) — the building
+    // block for pipelines that verify with their OWN similarity
+    // (edit distance, embeddings); recall/degenerate-corpus behavior
+    // asserted in DedupSpec/DedupDegenerateSpec (rows-only check here)
+    "dedup_candidates" -> ((s, d) =>
+      Dedup.MinHashDedup.candidatePairs(
+        Dedup.MinHashDedup.signatures(Tables(s, d, "documents")))
+        .orderBy("doc_id_1", "doc_id_2")),
     "dedup_simhash" -> ((s, d) => Dedup.SimHash.hammingPairs(Tables(s, d, "documents"), maxHamming = 3)),
     // exact-pairs components: oracle-checkable (recursive CTE); the
     // quadratic pair source is the ORACLE path — dedup_clusters_minhash

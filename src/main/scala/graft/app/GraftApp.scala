@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions.expr
   * `connection:`/`tables_file:`/`excluded_tables:` load unchanged).
   * Results go to `--out` as parquet (partitioned by default; pass
   * `--single-file true` for one file, `--format csv` for CSV reports
-  * matching the reference's CSV outputs), or to the console.
+  * matching the reference's CSV outputs, `--format html` for the
+  * reference's tabbed HTML report shape), or to the console.
   *
   * {{{
   * GraftApp rowcount        --dir /data/sf1 [--exclude tmp_%] | --config conn.yaml
@@ -46,6 +47,7 @@ import org.apache.spark.sql.functions.expr
   * GraftApp split           --dir /data/sf1 --table documents --id doc_id \
   *     [--weights train:0.8,val:0.1,test:0.1] [--salt 0]
   * GraftApp dedup           --dir /data/sf1 --table documents [--threshold 0.8]
+  * GraftApp dedup-audit     --dir /data/sf1 --table documents [--max-bucket 1024]
   * GraftApp sessionize      --dir /data/sf1 [--gap-minutes 120]
   * }}}
   */
@@ -83,7 +85,7 @@ object GraftApp {
     "colcompare", "generate-config", "combine", "parquetizer", "dynamic-query",
     "completeness", "uniqueness", "format", "range", "stats", "stats-compare",
     "values", "referential", "suite", "skew", "asof", "range-join", "split",
-    "dedup", "sessionize")
+    "dedup", "dedup-audit", "sessionize")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -287,6 +289,15 @@ object GraftApp {
         Sampling.hashSplit(t, idCol, weights, f.getOrElse("salt", "0").toLong)
       case "dedup" =>
         Dedup.Components.dedupGroups(table, f.getOrElse("threshold", "0.8").toDouble)
+      case "dedup-audit" =>
+        // scale-safety audit: band buckets whose DISTINCT-content
+        // population exceeds the hot-bucket cap. Those buckets are
+        // SKIPPED by dedup (recall loss, never precision loss) — a
+        // non-empty report means inspect the colliding content class
+        // or raise --max-bucket deliberately, with this evidence.
+        Dedup.MinHashDedup.heavyBuckets(table,
+          maxBucket = f.getOrElse("max-bucket",
+            Dedup.MinHashDedup.DefaultMaxBucket.toString).toInt)
       case "sessionize" =>
         Sessionize.sessions(Tables(spark, dir, "events"),
           f.getOrElse("gap-minutes", "120").toInt)
@@ -305,7 +316,14 @@ object GraftApp {
           case "csv" =>
             // reference tools write CSV reports (utils.py write-csv)
             target.write.mode("overwrite").option("header", "true").csv(out)
-          case bad => sys.error(s"unknown --format '$bad' (parquet|csv)")
+          case "html" =>
+            // reference HTMLReport (utils.py:462-660): one tabbed,
+            // self-contained file — the human-facing artifact; bounded
+            // collect, never a data sink (see HtmlReport)
+            new HtmlReport(title = s"graft $tool")
+              .addTab(tool, result)
+              .save(if (out.endsWith(".html")) out else s"$out/report.html")
+          case bad => sys.error(s"unknown --format '$bad' (parquet|csv|html)")
         }
       case None => result.show(100, truncate = false)
     }

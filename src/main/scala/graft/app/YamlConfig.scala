@@ -176,11 +176,31 @@ object YamlConfig {
       case "parquet" => new ParquetDirConnection(spark, pathParam,
         if (cfg.tables.nonEmpty) cfg.tables else Tables.all)
       case "csv" => new CsvDirConnection(spark, pathParam, cfg.tables)
+      case "s3" | "s3parquet" =>
+        // reference S3Parquet (connections.py:310-388, bucket + key
+        // config) — here the store is read IN PLACE over the s3a://
+        // Hadoop connector; executors pull ranges, nothing is
+        // downloaded to a driver disk. `path: s3a://bucket/prefix`
+        // directly, or the reference's own bucket/key pair.
+        val uri = cfg.params.get("path").orElse(
+          cfg.params.get("bucket").map { b =>
+            val key = cfg.params.getOrElse("key", "")
+            s"s3a://$b/$key".stripSuffix("/")
+          }).getOrElse(sys.error(
+            s"connection.type '${cfg.connType}' needs 'path: s3a://bucket/prefix' (or bucket/key)"))
+        new ParquetDirConnection(spark, uri, cfg.tables)
       case _ =>
         val url = cfg.params.getOrElse("url", sys.error(
           s"connection.type '${cfg.connType}' maps to the JDBC backend here — add a 'url:' (jdbc:…)"))
+        // `database:` (WITH a schema also present) is a catalog name —
+        // Snowflake/Athena-style `db.schema.table` qualification
+        // (reference build_qualified_table_name, connections.py:32-35);
+        // without a schema it is the file-database path (duckdb/sqlite)
+        // and plays no role in qualification.
+        val catalog = if (cfg.params.contains("schema")) cfg.params.get("database") else None
         new JdbcConnection(spark, url, cfg.params.get("schema"),
-          cfg.params -- Seq("url", "schema"))
+          cfg.params -- Seq("url", "schema", "database"),
+          database = catalog)
     }
   }
 

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Arithmetic is EXACTLY the documented convention shared with the
   * DuckDB oracle: all accumulation in double, ascending element
-  * order, `dot / (√Σa² · √Σb²)`. Two zero vectors yield NaN (dropped
-  * by any threshold filter) — same on both engines.
+  * order, `dot / (√Σa² · √Σb²)`. Two zero vectors yield NaN — and
+  * BEWARE: both Spark SQL and DuckDB order NaN ABOVE every number, so
+  * `NaN >= threshold` is TRUE; a threshold filter must add an explicit
+  * `!isnan(...)` guard (as the dedup callers do) or NaN pairs pass.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -558,29 +558,42 @@ object Dedup {
       */
     val SmallGraphMaxPairs = 1000000L
 
+    /** checkpointDir = None (default): localCheckpoint — blocks live on
+      * executors, fastest, right for local mode and fault-tolerant-
+      * enough batch jobs. checkpointDir = Some(dir): RELIABLE
+      * checkpoints to that (HDFS/S3) path — an executor loss mid-
+      * iteration recomputes from the checkpoint instead of failing the
+      * job, which is the right trade on a large cluster where losing an
+      * executor over a 10-round propagation is routine.
+      */
     def components(pairs: DataFrame, maxIters: Int = 20,
-                   smallGraphMax: Long = SmallGraphMaxPairs): DataFrame = {
-      // localCheckpoint (eager) — NOT persist — on every iterative
-      // frame: persist alone leaves the logical plan in place, so the
-      // plan tree DOUBLES per iteration (labels feeds both the join and
-      // the union) and analysis/planning time grows exponentially; a
+                   smallGraphMax: Long = SmallGraphMaxPairs,
+                   checkpointDir: Option[String] = None): DataFrame = {
+      // checkpoint (NOT persist) on every iterative frame: persist
+      // alone leaves the logical plan in place, so the plan tree
+      // DOUBLES per iteration (labels feeds both the join and the
+      // union) and analysis/planning time grows exponentially; a
       // convergence probe with limit(1) additionally populates the
       // cache only partially, forcing recompute through that doubled
-      // lineage. localCheckpoint materializes the rows AND truncates
-      // the plan to the materialized RDD, keeping every round O(1).
-      // (On a cluster with executor loss concerns, swap for reliable
-      // checkpoint(dir) — same shape.)
+      // lineage. Checkpointing materializes the rows AND truncates the
+      // plan to the materialized RDD, keeping every round O(1).
+      val ckpt: DataFrame => DataFrame = checkpointDir match {
+        case Some(dir) =>
+          pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+          df => df.checkpoint(true)
+        case None => df => df.localCheckpoint(true)
+      }
       // materialize the (possibly expensive) pair pipeline ONCE — the
       // bidirectional union below references it twice
-      val p = pairs.localCheckpoint(true)
+      val p = ckpt(pairs)
       if (p.count() <= smallGraphMax) return unionFindComponents(p)
-      val edges = p.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
-        .unionAll(p.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
-        .distinct()
-        .localCheckpoint(true)
-      var labels = edges.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint(true)
+      val edges = ckpt(
+        p.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+          .unionAll(p.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
+          .distinct())
+      var labels = ckpt(
+        edges.select(col("a").as("node")).distinct()
+          .select(col("node"), col("node").as("label")))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
@@ -596,12 +609,12 @@ object Dedup {
         // labels leg tags it; the other legs contribute null, which min
         // ignores) so convergence needs no join-back probe — just a
         // predicate scan over the already-materialized round result.
-        val prop = edges.join(labels, edges("a") === labels("node"))
-          .select(col("b").as("node"), col("label"), lit(null).cast("long").as("old"))
-          .unionAll(labels.select(col("node"), col("label"), col("label").as("old")))
-          .unionAll(jumped.select(col("node"), col("label"), lit(null).cast("long").as("old")))
-          .groupBy("node").agg(min("label").as("label"), min("old").as("old"))
-          .localCheckpoint(true)
+        val prop = ckpt(
+          edges.join(labels, edges("a") === labels("node"))
+            .select(col("b").as("node"), col("label"), lit(null).cast("long").as("old"))
+            .unionAll(labels.select(col("node"), col("label"), col("label").as("old")))
+            .unionAll(jumped.select(col("node"), col("label"), lit(null).cast("long").as("old")))
+            .groupBy("node").agg(min("label").as("label"), min("old").as("old")))
         converged = prop.where(col("label") =!= col("old")).isEmpty
         labels = prop.select("node", "label")
         iter += 1
@@ -808,7 +821,11 @@ object Dedup {
       val b = df.select(col(idCol).as("vec_id_2"), col(vecCol).as("e2"))
       a.join(b, col("vec_id_1") < col("vec_id_2"))
         .withColumn("cos_raw", cosine(col("e1"), col("e2")))
-        .where(col("cos_raw") >= threshold)
+        // NaN (zero-vector 0/0) must be EXPLICITLY excluded: Spark SQL
+        // (and DuckDB) order NaN ABOVE every number, so `NaN >= t` is
+        // TRUE — without the isnan guard a corpus of c zero vectors
+        // emits C(c,2) NaN "pairs" through any threshold
+        .where(col("cos_raw") >= threshold && !isnan(col("cos_raw")))
         .select(col("vec_id_1"), col("vec_id_2"), round(col("cos_raw"), 4).as("cosine"))
         .orderBy("vec_id_1", "vec_id_2")
     }
@@ -865,7 +882,9 @@ object Dedup {
       val repPairs = l.join(r, Seq("tbl", "bucket"))
         .where(col("rep_1") < col("rep_2"))
         .withColumn("cos_raw", cosine(col("e1"), col("e2")))
-        .where(col("cos_raw") >= threshold)
+        // isnan guard: see allPairs — NaN sorts above every number in
+        // Spark SQL, so a bare >= threshold would pass 0/0 pairs
+        .where(col("cos_raw") >= threshold && !isnan(col("cos_raw")))
         .select(col("rep_1"), col("rep_2"), col("cos_raw"))
         .dropDuplicates("rep_1", "rep_2")
       val m1 = members.select(col("rep").as("rep_1"), col("vid").as("m1"))
@@ -878,7 +897,10 @@ object Dedup {
         .join(dup.select(col("rep"), col("vid").as("vec_id_2")), Seq("rep"))
         .where(col("vec_id_1") < col("vec_id_2"))
         .withColumn("cos_raw", cosine(col("v"), col("v")))
-        .where(col("cos_raw") >= threshold)
+        // isnan: zero-vector groups (0/0 = NaN) emit NO pairs — this is
+        // where the convention bites, since identical zero vectors all
+        // collapse into one group
+        .where(col("cos_raw") >= threshold && !isnan(col("cos_raw")))
         .select(col("vec_id_1"), col("vec_id_2"), col("cos_raw"))
       cross.unionAll(within)
         .select(col("vec_id_1"), col("vec_id_2"),
@@ -895,7 +917,7 @@ object Dedup {
          |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
          |      CAST(b.embedding AS DOUBLE[])) AS cos_raw
          |  FROM $table a JOIN $table b ON a.vec_id < b.vec_id) t
-         |WHERE cos_raw >= $threshold
+         |WHERE cos_raw >= $threshold AND NOT isnan(cos_raw)
          |ORDER BY vec_id_1, vec_id_2""".stripMargin
   }
 }

@@ -66,6 +66,13 @@ trait Connection {
 /** Directory of `<name>.parquet` tables. Without an explicit name list,
   * tables are DISCOVERED by listing the directory (reference:
   * list_tables) — never assumed.
+  *
+  * `dir` is any Hadoop-filesystem URI — `/local/path`, `s3a://bucket/
+  * prefix`, `hdfs://nn/path`, `abfs://…` — which subsumes the
+  * reference's S3Parquet connector (connections.py:310-388): where the
+  * reference downloads the object to local disk and reads the copy,
+  * Spark plans splits directly against the store and 1000 executors
+  * read ranges concurrently; nothing lands on a driver disk.
   */
 final class ParquetDirConnection(val spark: SparkSession, dir: String,
                                  names: Seq[String] = Nil) extends Connection {
@@ -112,7 +119,8 @@ final class CsvDirConnection(val spark: SparkSession, dir: String,
   */
 final class JdbcConnection(val spark: SparkSession, url: String,
                            schema: Option[String] = None,
-                           props: Map[String, String] = Map.empty) extends Connection {
+                           props: Map[String, String] = Map.empty,
+                           database: Option[String] = None) extends Connection {
 
   private def withJdbc[A](f: java.sql.Connection => A): A = {
     val p = new java.util.Properties()
@@ -122,17 +130,29 @@ final class JdbcConnection(val spark: SparkSession, url: String,
   }
 
   /** reference list_tables (connections.py:139-146): all tables in the
-    * schema, ordered by name.
+    * schema, ordered by name. CACHED after the first call: every tool
+    * that fans over the catalog (rowcount, dbstats-compare,
+    * schemaMetadata) calls listTables repeatedly, and re-running the
+    * metadata query per call hammers the backend for an answer that
+    * cannot change mid-run.
     */
-  override def listTables(): Seq[String] = withJdbc { c =>
-    val rs = c.getMetaData.getTables(null, schema.orNull, "%", Array("TABLE"))
+  override def listTables(): Seq[String] = cachedTables
+  private lazy val cachedTables: Seq[String] = withJdbc { c =>
+    val rs = c.getMetaData.getTables(database.orNull, schema.orNull, "%",
+      Array("TABLE"))
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (rs.next()) buf += rs.getString("TABLE_NAME")
     buf.sorted.toSeq
   }
 
-  private def qualify(name: String): String =
-    if (name.contains(".")) name else schema.fold(name)(s => s"$s.$name")
+  /** reference build_qualified_table_name (connections.py:32-35):
+    * dot-join of (database, schema, table), skipping absent parts —
+    * Athena/Snowflake-style catalogs address `db.schema.table`. A name
+    * that already contains a dot is passed through untouched.
+    */
+  private[graft] def qualify(name: String): String =
+    if (name.contains(".")) name
+    else (database.toSeq ++ schema.toSeq :+ name).mkString(".")
 
   private def reader = {
     val base = spark.read.format("jdbc").option("url", url)
@@ -171,11 +191,28 @@ final class JdbcConnection(val spark: SparkSession, url: String,
 
   /** Counting N tables pushes N scalar COUNT(*) queries concurrently
     * (the reference's thread-pooled dbstats, utils.py:39) — never a
-    * full-table pull through Spark just to count.
+    * full-table pull through Spark just to count. The pool is BOUNDED
+    * at [[JdbcConnection.MaxConcurrentCounts]] (the default `.par`
+    * pool is sized to the machine's cores — 32 simultaneous
+    * connections is a self-inflicted DoS on a production backend).
     */
   override def rowCounts(names: Seq[String]): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
-    val counts = names.par.map(n => (n, countRows(n))).seq.sortBy(_._1)
-    spark.createDataFrame(counts).toDF("table_name", "row_count")
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.max(1, math.min(JdbcConnection.MaxConcurrentCounts, names.size)))
+    try {
+      val par = names.par
+      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      val counts = par.map(n => (n, countRows(n))).seq.sortBy(_._1)
+      spark.createDataFrame(counts).toDF("table_name", "row_count")
+    } finally pool.shutdown()
   }
+}
+
+object JdbcConnection {
+  /** Concurrent pushed COUNT(*) queries per rowCounts call — matches
+    * the reference's fixed-size ConnectionPool posture (utils.py:39)
+    * rather than scaling with local cores.
+    */
+  val MaxConcurrentCounts = 8
 }

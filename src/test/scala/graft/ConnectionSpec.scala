@@ -97,6 +97,51 @@ class ConnectionSpec extends AnyFunSuite {
     assert(rc == Map("NATION" -> 26L, "REGION" -> 5L))
   }
 
+  test("three-part qualified names: db.schema.table, dotted passthrough") {
+    // reference build_qualified_table_name: dot-join skipping absent
+    // parts — the Athena/Snowflake catalog addressing shape
+    val full = new JdbcConnection(spark, jdbcUrl,
+      schema = Some("SC"), database = Some("DB"))
+    assert(full.qualify("T") == "DB.SC.T")
+    assert(full.qualify("x.y") == "x.y") // already qualified: untouched
+    val schemaOnly = new JdbcConnection(spark, jdbcUrl, schema = Some("SC"))
+    assert(schemaOnly.qualify("T") == "SC.T")
+    val bare = new JdbcConnection(spark, jdbcUrl)
+    assert(bare.qualify("T") == "T")
+  }
+
+  test("yaml JDBC config: database+schema become catalog qualification") {
+    val cfg = graft.app.YamlConfig.ConnectionConfig("snowflake",
+      Map("url" -> jdbcUrl, "schema" -> "SC", "database" -> "DB"), Nil, Nil)
+    val conn = graft.app.YamlConfig.open(spark, cfg).asInstanceOf[JdbcConnection]
+    assert(conn.qualify("T") == "DB.SC.T")
+    // duckdb-style: `database:` is a file path when no schema is given —
+    // it must NOT leak into name qualification
+    val duck = graft.app.YamlConfig.ConnectionConfig("duckdb",
+      Map("url" -> jdbcUrl, "database" -> "/data/file.db"), Nil, Nil)
+    val dconn = graft.app.YamlConfig.open(spark, duck).asInstanceOf[JdbcConnection]
+    assert(dconn.qualify("T") == "T")
+  }
+
+  test("yaml s3 config maps to an in-place object-store parquet connection") {
+    val cfg = graft.app.YamlConfig.ConnectionConfig("s3",
+      Map("bucket" -> "my-bucket", "key" -> "lake/tables"), Nil, Nil)
+    // opening builds the s3a:// URI eagerly; listing would need a real
+    // store, so assert the connection type and that a local-URI config
+    // serves tables end-to-end through the same branch
+    assert(graft.app.YamlConfig.open(spark, cfg)
+      .isInstanceOf[ParquetDirConnection])
+    val local = graft.app.YamlConfig.ConnectionConfig("s3parquet",
+      Map("path" -> TestSpark.sf0001), Seq("region"), Nil)
+    val conn = graft.app.YamlConfig.open(spark, local)
+    assert(conn.countRows("region") == 5)
+  }
+
+  test("jdbc listTables is cached: backend consulted once per connection") {
+    val first = jdbcConn.listTables()
+    assert(jdbcConn.listTables() eq first) // same cached instance
+  }
+
   test("operators run end-to-end through the jdbc backend") {
     val tables = jdbcConn.listTables().map(t => t -> jdbcConn.table(t)).toMap
     val rc = RowCount.counts(spark, tables).collect()

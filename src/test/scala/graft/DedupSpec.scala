@@ -152,6 +152,17 @@ class DedupSpec extends AnyFunSuite {
       edges.toDF("doc_id_1", "doc_id_2"), smallGraphMax = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(distributed == want)
+    // cluster path: RELIABLE checkpoints to a directory (survives
+    // executor loss) — same algorithm, same answers, and the round
+    // checkpoints actually land in the dir
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val reliable = Dedup.Components.components(
+      edges.toDF("doc_id_1", "doc_id_2"), smallGraphMax = 0,
+      checkpointDir = Some(ckptDir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == want)
+    val written = java.nio.file.Files.walk(ckptDir).count()
+    assert(written > 1, "no reliable checkpoint files were written")
   }
 
   test("dedupGroups: exact copies land in one group keyed by the min doc id") {

@@ -14,7 +14,7 @@ class EntryContractSpec extends AnyFunSuite {
   /** Approximate candidate generators and ML-assisted ops — checked by
     * brute-force-comparison specs instead of SQL oracles.
     */
-  private val RowsOnly = Set("dedup_minhash", "dedup_simhash",
+  private val RowsOnly = Set("dedup_minhash", "dedup_simhash", "dedup_candidates",
     "dedup_clusters_minhash", "dedup_embedding_lsh", "nullcheck_approx",
     "ann_lsh", "ann_ivf")
 

@@ -46,6 +46,33 @@ class GraftAppSpec extends AnyFunSuite {
     p.toString
   }
 
+  test("dedup-audit: empty on a healthy corpus, reports buckets under a forced cap") {
+    // word-salad docs: no band bucket exceeds the default 1024-distinct
+    // cap, so a healthy corpus audits CLEAN (zero rows)
+    assert(runToParquet("dedup-audit", "--dir", TestSpark.sf0001,
+      "--table", "documents") == 0)
+    // --max-bucket 0 makes every populated bucket over-cap — the audit
+    // must surface them (same corpus, so the plumbing is proven live)
+    assert(runToParquet("dedup-audit", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--max-bucket", "0") > 0)
+  }
+
+  test("--dir table list comes from directory discovery, not a fixture list") {
+    // a dir containing ONLY two tables (one under a non-fixture name)
+    // must rowcount exactly those two
+    val dir = java.nio.file.Files.createTempDirectory("graft_disc").toString
+    graft.sources.Tables(spark, TestSpark.sf0001, "region")
+      .write.parquet(s"$dir/region.parquet")
+    graft.sources.Tables(spark, TestSpark.sf0001, "nation")
+      .write.parquet(s"$dir/my_custom_table.parquet")
+    assert(runToParquet("rowcount", "--dir", dir) == 2)
+    // an empty dir fails loudly instead of silently counting nothing
+    val empty = java.nio.file.Files.createTempDirectory("graft_disc_e").toString
+    val e = intercept[RuntimeException](
+      GraftApp.run(spark, Seq("rowcount", "--dir", empty)))
+    assert(e.getMessage.contains("no *.parquet tables"))
+  }
+
   test("dbstats-compare reconciles two catalogs") {
     assert(runToParquet("dbstats-compare",
       "--source-dir", TestSpark.sf0001, "--target-dir", TestSpark.sf0001,
@@ -186,6 +213,36 @@ class GraftAppSpec extends AnyFunSuite {
     val back = spark.read.option("header", "true").csv(csvOut.toString)
     assert(back.columns.toSeq == Seq("table_name", "row_count"))
     assert(back.count() == 10)
+  }
+
+  test("--format html writes a self-contained report containing the result rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_html").toString
+    GraftApp.run(spark, Seq("rowcount", "--dir", TestSpark.sf0001,
+      "--tables", "region,nation", "--out", out, "--format", "html"))
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/report.html")), "UTF-8")
+    assert(html.contains("<title>graft rowcount</title>"))
+    // the data rows are embedded: both table names and the real counts
+    assert(html.contains("region") && html.contains("nation"))
+    val regionRows = graft.sources.Tables(spark, TestSpark.sf0001, "region").count()
+    assert(html.contains(s""""row_count":$regionRows"""))
+    // numeric column gets a number sorter; string column an input filter
+    assert(html.contains(""""field":"row_count","sorter":"number""""))
+    assert(html.contains(""""sorter":"string","headerFilter":"input""""))
+  }
+
+  test("html report escapes hostile values and nulls NaN") {
+    import spark.implicits._
+    val df = Seq(("</script><b>x", Double.NaN), ("ok", 1.5))
+      .toDF("name", "score")
+    val p = java.nio.file.Files.createTempDirectory("graft_html2")
+      .resolve("r.html").toString
+    new graft.app.HtmlReport("t").addTab("tab", df).save(p)
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+    assert(!html.contains("</script><b>"), "raw </script> must not appear in data")
+    assert(html.contains(""""score":null"""))
+    assert(html.contains(""""score":1.5"""))
   }
 
   test("unknown tool and missing flags fail loudly") {

@@ -95,6 +95,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall7 >= 0.9, s"IVF recall $recall7 below floor after repartition(7)")
   }
 
+  test("IVF ANN accepts array<double> embeddings (cast, not reject)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val dim = 16
+    val asFloat = (0 until 60).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val asDouble = asFloat
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = asFloat.where(col("vec_id") < 3)
+    val qd = asDouble.where(col("vec_id") < 3)
+    // double input must work AND give the identical result to the float
+    // input it was widened from (cast is lossless both ways here)
+    val f = asMap(Similarity.IvfAnn.topK(asFloat, q, 5, nCells = 4).collect())
+    val d = asMap(Similarity.IvfAnn.topK(asDouble, qd, 5, nCells = 4).collect())
+    assert(d == f)
+  }
+
   test("LSH identical vectors always collide (same signature in every table)") {
     import spark.implicits._
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)

@@ -95,6 +95,26 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(YamlConfig.readTablesCsv(extraCols) == Seq("foo"))
   }
 
+  test("table-pairs CSV: strict parse — pairs, same-name rows, loud malformed rows") {
+    val ok = tmpFile("pairs_ok.csv",
+      "source_table,target_table\nsrc_a,tgt_a\nsame\n")
+    assert(YamlConfig.readTablePairsCsv(ok) ==
+      Seq(("src_a", "tgt_a"), ("same", "same")))
+    // three columns: silently pairing cols(0),cols(1) would compare the
+    // wrong tables — must fail with the line number
+    val tooMany = tmpFile("pairs_bad.csv", "a,b,c\n")
+    val e1 = intercept[RuntimeException](YamlConfig.readTablePairsCsv(tooMany))
+    assert(e1.getMessage.contains(":1") && e1.getMessage.contains("malformed"))
+    // empty cell hidden by a trailing comma — previously collapsed to a
+    // same-name row
+    val trailing = tmpFile("pairs_trail.csv", "src_a,\n")
+    assert(intercept[RuntimeException](
+      YamlConfig.readTablePairsCsv(trailing)).getMessage.contains("malformed"))
+    val emptyCell = tmpFile("pairs_empty.csv", "a,,b\n")
+    assert(intercept[RuntimeException](
+      YamlConfig.readTablePairsCsv(emptyCell)).getMessage.contains("malformed"))
+  }
+
   test("generated default config round-trips to the default mappings") {
     val path = java.nio.file.Files.createTempDirectory("yaml_gen")
       .resolve("colcompare_config.yaml").toString
