@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library-recommended session tuning in one place, applied by every
+  * graft entry point (Bench/Verify/GraftApp/Explain).
+  */
+object GraftSession {
+
+  /** Confs this library recommends beyond Spark defaults. All are
+    * safe-by-construction (gated on runtime statistics), not workload
+    * guesses:
+    *
+    *  - AQE SMJ→shuffled-hash-join conversion (default OFF upstream,
+    *    threshold 0): when a post-shuffle build side measures under the
+    *    per-partition threshold, hashing it beats sorting BOTH sides.
+    *    Measured on the 10×-scaled fact-fact joins: q3 3.55 → 1.74 s,
+    *    q_window 1.58 → 0.78 s; plans where the build side is too big
+    *    keep SMJ, so the 100 TB fact-fact case is unaffected.
+    */
+  val recommended: Map[String, String] = Map(
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> (128L * 1024 * 1024).toString
+  )
+
+  /** Apply [[recommended]] plus `SPARK_GRAFT_CONF="k=v;k=v"` env
+    * overrides (overrides win — that is the A/B knob).
+    */
+  def tune(builder: SparkSession.Builder): SparkSession.Builder = {
+    val withRec = recommended.foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+    sys.env.get("SPARK_GRAFT_CONF").map(_.split(";").toSeq).getOrElse(Nil)
+      .map(_.split("=", 2)).collect { case Array(k, v) => (k, v) }
+      .foldLeft(withRec) { case (b, (k, v)) => b.config(k, v) }
+  }
+}

@@ -54,11 +54,11 @@ import org.apache.spark.sql.functions.expr
 object GraftApp {
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession.tune(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .getOrCreate()
     try run(spark, args.toSeq)
     finally spark.stop()

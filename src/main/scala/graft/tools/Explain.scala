@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: print the formatted physical plan and the timed row
+  * count for named [[graft.SparkEntry]] queries against a tables dir —
+  * the `.explain("formatted")` feedback loop as a one-liner.
+  *
+  * {{{ runMain graft.tools.Explain /root/testdata/sf0.1 q3_topk q5_starjoin }}}
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Explain <sfDir> <query> [query ...]")
+    val spark = graft.GraftSession.tune(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.tail.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, args.head)
+      println(s"==== $name ====")
+      df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

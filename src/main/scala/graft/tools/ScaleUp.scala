@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for benchmark falsification: replicates a
+  * test-data directory `factor`× with per-replica key offsets, so row
+  * counts grow linearly while every foreign-key relationship stays
+  * intact (replica i's orders reference replica i's customers, etc.).
+  * Dimension tables (region, nation) are copied once — exactly how a
+  * real catalog scales.
+  *
+  * This exists to answer "does the sub-second sf0.1 fixed overhead
+  * amortize at 10× the data, or does the engine scale worse than the
+  * single-node baseline?" — a claim that must be measured, not
+  * asserted. Usage:
+  *
+  * {{{ runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10 }}}
+  *
+  * Key offset is 2³³ per replica: far above any key in the source data,
+  * far below Long overflow at any plausible factor.
+  */
+object ScaleUp {
+
+  val Offset = 1L << 33
+
+  /** Key columns to shift per replica, per table. Text/value columns
+    * are left as-is: content distributions don't change with scale.
+    */
+  val keyCols: Map[String, Seq[String]] = Map(
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id")
+  )
+
+  val dims = Seq("region", "nation")
+
+  def scaleTable(df: DataFrame, keys: Seq[String], factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Offset)))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <inDir> <outDir> <factor>")
+    val Array(in, out, f) = args
+    val factor = f.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      // read events' TIMESTAMP(NANOS) ts as a raw long and WRITE it as
+      // a raw long — the scaled directory must stay readable by
+      // graft.sources.Tables' nanos handling, not silently change type
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dims.foreach { t =>
+      spark.read.parquet(s"$in/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    keyCols.foreach { case (t, keys) =>
+      scaleTable(spark.read.parquet(s"$in/$t.parquet"), keys, factor)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"""{"scaled":"$out","factor":$factor}""")
+    spark.stop()
+  }
+}

@@ -5,14 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** One shared local SparkSession for the whole test JVM. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    // GraftSession.tune: tests must run under the SAME recommended
+    // planner confs the shipped entry points use
+    val s = GraftSession.tune(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
