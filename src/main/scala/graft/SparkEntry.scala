@@ -171,6 +171,14 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")),
     // --- dedup for LLM-data pipelines (SURVEY §2 #25-29) ---
     "dedup_exact" -> ((s, d) => Dedup.ExactDedup.run(Tables(s, d, "documents"))),
+    // incremental: the batch half checked against the corpus half —
+    // bloom-prefiltered membership, exact at any fpp
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.IncrementalDedup.report(
+        docs.where(col("doc_id") >= IncrementalSplitId),
+        docs.where(col("doc_id") < IncrementalSplitId))
+    }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.NgramJaccard.allPairs(Tables(s, d, "documents"), NgramJaccardThreshold)),
     "dedup_minhash" -> ((s, d) =>
@@ -232,6 +240,9 @@ object SparkEntry {
   private val FrameStride = 4
   private val NgramJaccardThreshold = 0.7
   private val EmbeddingDedupThreshold = 0.4
+  // corpus/batch boundary for the incremental-dedup demo query — small
+  // enough that even sf0.001's 50 docs yield a non-empty batch
+  private val IncrementalSplitId = 25L
   private val AnnK = 10
   private val AnnNumQueries = 5
 
@@ -447,6 +458,7 @@ object SparkEntry {
     "sample_weighted" -> Sampling.weightedOracleSql(
       "documents", "doc_id", "(doc_id % 100) / 100.0"),
     "dedup_exact" -> Dedup.ExactDedup.oracleSql("documents"),
+    "dedup_incremental" -> Dedup.IncrementalDedup.oracleSql("documents", IncrementalSplitId),
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
     "dedup_clusters" -> Dedup.Components.oracleSql("documents", NgramJaccardThreshold),
     "dedup_embedding" -> Dedup.EmbeddingDedup.oracleSql("embeddings", EmbeddingDedupThreshold),

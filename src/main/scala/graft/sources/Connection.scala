@@ -61,6 +61,17 @@ trait Connection {
     listTables().foreach(t => table(t).createOrReplaceTempView(t))
     spark.sql(sql)
   }
+
+  /** reference generate_table_from_query (connections.py:145-150,
+    * `DROP TABLE IF EXISTS` + `CREATE TABLE AS`): materialize a query
+    * as a table in this backend, replacing any existing table of that
+    * name. Executed Spark-side: the query plans through [[runQuery]]
+    * and the result streams into the backend's writer — the same
+    * replace semantics on every backend, without depending on each
+    * engine's CTAS dialect (Derby, for one, has no populating
+    * `CREATE TABLE AS`).
+    */
+  def createTableFromQuery(name: String, sql: String): Unit
 }
 
 /** Directory of `<name>.parquet` tables. Without an explicit name list,
@@ -79,6 +90,11 @@ final class ParquetDirConnection(val spark: SparkSession, dir: String,
   override def listTables(): Seq[String] =
     if (names.nonEmpty) names else Tables.discover(spark, dir, "parquet")
   override def table(name: String): DataFrame = Tables(spark, dir, name)
+  /** Distributed parquet write — every executor writes its partitions;
+    * `overwrite` gives the reference's drop-and-replace semantics.
+    */
+  override def createTableFromQuery(name: String, sql: String): Unit =
+    runQuery(sql).write.mode("overwrite").parquet(s"$dir/$name.parquet")
 }
 
 /** Directory of `<name>.csv` tables with header + schema inference.
@@ -90,6 +106,9 @@ final class CsvDirConnection(val spark: SparkSession, dir: String,
     if (names.nonEmpty) names else Tables.discover(spark, dir, "csv")
   override def table(name: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/$name.csv")
+  override def createTableFromQuery(name: String, sql: String): Unit =
+    runQuery(sql).write.mode("overwrite").option("header", "true")
       .csv(s"$dir/$name.csv")
 }
 
@@ -180,6 +199,21 @@ final class JdbcConnection(val spark: SparkSession, url: String,
     */
   override def runQuery(sql: String): DataFrame =
     reader.option("query", sql).load()
+
+  /** The query executes in-database (pushed, [[runQuery]]); the result
+    * streams through Spark's dialect-aware JDBC writer, whose
+    * `overwrite` drops and recreates the target — replace semantics on
+    * any JDBC engine without per-dialect `CREATE TABLE AS` SQL.
+    * Row-trip cost note: for an engine whose CTAS you trust, pushing
+    * `CREATE TABLE $name AS $sql` through a raw statement avoids the
+    * round-trip; this portable default is correct everywhere first.
+    */
+  override def createTableFromQuery(name: String, sql: String): Unit = {
+    val w = runQuery(sql).write.format("jdbc")
+      .option("url", url).option("dbtable", qualify(name))
+    props.foldLeft(w) { case (x, (k, v)) => x.option(k, v) }
+      .mode("overwrite").save()
+  }
 
   /** reference count_rows (connections.py:96-107): one pushed
     * `SELECT COUNT(*)`; only the scalar crosses the wire. (JDBC COUNT

@@ -142,6 +142,30 @@ class ConnectionSpec extends AnyFunSuite {
     assert(jdbcConn.listTables() eq first) // same cached instance
   }
 
+  test("createTableFromQuery: replace semantics on parquet and jdbc backends") {
+    // parquet dir: CTAS lands as a discoverable table, re-running replaces
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctas").toString
+    try {
+      parquetConn.table("region").write.parquet(s"$dir/region.parquet")
+      val conn = new ParquetDirConnection(spark, dir)
+      conn.createTableFromQuery("big_regions",
+        "SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 2")
+      assert(conn.listTables().contains("big_regions"))
+      assert(conn.countRows("big_regions") == 3)
+      conn.createTableFromQuery("big_regions",
+        "SELECT r_regionkey FROM region WHERE r_regionkey >= 4")
+      assert(conn.countRows("big_regions") == 1) // replaced, not appended
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    // jdbc: query pushed to the db, result written back as a new table
+    jdbcConn.createTableFromQuery("REGION_COUNTS",
+      "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey")
+    val back = jdbcConn.table("REGION_COUNTS").collect()
+      .map(r => r.getAs[Number](0).intValue -> r.getAs[Number](1).longValue).toMap
+    assert(back.values.sum == 26 && back.size == 5)
+  }
+
   test("operators run end-to-end through the jdbc backend") {
     val tables = jdbcConn.listTables().map(t => t -> jdbcConn.table(t)).toMap
     val rc = RowCount.counts(spark, tables).collect()

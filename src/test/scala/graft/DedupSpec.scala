@@ -42,6 +42,26 @@ class DedupSpec extends AnyFunSuite {
     assert(res.map(_.getAs[Long]("n_docs")).sum == 35)
   }
 
+  test("incremental dedup: batch vs corpus membership, exact at any bloom fpp") {
+    // corpus = base docs; batch = 5 exact copies (whitespace variants,
+    // ids 200+) + 10 genuinely new docs (ids 100+ are near-dups — NOT
+    // exact content matches, so they must come back in_corpus = false)
+    val corpus = docs.where(col("doc_id") < 100)
+    val batch = docs.where(col("doc_id") >= 100)
+    def got(fpp: Double) =
+      Dedup.IncrementalDedup.report(batch, corpus, bloomFpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val expected =
+      (0 until 10).map(i => (100L + i) -> false).toMap ++
+        (0 until 5).map(i => (200L + i) -> true).toMap
+    assert(got(0.01) == expected)
+    // a hostile fpp (half the bloom probes lie) changes TRAFFIC, never
+    // the answer — positives are verified by the real join
+    assert(got(0.5) == expected)
+    // bloom disabled = pure join verification path, same answer
+    assert(got(0.0) == expected)
+  }
+
   test("charNgrams of short text is empty, never a spurious gram") {
     val g = Seq(("ab"), ("a"), (""), ("abc")).toDF("text")
       .select(Dedup.charNgrams(col("text"), 3).as("g"))
