@@ -30,8 +30,15 @@ object Bench {
     // Two passes, min per query: steady-state timing (pass 1 additionally
     // pays OS page-cache warm-up and first-plan codegen for each query).
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for iterating on one
-    // query family without paying the full-suite wall clock
+    // query family without paying the full-suite wall clock. Unknown
+    // names fail LOUDLY: a typo'd filter would otherwise produce an
+    // empty suite reporting total 0 with exit 0 — a fake perfect score.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val headline = SparkEntry.queries
       .filterNot(q => skip.contains(q._1))
       .filter(q => only.forall(_.contains(q._1)))

@@ -26,6 +26,14 @@ final class HtmlReport(title: String = "Report", maxRows: Int = 10000) {
   private case class Tab(name: String, colsJson: String, dataJson: String)
   private val tabs = scala.collection.mutable.ArrayBuffer.empty[Tab]
 
+  /** HTML element/text escaping — for title, headings, tab labels.
+    * Distinct from [[esc]]: JSON escaping (`<`, `\"`) renders as
+    * literal backslash sequences in HTML contexts.
+    */
+  private def escHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
   private def esc(s: String): String = {
     val sb = new StringBuilder
     s.foreach {
@@ -84,7 +92,7 @@ final class HtmlReport(title: String = "Report", maxRows: Int = 10000) {
   def render(): String = {
     val buttons = tabs.zipWithIndex.map { case (t, i) =>
       val cls = if (i == 0) "tab-btn on" else "tab-btn"
-      s"""<button class="$cls" onclick="showTab(event,$i)">${esc(t.name)}</button>"""
+      s"""<button class="$cls" onclick="showTab(event,$i)">${escHtml(t.name)}</button>"""
     }.mkString("\n")
     val divs = tabs.indices.map { i =>
       val style = if (i == 0) "" else "display:none"
@@ -97,7 +105,7 @@ final class HtmlReport(title: String = "Report", maxRows: Int = 10000) {
 <html lang="en">
 <head>
 <meta charset="utf-8">
-<title>${esc(title)}</title>
+<title>${escHtml(title)}</title>
 <link rel="stylesheet" href="https://unpkg.com/tabulator-tables@6.3.1/dist/css/tabulator_midnight.min.css">
 <script src="https://unpkg.com/tabulator-tables@6.3.1/dist/js/tabulator.min.js"></script>
 <style>
@@ -110,7 +118,7 @@ final class HtmlReport(title: String = "Report", maxRows: Int = 10000) {
 </style>
 </head>
 <body>
-<h1>${esc(title)}</h1>
+<h1>${escHtml(title)}</h1>
 <nav>
 $buttons
 <button class="dl" onclick="dlCsv()">Download CSV</button>
@@ -125,6 +133,9 @@ function showTab(ev, i) {
   document.getElementById('tab' + i).style.display = '';
   ev.currentTarget.classList.add('on');
   current = i;
+  /* tables initialized inside display:none measure a 0-size container;
+     force a relayout now that the tab is visible */
+  if (tables[i]) tables[i].redraw(true);
 }
 function dlCsv() { if (tables[current]) tables[current].download("csv", "tab" + current + ".csv"); }
 $scripts

@@ -145,13 +145,19 @@ object YamlConfig {
     * number — silently pairing the wrong tables would make every
     * downstream count comparison answer a different question.
     */
-  def readTablePairsCsv(path: String): Seq[(String, String)] =
-    Files.readAllLines(Paths.get(path)).asScala.toSeq
+  def readTablePairsCsv(path: String): Seq[(String, String)] = {
+    // drop blanks FIRST, so a header after a leading blank line is
+    // still recognized as the first row; keep 1-based line numbers
+    // from the raw file for error messages
+    val rows = Files.readAllLines(Paths.get(path)).asScala.toSeq
       .zipWithIndex
       .filter(_._1.trim.nonEmpty)
-      .filterNot { case (line, i) =>
-        i == 0 && line.split(",").headOption.exists(_.trim.equalsIgnoreCase("source_table"))
-      }
+    val data = rows match {
+      case (line, _) +: rest if line.split(",").headOption
+        .exists(_.trim.equalsIgnoreCase("source_table")) => rest
+      case all => all
+    }
+    data
       .map { case (line, i) =>
         // -1: keep trailing empty cells so `a,` is caught, not dropped
         val cols = line.split(",", -1).map(_.trim).toSeq
@@ -162,6 +168,7 @@ object YamlConfig {
             s"'$line' (expected 'source_table' or 'source_table,target_table')")
         }
       }
+  }
 
   /** connection.type → backend (reference create_connector fans over 9
     * engines, connections.py; here a parquet/csv dir covers the file

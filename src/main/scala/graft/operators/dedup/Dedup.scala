@@ -34,6 +34,21 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Drop blocking buckets whose population exceeds `maxBucket` — ONE
+    * window count over the bucket key; the window's hash partitioning
+    * is exactly the subsequent self-join's key, so the exchange is
+    * reused, not repeated. Shared by the MinHash band, SimHash chunk,
+    * and embedding-LSH bucket paths so cap semantics cannot silently
+    * diverge between them.
+    */
+  private[dedup] def capBuckets(df: DataFrame, maxBucket: Int,
+                                bucketKeys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(bucketKeys.map(col): _*)
+    df.withColumn("bucket_n", count(lit(1)).over(w))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+  }
+
   /** Jaccard similarity of two distinct-element arrays. Two EMPTY sets
     * are defined as similarity 0.0 (empty documents are never
     * duplicates of each other) — a deliberate convention, mirrored in
@@ -98,9 +113,14 @@ object Dedup {
     def report(batch: DataFrame, corpus: DataFrame,
                textCol: String = "text", idCol: String = "doc_id",
                bloomFpp: Double = 0.01): DataFrame = {
-      val b = fingerprints(batch, textCol, idCol)
+      // lazy checkpoints: the corpus fingerprints feed the count, the
+      // bloom build, AND the verification join; the batch fingerprints
+      // feed the prefilter and the final annotation join — without
+      // them each consumer re-scans and re-hashes the full input
+      val b = fingerprints(batch, textCol, idCol).localCheckpoint(false)
       val corpusFps = fingerprints(corpus, textCol, idCol)
         .select("fingerprint").distinct()
+        .localCheckpoint(false)
       val candidates =
         if (bloomFpp <= 0) b
         else {
@@ -350,33 +370,34 @@ object Dedup {
           col("n_grams"))
     }
 
+    /** The LSH band explode over a frame carrying `sig`: keeps
+      * `carry`'s columns and adds (band, band_hash). The ONE place the
+      * band hashing is defined — every banding consumer goes through
+      * it, so band count/row slicing cannot diverge between paths.
+      */
+    private def bandExploded(df: DataFrame, carry: Seq[String]): DataFrame =
+      df.select(
+        carry.map(col) :+
+          posexplode(array((0 until Bands).map { b =>
+            xxhash64(slice(col("sig"), b * Rows + 1, Rows))
+          }: _*)).as(Seq("band", "band_hash")): _*)
+
     /** (gid, sig, band, band_hash) for the non-empty content
       * representatives — the only rows that enter the band self-join.
       */
     private def bandedRepsRaw(sigs: DataFrame, members: DataFrame): DataFrame =
-      sigs.join(
+      bandExploded(
+        sigs.join(
           members.where(col("gid") === col("rep") && col("n_grams") > 0)
             .select("gid"),
-          Seq("gid"))
-        .select(
-          col("gid"), col("sig"),
-          posexplode(array((0 until Bands).map { b =>
-            xxhash64(slice(col("sig"), b * Rows + 1, Rows))
-          }: _*)).as(Seq("band", "band_hash")))
+          Seq("gid")),
+        Seq("gid", "sig"))
 
     /** Banded reps with over-cap buckets removed (hot-bucket bound,
-      * part 2). One window count over the band key — the window's
-      * hash partitioning is exactly the subsequent join's key, so the
-      * exchange is reused, not repeated.
-      */
+      * part 2, [[Dedup.capBuckets]]). */
     private[graft] def bandedReps(sigs: DataFrame, members: DataFrame,
-                                  maxBucket: Int): DataFrame = {
-      val w = Window.partitionBy("band", "band_hash")
-      bandedRepsRaw(sigs, members)
-        .withColumn("bucket_n", count(lit(1)).over(w))
-        .where(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
-    }
+                                  maxBucket: Int): DataFrame =
+      capBuckets(bandedRepsRaw(sigs, members), maxBucket, Seq("band", "band_hash"))
 
     /** Skew-report-style audit of the band buckets the cap drops:
       * (band, band_hash, n_reps) for every bucket with more than
@@ -426,16 +447,10 @@ object Dedup {
           min("gid").over(w).as("rep"),
           count(lit(1)).over(w).as("n_docs"))
         .localCheckpoint(false)
-      val banded = keyed
-        .where(col("gid") === col("rep") && !col("empty"))
-        .select(
-          col("gid"),
-          posexplode(array((0 until Bands).map { b =>
-            xxhash64(slice(col("sig"), b * Rows + 1, Rows))
-          }: _*)).as(Seq("band", "band_hash")))
-      val wb = Window.partitionBy("band", "band_hash")
-      val capped = banded.withColumn("bucket_n", count(lit(1)).over(wb))
-        .where(col("bucket_n") <= maxBucket).drop("bucket_n")
+      val capped = capBuckets(
+        bandExploded(keyed.where(col("gid") === col("rep") && !col("empty")),
+          Seq("gid")),
+        maxBucket, Seq("band", "band_hash"))
       val l = capped.select(col("band"), col("band_hash"), col("gid").as("rep_1"))
       val r = capped.select(col("band"), col("band_hash"), col("gid").as("rep_2"))
       val repPairs = l.join(r, Seq("band", "band_hash"))
@@ -635,6 +650,15 @@ object Dedup {
       * iteration recomputes from the checkpoint instead of failing the
       * job, which is the right trade on a large cluster where losing an
       * executor over a 10-round propagation is routine.
+      *
+      * Some(dir) caveats, by design: it calls
+      * `sparkContext.setCheckpointDir(dir)` (SESSION-GLOBAL — pass the
+      * dir your application wants for all reliable checkpoints), and
+      * Spark does not delete reliable checkpoint files unless
+      * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so
+      * point it at per-run scratch space and reap it after the job —
+      * a 10-round propagation retains roughly one labels-sized frame
+      * per round until then.
       */
     def components(pairs: DataFrame, maxIters: Int = 20,
                    smallGraphMax: Long = SmallGraphMaxPairs,
@@ -836,9 +860,7 @@ object Dedup {
           posexplode(array((0 until Chunks).map { c =>
             expr(s"shiftright(simhash, ${c * ChunkBits}) & 65535")
           }: _*)).as(Seq("chunk", "chunk_val")))
-      val w = Window.partitionBy("chunk", "chunk_val")
-      val capped = chunked.withColumn("bucket_n", count(lit(1)).over(w))
-        .where(col("bucket_n") <= maxBucket).drop("bucket_n")
+      val capped = capBuckets(chunked, maxBucket, Seq("chunk", "chunk_val"))
       val l = capped.select(col("chunk"), col("chunk_val"),
         col("gid").as("rep_1"), col("simhash").as("s1"))
       val r = capped.select(col("chunk"), col("chunk_val"),
@@ -942,9 +964,7 @@ object Dedup {
       val reps = members.where(col("vid") === col("rep"))
         .select(col("vid").as("vec_id"), col("v").as("embedding"))
       val b = lsh.withBuckets(reps, "n", planes, "embedding", "vec_id")
-      val w = Window.partitionBy("tbl", "n_bucket")
-      val capped = b.withColumn("bucket_n", count(lit(1)).over(w))
-        .where(col("bucket_n") <= maxBucket).drop("bucket_n")
+      val capped = capBuckets(b, maxBucket, Seq("tbl", "n_bucket"))
       val l = capped.select(col("tbl"), col("n_bucket").as("bucket"),
         col("n_id").as("rep_1"), col("n_v").as("e1"))
       val r = capped.select(col("tbl"), col("n_bucket").as("bucket"),

@@ -153,16 +153,25 @@ final class JdbcConnection(val spark: SparkSession, url: String,
     * that fans over the catalog (rowcount, dbstats-compare,
     * schemaMetadata) calls listTables repeatedly, and re-running the
     * metadata query per call hammers the backend for an answer that
-    * cannot change mid-run.
+    * cannot change mid-run — except through THIS connection's own
+    * writes, so [[createTableFromQuery]] invalidates it.
     */
-  override def listTables(): Seq[String] = cachedTables
-  private lazy val cachedTables: Seq[String] = withJdbc { c =>
-    val rs = c.getMetaData.getTables(database.orNull, schema.orNull, "%",
-      Array("TABLE"))
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (rs.next()) buf += rs.getString("TABLE_NAME")
-    buf.sorted.toSeq
+  override def listTables(): Seq[String] = {
+    val cached = cachedTables
+    if (cached != null) cached
+    else {
+      val listed = withJdbc { c =>
+        val rs = c.getMetaData.getTables(database.orNull, schema.orNull, "%",
+          Array("TABLE"))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) buf += rs.getString("TABLE_NAME")
+        buf.sorted.toSeq
+      }
+      cachedTables = listed
+      listed
+    }
   }
+  @volatile private var cachedTables: Seq[String] = null
 
   /** reference build_qualified_table_name (connections.py:32-35):
     * dot-join of (database, schema, table), skipping absent parts —
@@ -213,6 +222,7 @@ final class JdbcConnection(val spark: SparkSession, url: String,
       .option("url", url).option("dbtable", qualify(name))
     props.foldLeft(w) { case (x, (k, v)) => x.option(k, v) }
       .mode("overwrite").save()
+    cachedTables = null // the catalog just changed through this connection
   }
 
   /** reference count_rows (connections.py:96-107): one pushed

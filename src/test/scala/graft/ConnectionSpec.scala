@@ -159,15 +159,21 @@ class ConnectionSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
     // jdbc: query pushed to the db, result written back as a new table
+    val before = jdbcConn.listTables() // populate the catalog cache first
     jdbcConn.createTableFromQuery("REGION_COUNTS",
       "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey")
     val back = jdbcConn.table("REGION_COUNTS").collect()
       .map(r => r.getAs[Number](0).intValue -> r.getAs[Number](1).longValue).toMap
     assert(back.values.sum == 26 && back.size == 5)
+    // CTAS invalidates the cached listing: the new table is visible
+    // to catalog fan-out on the SAME connection
+    assert(!before.contains("REGION_COUNTS"))
+    assert(jdbcConn.listTables().contains("REGION_COUNTS"))
   }
 
   test("operators run end-to-end through the jdbc backend") {
-    val tables = jdbcConn.listTables().map(t => t -> jdbcConn.table(t)).toMap
+    // fixture tables only — earlier tests may have CTAS'd extra tables
+    val tables = Seq("NATION", "REGION").map(t => t -> jdbcConn.table(t)).toMap
     val rc = RowCount.counts(spark, tables).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rc == Map("NATION" -> 26L, "REGION" -> 5L))

@@ -113,6 +113,10 @@ class YamlConfigSpec extends AnyFunSuite {
     val emptyCell = tmpFile("pairs_empty.csv", "a,,b\n")
     assert(intercept[RuntimeException](
       YamlConfig.readTablePairsCsv(emptyCell)).getMessage.contains("malformed"))
+    // header after a LEADING BLANK LINE is still a header, not data
+    val blankFirst = tmpFile("pairs_blank.csv",
+      "\nsource_table,target_table\nx,y\n")
+    assert(YamlConfig.readTablePairsCsv(blankFirst) == Seq(("x", "y")))
   }
 
   test("generated default config round-trips to the default mappings") {
