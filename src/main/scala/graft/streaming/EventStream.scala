@@ -31,6 +31,36 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming incremental dedup: annotate a stream of documents with
+    * whether their content already exists in a STATIC corpus — the
+    * streaming twin of
+    * [[graft.operators.dedup.Dedup.IncrementalDedup]], for ingest
+    * pipelines that drop known content at arrival time instead of in a
+    * nightly batch.
+    *
+    * Spark-first shape: a stream-static join. The static side is the
+    * corpus's DISTINCT content fingerprints (computed once per
+    * micro-batch planning, broadcast when small — the normal case: 16
+    * bytes per unique content); no streaming state is needed at all,
+    * because the static side is the state. Left-join semantics keep
+    * every stream row and add `in_corpus` — callers drop or route as
+    * policy dictates. In-stream duplicates are
+    * [[dedupWithinWatermark]]'s job; compose both for full ingest
+    * dedup.
+    */
+  def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val fp = graft.operators.dedup.Dedup.IncrementalDedup
+      .fingerprints(corpus, textCol, idCol)
+      .select("fingerprint").distinct()
+      .withColumn("in_corpus", lit(true))
+    docs.withColumn("fingerprint",
+        md5(graft.operators.text.TextOps.Fingerprint.normalized(col(textCol))))
+      .join(broadcast(fp), Seq("fingerprint"), "left")
+      .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+  }
+
   /** Watermarked stream-stream interval join: each left event joins
     * the right events of the same `keyCol` whose timestamps fall
     * within the `windowMinutes` BEFORE it — the streaming twin of

@@ -155,6 +155,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup: stream-static corpus membership matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = EventStream.dedupAgainstCorpus(docs, corpus)
+      .writeStream.format("memory").queryName("incr_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "the  QUICK   brown fox "), // normalizes to corpus content 1
+        (11L, "genuinely new content"),
+        (12L, "lorem ipsum dolor"))       // exact corpus content 2
+      query.processAllAvailable()
+      val got = spark.table("incr_dedup_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("in_corpus")).toMap
+      assert(got == Map(10L -> true, 11L -> false, 12L -> true))
+      // batch twin agrees row for row
+      val batch = graft.operators.dedup.Dedup.IncrementalDedup.report(
+        Seq((10L, "the  QUICK   brown fox "), (11L, "genuinely new content"),
+          (12L, "lorem ipsum dolor")).toDF("doc_id", "text"), corpus)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(batch == got)
+    } finally query.stop()
+  }
+
   test("file-source streaming: parquet files appearing in a directory flow through the agg") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
