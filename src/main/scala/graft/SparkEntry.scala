@@ -10,7 +10,7 @@ import graft.operators.similarity.Similarity
 import graft.operators.text.TextOps
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.functions.{col, expr, lit, max}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * entry maps to. Every key in [[queries]] either has a DuckDB oracle in
@@ -169,6 +169,14 @@ object SparkEntry {
           .withColumn("w", (col("doc_id") % 100) / 100.0),
         "doc_id", "w")
         .select("doc_id").orderBy("doc_id")),
+    // sequence packing: docs → fixed-token-budget packs (greedy
+    // next-fit per hash group; engine-portable arithmetic, so the
+    // whole assignment has an exact SQL oracle). Token proxy: chars/4.
+    "pack_sequences" -> ((s, d) =>
+      graft.operators.Packing.packs(
+        Tables(s, d, "documents")
+          .withColumn("n_tokens", expr("n_chars div 4 + 1")),
+        PackCapacity).orderBy("doc_id")),
     // --- dedup for LLM-data pipelines (SURVEY §2 #25-29) ---
     "dedup_exact" -> ((s, d) => Dedup.ExactDedup.run(Tables(s, d, "documents"))),
     // incremental: the batch half checked against the corpus half —
@@ -243,6 +251,7 @@ object SparkEntry {
   // corpus/batch boundary for the incremental-dedup demo query — small
   // enough that even sf0.001's 50 docs yield a non-empty batch
   private val IncrementalSplitId = 25L
+  private val PackCapacity = 2048L
   private val AnnK = 10
   private val AnnNumQueries = 5
 
@@ -459,6 +468,8 @@ object SparkEntry {
       "documents", "doc_id", "(doc_id % 100) / 100.0"),
     "dedup_exact" -> Dedup.ExactDedup.oracleSql("documents"),
     "dedup_incremental" -> Dedup.IncrementalDedup.oracleSql("documents", IncrementalSplitId),
+    "pack_sequences" -> graft.operators.Packing.oracleSql(
+      "documents", PackCapacity, "n_chars // 4 + 1"),
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
     "dedup_clusters" -> Dedup.Components.oracleSql("documents", NgramJaccardThreshold),
     "dedup_embedding" -> Dedup.EmbeddingDedup.oracleSql("embeddings", EmbeddingDedupThreshold),
