@@ -48,6 +48,10 @@ import org.apache.spark.sql.functions.expr
   *     [--weights train:0.8,val:0.1,test:0.1] [--salt 0]
   * GraftApp dedup           --dir /data/sf1 --table documents [--threshold 0.8]
   * GraftApp dedup-audit     --dir /data/sf1 --table documents [--max-bucket 1024]
+  * GraftApp dedup-incremental --dir /data/batch --table documents \
+  *     --corpus-dir /data/corpus [--corpus-table documents] [--bloom-fpp 0.01]
+  * GraftApp pack            --dir /data/sf1 --table docs_with_tokens \
+  *     [--capacity 2048] [--tokens-col n_tokens] [--groups 256]
   * GraftApp sessionize      --dir /data/sf1 [--gap-minutes 120]
   * }}}
   */
@@ -85,7 +89,7 @@ object GraftApp {
     "colcompare", "generate-config", "combine", "parquetizer", "dynamic-query",
     "completeness", "uniqueness", "format", "range", "stats", "stats-compare",
     "values", "referential", "suite", "skew", "asof", "range-join", "split",
-    "dedup", "dedup-audit", "sessionize")
+    "dedup", "dedup-audit", "dedup-incremental", "pack", "sessionize")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -289,6 +293,25 @@ object GraftApp {
         Sampling.hashSplit(t, idCol, weights, f.getOrElse("salt", "0").toLong)
       case "dedup" =>
         Dedup.Components.dedupGroups(table, f.getOrElse("threshold", "0.8").toDouble)
+      case "dedup-incremental" =>
+        // new batch vs existing corpus: --table is the batch, the
+        // corpus is --corpus-table in --corpus-dir (defaults: same
+        // table name, same --dir — the split-one-table case then needs
+        // only --corpus-where/--where filters upstream)
+        val corpusDir = f.getOrElse("corpus-dir", dir)
+        val corpusTable = f.getOrElse("corpus-table", tableName)
+        Dedup.IncrementalDedup.report(
+          table, Tables(spark, corpusDir, corpusTable),
+          bloomFpp = f.getOrElse("bloom-fpp", "0.01").toDouble)
+      case "pack" =>
+        // sequence packing: --tokens-col names an integral column
+        // (default n_tokens); --capacity the per-pack token budget
+        graft.operators.Packing.packs(table,
+          capacity = f.getOrElse("capacity", "2048").toLong,
+          tokensCol = f.getOrElse("tokens-col", "n_tokens"),
+          idCol = f.getOrElse("id", "doc_id"),
+          nGroups = f.getOrElse("groups",
+            graft.operators.Packing.DefaultGroups.toString).toInt)
       case "dedup-audit" =>
         // scale-safety audit: band buckets whose DISTINCT-content
         // population exceeds the hot-bucket cap. Those buckets are

@@ -73,6 +73,18 @@ class GraftAppSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no *.parquet tables"))
   }
 
+  test("dedup-incremental and pack tools run end-to-end") {
+    // batch == corpus → every doc's content is in the corpus
+    val n = runToParquet("dedup-incremental", "--dir", TestSpark.sf0001,
+      "--table", "documents")
+    assert(n == 500)
+    // pack over a derived token column: documents lacks n_tokens, so
+    // point --tokens-col at the integral n_chars (valid budget units)
+    assert(runToParquet("pack", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--tokens-col", "n_chars",
+      "--capacity", "4096") == 500)
+  }
+
   test("dbstats-compare reconciles two catalogs") {
     assert(runToParquet("dbstats-compare",
       "--source-dir", TestSpark.sf0001, "--target-dir", TestSpark.sf0001,
