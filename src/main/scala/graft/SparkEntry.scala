@@ -10,7 +10,7 @@ import graft.operators.similarity.Similarity
 import graft.operators.text.TextOps
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, max}
+import org.apache.spark.sql.functions.{col, expr, lit, max, substring}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * entry maps to. Every key in [[queries]] either has a DuckDB oracle in
@@ -169,6 +169,17 @@ object SparkEntry {
           .withColumn("w", (col("doc_id") % 100) / 100.0),
         "doc_id", "w")
         .select("doc_id").orderBy("doc_id")),
+    // decontamination: synthetic "benchmark" = a mid-document slice of
+    // the first docs (bounded driver collect, derivable by the oracle);
+    // those docs must self-flag, the rest are checked for real overlap
+    "text_decontaminate" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val probes = docs.where(col("doc_id") < DecontProbeDocs)
+        .select(substring(TextOps.Fingerprint.normalized(col("text")),
+          DecontFrom, DecontLen).as("p"))
+        .collect().map(_.getString(0)).toSeq
+      graft.operators.text.Decontaminate.flag(docs, probes)
+    }),
     // sequence packing: docs → fixed-token-budget packs (greedy
     // next-fit per hash group; engine-portable arithmetic, so the
     // whole assignment has an exact SQL oracle). Token proxy: chars/4.
@@ -252,6 +263,9 @@ object SparkEntry {
   // enough that even sf0.001's 50 docs yield a non-empty batch
   private val IncrementalSplitId = 25L
   private val PackCapacity = 2048L
+  private val DecontProbeDocs = 5L
+  private val DecontFrom = 11
+  private val DecontLen = 40
   private val AnnK = 10
   private val AnnNumQueries = 5
 
@@ -470,6 +484,8 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.IncrementalDedup.oracleSql("documents", IncrementalSplitId),
     "pack_sequences" -> graft.operators.Packing.oracleSql(
       "documents", PackCapacity, "n_chars // 4 + 1"),
+    "text_decontaminate" -> graft.operators.text.Decontaminate.oracleSql(
+      "documents", DecontProbeDocs, DecontFrom, DecontLen),
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
     "dedup_clusters" -> Dedup.Components.oracleSql("documents", NgramJaccardThreshold),
     "dedup_embedding" -> Dedup.EmbeddingDedup.oracleSql("embeddings", EmbeddingDedupThreshold),

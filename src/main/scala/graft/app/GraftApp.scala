@@ -52,6 +52,8 @@ import org.apache.spark.sql.functions.expr
   *     --corpus-dir /data/corpus [--corpus-table documents] [--bloom-fpp 0.01]
   * GraftApp pack            --dir /data/sf1 --table docs_with_tokens \
   *     [--capacity 2048] [--tokens-col n_tokens] [--groups 256]
+  * GraftApp decontaminate   --dir /data/sf1 --table documents \
+  *     --probes-file benchmark_strings.txt
   * GraftApp sessionize      --dir /data/sf1 [--gap-minutes 120]
   * }}}
   */
@@ -89,7 +91,8 @@ object GraftApp {
     "colcompare", "generate-config", "combine", "parquetizer", "dynamic-query",
     "completeness", "uniqueness", "format", "range", "stats", "stats-compare",
     "values", "referential", "suite", "skew", "asof", "range-join", "split",
-    "dedup", "dedup-audit", "dedup-incremental", "pack", "sessionize")
+    "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "pack",
+    "sessionize")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -303,6 +306,14 @@ object GraftApp {
         Dedup.IncrementalDedup.report(
           table, Tables(spark, corpusDir, corpusTable),
           bloomFpp = f.getOrElse("bloom-fpp", "0.01").toDouble)
+      case "decontaminate" =>
+        // --probes-file: one benchmark/test-set string per line
+        val probes = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get(flag("probes-file")))
+          .toArray(Array.empty[String]).toSeq
+        graft.operators.text.Decontaminate.flag(table, probes,
+          textCol = f.getOrElse("text-col", "text"),
+          idCol = f.getOrElse("id", "doc_id"))
       case "pack" =>
         // sequence packing: --tokens-col names an integral column
         // (default n_tokens); --capacity the per-pack token budget

@@ -220,7 +220,7 @@ object Dedup {
       * Catalyst lower()) and a SPACE-ONLY trim (String.trim strips all
       * control chars ≤ U+0020; Catalyst trim strips only ' ').
       */
-    private[dedup] def normalizeKernel(text: String): String = {
+    private[graft] def normalizeKernel(text: String): String = {
       val collapsed = text.replaceAll("\\s+", " ")
       var from = 0
       var to = collapsed.length

@@ -85,6 +85,18 @@ class GraftAppSpec extends AnyFunSuite {
       "--capacity", "4096") == 500)
   }
 
+  test("decontaminate tool flags docs containing a probe-file string") {
+    // plant a probe that certainly occurs: a slice of doc 0's own text
+    val doc0 = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+      .where("doc_id = 0").select("text").collect()(0).getString(0)
+    val probeFile = tmpFile("probes.txt", doc0.trim.take(30) + "\n")
+    val out = java.nio.file.Files.createTempDirectory("graft_app").toString + "/res"
+    GraftApp.run(spark, Seq("decontaminate", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--probes-file", probeFile, "--out", out))
+    val res = spark.read.parquet(out)
+    assert(res.where("doc_id = 0 AND contaminated").count() == 1)
+  }
+
   test("dbstats-compare reconciles two catalogs") {
     assert(runToParquet("dbstats-compare",
       "--source-dir", TestSpark.sf0001, "--target-dir", TestSpark.sf0001,
