@@ -169,6 +169,14 @@ object SparkEntry {
           .withColumn("w", (col("doc_id") % 100) / 100.0),
         "doc_id", "w")
         .select("doc_id").orderBy("doc_id")),
+    // mixture sampling: token-budgeted per-source selection (the
+    // training-mix step); budgets bite at every sf (each source holds
+    // ~1.8k proxy tokens)
+    "sample_mixture" -> ((s, d) =>
+      Mixture.sample(
+        Tables(s, d, "documents")
+          .withColumn("n_tokens", expr("n_chars div 4 + 1")),
+        MixtureBudgets)),
     // decontamination: synthetic "benchmark" = a mid-document slice of
     // the first docs (bounded driver collect, derivable by the oracle);
     // those docs must self-flag, the rest are checked for real overlap
@@ -263,6 +271,8 @@ object SparkEntry {
   // enough that even sf0.001's 50 docs yield a non-empty batch
   private val IncrementalSplitId = 25L
   private val PackCapacity = 2048L
+  private val MixtureBudgets = Map(
+    "src0" -> 1000L, "src1" -> 1000L, "src2" -> 600L, "src3" -> 200L)
   private val DecontProbeDocs = 5L
   private val DecontFrom = 11
   private val DecontLen = 40
@@ -486,6 +496,8 @@ object SparkEntry {
       "documents", PackCapacity, "n_chars // 4 + 1"),
     "text_decontaminate" -> graft.operators.text.Decontaminate.oracleSql(
       "documents", DecontProbeDocs, DecontFrom, DecontLen),
+    "sample_mixture" -> Mixture.oracleSql(
+      "documents", MixtureBudgets, "n_chars // 4 + 1"),
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
     "dedup_clusters" -> Dedup.Components.oracleSql("documents", NgramJaccardThreshold),
     "dedup_embedding" -> Dedup.EmbeddingDedup.oracleSql("embeddings", EmbeddingDedupThreshold),

@@ -54,6 +54,8 @@ import org.apache.spark.sql.functions.expr
   *     [--capacity 2048] [--tokens-col n_tokens] [--groups 256]
   * GraftApp decontaminate   --dir /data/sf1 --table documents \
   *     --probes-file benchmark_strings.txt
+  * GraftApp mixture         --dir /data/sf1 --table docs_with_tokens \
+  *     --budgets web:50000000,code:20000000 [--tokens-col n_tokens]
   * GraftApp sessionize      --dir /data/sf1 [--gap-minutes 120]
   * }}}
   */
@@ -91,8 +93,8 @@ object GraftApp {
     "colcompare", "generate-config", "combine", "parquetizer", "dynamic-query",
     "completeness", "uniqueness", "format", "range", "stats", "stats-compare",
     "values", "referential", "suite", "skew", "asof", "range-join", "split",
-    "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "pack",
-    "sessionize")
+    "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "mixture",
+    "pack", "sessionize")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -313,6 +315,19 @@ object GraftApp {
           .toArray(Array.empty[String]).toSeq
         graft.operators.text.Decontaminate.flag(table, probes,
           textCol = f.getOrElse("text-col", "text"),
+          idCol = f.getOrElse("id", "doc_id"))
+      case "mixture" =>
+        // --budgets source:tokens,source:tokens — per-source token
+        // targets; sources not named are dropped
+        val budgets = flag("budgets").split(",").toSeq.map { pair =>
+          pair.split(":") match {
+            case Array(s, b) => s -> b.toLong
+            case _ => sys.error(s"bad --budgets entry '$pair' (source:tokens)")
+          }
+        }.toMap
+        Mixture.sample(table, budgets,
+          sourceCol = f.getOrElse("source-col", "source"),
+          tokensCol = f.getOrElse("tokens-col", "n_tokens"),
           idCol = f.getOrElse("id", "doc_id"))
       case "pack" =>
         // sequence packing: --tokens-col names an integral column

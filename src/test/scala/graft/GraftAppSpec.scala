@@ -85,6 +85,17 @@ class GraftAppSpec extends AnyFunSuite {
       "--capacity", "4096") == 500)
   }
 
+  test("mixture tool selects token-budgeted per-source docs") {
+    val out = java.nio.file.Files.createTempDirectory("graft_app").toString + "/res"
+    GraftApp.run(spark, Seq("mixture", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--tokens-col", "n_chars",
+      "--budgets", "src0:5000,src1:3000", "--out", out))
+    val res = spark.read.parquet(out)
+    assert(res.count() > 0)
+    assert(res.select("source").distinct().collect()
+      .map(_.getString(0)).toSet == Set("src0", "src1"))
+  }
+
   test("decontaminate tool flags docs containing a probe-file string") {
     // plant a probe that certainly occurs: a slice of doc 0's own text
     val doc0 = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
