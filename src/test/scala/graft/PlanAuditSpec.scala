@@ -53,6 +53,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("pack_sequences: exactly one exchange (the group repartition), no extra sort shuffle") {
+    val p = plan(q("pack_sequences"))
+    // orderBy at the end adds a range exchange for presentation; the
+    // PACKING itself must contribute exactly one hash exchange
+    // (formatted mode lists the node and its Arguments separately)
+    val hashExchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges in:\n$p")
+  }
+
+  test("text_decontaminate: map-side only — no exchange before the scan kernel") {
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+    val p = plan(graft.operators.text.Decontaminate.flag(docs,
+      Seq("sufficiently long probe string")))
+    // the only exchange allowed is the final presentation orderBy
+    assert(!p.contains("hashpartitioning"),
+      s"decontamination must not shuffle:\n$p")
+  }
+
+  test("sample_mixture: prefix sums ride source/bucket windows, never one window per source over raw docs") {
+    val p = plan(q("sample_mixture"))
+    // the in-bucket window must partition by BOTH source and bucket —
+    // a source-only window over the raw docs is the single-reducer
+    // antipattern the two-phase sum exists to avoid
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(windowLines.exists(l => l.contains("source") && l.contains("bucket")),
+      s"no (source, bucket) window in:\n${windowLines.mkString("\n")}")
+  }
+
   test("nullcheck: single scan, no per-column jobs") {
     val p = plan(q("nullcheck_customer"))
     // one parquet scan feeding one aggregate — the reference's
