@@ -99,6 +99,24 @@ object GraftApp {
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
 
+  /** Loud up-front type check shared by every id-hashing tool (split,
+    * pack, mixture, decontaminate): under ANSI mode (the Spark 4
+    * default) a string id column would otherwise make the cast throw
+    * mid-job, deep inside a task, instead of here.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val idType = df.schema(idCol).dataType
+    val integral = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    require(integral,
+      s"--id column '$idCol' must be integral (long/int), got ${idType.simpleString}")
+  }
+
   def run(spark: SparkSession, args: Seq[String]): Unit = {
     val (tool, f) = parse(args)
     def dir = f.getOrElse("dir", sys.error("--dir required"))
@@ -283,18 +301,7 @@ object GraftApp {
           }
         val t = table
         val idCol = flag("id")
-        // loud up-front type check: under ANSI mode (Spark 4 default) a
-        // string id would make unitPos's cast throw mid-job instead
-        val idType = t.schema(idCol).dataType
-        val integral = {
-          import org.apache.spark.sql.types._
-          idType match {
-            case LongType | IntegerType | ShortType | ByteType => true
-            case _ => false
-          }
-        }
-        require(integral,
-          s"--id column '$idCol' must be integral (long/int), got ${idType.simpleString}")
+        requireIntegralId(t, idCol)
         Sampling.hashSplit(t, idCol, weights, f.getOrElse("salt", "0").toLong)
       case "dedup" =>
         Dedup.Components.dedupGroups(table, f.getOrElse("threshold", "0.8").toDouble)
@@ -313,7 +320,9 @@ object GraftApp {
         val probes = java.nio.file.Files
           .readAllLines(java.nio.file.Paths.get(flag("probes-file")))
           .toArray(Array.empty[String]).toSeq
-        graft.operators.text.Decontaminate.flag(table, probes,
+        val t = table
+        requireIntegralId(t, f.getOrElse("id", "doc_id"))
+        graft.operators.text.Decontaminate.flag(t, probes,
           textCol = f.getOrElse("text-col", "text"),
           idCol = f.getOrElse("id", "doc_id"))
       case "mixture" =>
@@ -325,14 +334,18 @@ object GraftApp {
             case _ => sys.error(s"bad --budgets entry '$pair' (source:tokens)")
           }
         }.toMap
-        Mixture.sample(table, budgets,
+        val mt = table
+        requireIntegralId(mt, f.getOrElse("id", "doc_id"))
+        Mixture.sample(mt, budgets,
           sourceCol = f.getOrElse("source-col", "source"),
           tokensCol = f.getOrElse("tokens-col", "n_tokens"),
           idCol = f.getOrElse("id", "doc_id"))
       case "pack" =>
         // sequence packing: --tokens-col names an integral column
         // (default n_tokens); --capacity the per-pack token budget
-        graft.operators.Packing.packs(table,
+        val pt = table
+        requireIntegralId(pt, f.getOrElse("id", "doc_id"))
+        graft.operators.Packing.packs(pt,
           capacity = f.getOrElse("capacity", "2048").toLong,
           tokensCol = f.getOrElse("tokens-col", "n_tokens"),
           idCol = f.getOrElse("id", "doc_id"),

@@ -47,8 +47,12 @@ object Mixture {
         col(tokensCol).cast("long").as("n_tokens"),
         Sampling.unitPos(col(idCol)).as("pos"))
       .withColumn("bucket", bucketOf(col("pos"), nBuckets))
-      // only budgeted sources pay any further work
-      .where(col("source").isInCollection(budgets.keys.toSeq))
+      // only budgeted sources pay any further work; NULL-id rows are
+      // EXPLICITLY excluded (no hash position ⇒ no deterministic place
+      // in the consumption order) — the oracle applies the same rule,
+      // rather than letting NULL join keys drop them silently
+      .where(col("source").isInCollection(budgets.keys.toSeq) &&
+        col("doc_id").isNotNull)
     val wOffsets = Window.partitionBy("source").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy("source", "bucket")
@@ -88,7 +92,8 @@ object Mixture {
        |  FROM (
        |    SELECT $idCol AS doc_id, source,
        |      CAST($tokensExpr AS BIGINT) AS n_tokens, ($pos) AS pos
-       |    FROM $table WHERE source IN ($sources)) t) w
+       |    FROM $table
+       |    WHERE source IN ($sources) AND $idCol IS NOT NULL) t) w
        |WHERE cum_before < budget
        |ORDER BY doc_id""".stripMargin
   }

@@ -104,7 +104,7 @@ object Dedup {
     def fingerprints(df: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame =
       df.select(col(idCol),
-        md5(TextOps.Fingerprint.normalized(col(textCol))).as("fingerprint"))
+        TextOps.Fingerprint.fingerprintCol(col(textCol)).as("fingerprint"))
 
     /** (doc_id, fingerprint, in_corpus) per batch doc, ordered by id.
       * `bloomFpp` trades prefilter size for join traffic; 0 disables

@@ -49,9 +49,14 @@ object Decontaminate {
       while (i < from + len) { h = h * B + s.charAt(i); i += 1 }
       h
     }
-    val byPrefix: Map[Long, Array[Int]] = norm.indices
-      .groupBy(i => hashAt(norm(i), 0, w))
-      .map { case (h, is) => h -> is.toArray }
+    // primitive-keyed lookup for the per-character hot loop: sorted
+    // long[] of distinct prefix hashes + aligned probe-index buckets,
+    // binary-searched — a boxed Map here would allocate one
+    // java.lang.Long per text position per document
+    val grouped = norm.indices.groupBy(i => hashAt(norm(i), 0, w)).toArray
+      .sortBy(_._1)
+    val prefixHashes: Array[Long] = grouped.map(_._1)
+    val prefixProbes: Array[Array[Int]] = grouped.map(_._2.toArray)
     val powW = { var p = 1L; var i = 1; while (i < w) { p *= B; i += 1 }; p }
     val probesArr = norm.toArray
 
@@ -67,8 +72,9 @@ object Decontaminate {
             var pos = 0
             val last = t.length - w
             while (pos <= last) {
-              val cands = byPrefix.getOrElse(h, null)
-              if (cands != null) {
+              val slot = java.util.Arrays.binarySearch(prefixHashes, h)
+              if (slot >= 0) {
+                val cands = prefixProbes(slot)
                 var c = 0
                 while (c < cands.length) {
                   val p = probesArr(cands(c))

@@ -294,9 +294,17 @@ object TextOps {
     def normalized(text: Column): Column =
       lower(trim(regexp_replace(text, "\\s+", " ")))
 
+    /** THE canonical content fingerprint — every content-identity
+      * consumer (exact dedup, incremental dedup, streaming corpus
+      * membership) must build it through here, or a normalization or
+      * hash change would silently split "identical" content between
+      * call sites.
+      */
+    def fingerprintCol(text: Column): Column = md5(normalized(text))
+
     def contentFingerprint(df: DataFrame, textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame =
-      df.select(col(idCol), md5(normalized(col(textCol))).as("fingerprint"))
+      df.select(col(idCol), fingerprintCol(col(textCol)).as("fingerprint"))
         .orderBy(idCol)
 
     def oracleSql(table: String): String =

@@ -55,9 +55,13 @@ object EventStream {
       .fingerprints(corpus, textCol, idCol)
       .select("fingerprint").distinct()
       .withColumn("in_corpus", lit(true))
+    // no broadcast HINT: the planner broadcasts when the fingerprint
+    // set measures small (the normal case) and falls back to a
+    // non-broadcast stream-static join when the corpus is too big to
+    // ship — a forced hint would OOM every micro-batch instead
     docs.withColumn("fingerprint",
-        md5(graft.operators.text.TextOps.Fingerprint.normalized(col(textCol))))
-      .join(broadcast(fp), Seq("fingerprint"), "left")
+        graft.operators.text.TextOps.Fingerprint.fingerprintCol(col(textCol)))
+      .join(fp, Seq("fingerprint"), "left")
       .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
   }
 

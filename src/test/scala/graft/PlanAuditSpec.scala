@@ -74,13 +74,21 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("sample_mixture: prefix sums ride source/bucket windows, never one window per source over raw docs") {
     val p = plan(q("sample_mixture"))
-    // the in-bucket window must partition by BOTH source and bucket —
+    // the in-bucket window must PARTITION by both source and bucket —
     // a source-only window over the raw docs is the single-reducer
-    // antipattern the two-phase sum exists to avoid
+    // antipattern the two-phase sum exists to avoid. Check the
+    // partition-spec prefix specifically: the tiny offsets window
+    // (partition source, ORDER BY bucket) would satisfy a bare
+    // substring check and make this audit vacuous.
     val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(windowLines.nonEmpty)
-    assert(windowLines.exists(l => l.contains("source") && l.contains("bucket")),
-      s"no (source, bucket) window in:\n${windowLines.mkString("\n")}")
+    val partitionedByBoth = "windowspecdefinition\\(source#\\d+, bucket#\\d+,".r
+    assert(windowLines.exists(l => partitionedByBoth.findFirstIn(l).isDefined),
+      s"no window PARTITIONED BY (source, bucket) in:\n${windowLines.mkString("\n")}")
+    // and no window may order raw doc rows under a source-only partition
+    val sourceOnlyOverDocs = "windowspecdefinition\\(source#\\d+, pos#\\d+".r
+    assert(!windowLines.exists(l => sourceOnlyOverDocs.findFirstIn(l).isDefined),
+      s"single-reducer source-only window over docs in:\n${windowLines.mkString("\n")}")
   }
 
   test("nullcheck: single scan, no per-column jobs") {
