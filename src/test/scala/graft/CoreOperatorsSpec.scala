@@ -219,6 +219,33 @@ class CoreOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("balanced shard write: file count tracks measured bytes-per-row, shards near-uniform") {
+    val li = graft.sources.Tables(spark, TestSpark.sf0001, "lineitem")
+    val dir = java.nio.file.Files.createTempDirectory("graft_balanced").toString
+    try {
+      // small target → several shards, sized within 3x of each other
+      graft.sources.PartitionedWrite.writeBalanced(
+        li, s"$dir/multi", "l_orderkey", targetBytes = 32 * 1024)
+      val files = new java.io.File(s"$dir/multi").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length > 2, s"expected several shards, got ${files.length}")
+      val sizes = files.map(_.length()).sorted
+      assert(sizes.last < sizes.head * 3,
+        s"shards unbalanced: ${sizes.mkString(",")}")
+      assert(spark.read.parquet(s"$dir/multi").count() == li.count())
+      // huge target → one shard
+      graft.sources.PartitionedWrite.writeBalanced(
+        li, s"$dir/one", "l_orderkey", targetBytes = 1L << 40)
+      val one = new java.io.File(s"$dir/one").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(one == 1)
+      // the sizing scratch dir is gone
+      assert(!new java.io.File(s"$dir/multi_sizing").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("catalog compare: counts common tables, notes one-sided without counting") {
     import spark.implicits._
     val a3 = Seq(1, 2, 3).toDF("x")
