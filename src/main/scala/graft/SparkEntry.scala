@@ -169,6 +169,7 @@ object SparkEntry {
           .withColumn("w", (col("doc_id") % 100) / 100.0),
         "doc_id", "w")
         .select("doc_id").orderBy("doc_id")),
+    "text_redact" -> ((s, d) => TextOps.PiiScan.redact(Tables(s, d, "documents"))),
     // mixture sampling: token-budgeted per-source selection (the
     // training-mix step); budgets bite at every sf (each source holds
     // ~1.8k proxy tokens)
@@ -498,6 +499,7 @@ object SparkEntry {
       "documents", DecontProbeDocs, DecontFrom, DecontLen),
     "sample_mixture" -> Mixture.oracleSql(
       "documents", MixtureBudgets, "n_chars // 4 + 1"),
+    "text_redact" -> TextOps.PiiScan.redactOracleSql("documents"),
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
     "dedup_clusters" -> Dedup.Components.oracleSql("documents", NgramJaccardThreshold),
     "dedup_embedding" -> Dedup.EmbeddingDedup.oracleSql("embeddings", EmbeddingDedupThreshold),

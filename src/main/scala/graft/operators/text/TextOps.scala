@@ -271,6 +271,36 @@ object TextOps {
          |  CAST(len(regexp_extract_all(text, '$UrlPattern')) AS INTEGER) AS n_urls,
          |  CAST(n_emails > 0 OR n_urls > 0 AS INTEGER) AS has_pii
          |FROM $table ORDER BY doc_id""".stripMargin
+
+    val EmailToken = "<EMAIL>"
+    val UrlToken = "<URL>"
+
+    /** Redaction — the transform PiiScan's counts gate: every
+      * email/URL span replaced with a sentinel token, in one codegen'd
+      * projection. Same engine-parity regexes as the scan, URL first
+      * (an email pattern can match inside a URL's userinfo; replacing
+      * URLs first keeps one span one token). Emits old/new lengths so
+      * downstream quality filters can re-score.
+      */
+    def redact(df: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame =
+      df.select(
+          col(idCol),
+          regexp_replace(
+            regexp_replace(col(textCol), UrlPattern, UrlToken),
+            EmailPattern, EmailToken).as("redacted"),
+          length(col(textCol)).as("n_chars_before"))
+        .withColumn("n_chars_after", length(col("redacted")))
+        .orderBy(idCol)
+
+    def redactOracleSql(table: String): String =
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$UrlPattern', '$UrlToken', 'g'),
+         |    '$EmailPattern', '$EmailToken', 'g') AS redacted,
+         |  length(text) AS n_chars_before,
+         |  length(regexp_replace(regexp_replace(text, '$UrlPattern', '$UrlToken', 'g'),
+         |    '$EmailPattern', '$EmailToken', 'g')) AS n_chars_after
+         |FROM $table ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- #35

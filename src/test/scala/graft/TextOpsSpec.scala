@@ -125,4 +125,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(res(3L) == ((0, 0, 0)))
     assert(res(4L) == ((0, 0, 0)))
   }
+
+  test("PiiScan.redact replaces every span with a sentinel, URL before email") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "mail john.doe@example.com or see https://example.com/a_b ok"),
+      // URL with email-shaped userinfo: the URL class excludes '@'
+      // (engine-parity constraint), so the scheme+userinfo is redacted
+      // and the host remainder stays — which the rescan below proves
+      // carries no residual email/URL match
+      (2L, "creds at https://user@host.example.com/path end"),
+      (3L, "clean text")).toDF("doc_id", "text")
+    val res = TextOps.PiiScan.redact(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res(1L) == "mail <EMAIL> or see <URL> ok")
+    assert(res(2L) == "creds at <URL>@host.example.com/path end")
+    assert(res(3L) == "clean text")
+    // redacted text contains no residual matches
+    val rescanned = TextOps.PiiScan.run(
+      TextOps.PiiScan.redact(docs).withColumnRenamed("redacted", "text"))
+      .collect().map(_.getInt(3)).sum
+    assert(rescanned == 0)
+  }
 }
