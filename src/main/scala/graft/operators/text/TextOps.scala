@@ -298,8 +298,7 @@ object TextOps {
          |  regexp_replace(regexp_replace(text, '$UrlPattern', '$UrlToken', 'g'),
          |    '$EmailPattern', '$EmailToken', 'g') AS redacted,
          |  length(text) AS n_chars_before,
-         |  length(regexp_replace(regexp_replace(text, '$UrlPattern', '$UrlToken', 'g'),
-         |    '$EmailPattern', '$EmailToken', 'g')) AS n_chars_after
+         |  length(redacted) AS n_chars_after
          |FROM $table ORDER BY doc_id""".stripMargin
   }
 

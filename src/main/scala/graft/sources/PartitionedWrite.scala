@@ -55,28 +55,52 @@ object PartitionedWrite {
     * multi-GB straggler files (one slow task, no read parallelism)
     * when it wasn't.
     *
-    * Row size comes from a bounded, VALUE-chosen sample (hash of
-    * `sampleCol` — layout-independent, like every sampling decision in
-    * this library) written to a scratch path and measured as actual
-    * encoded parquet bytes, compression included — estimating from
-    * in-memory row widths misses 3-10× of columnar compression.
+    * Row size comes from a bounded sample — hash-selected on
+    * `sampleCol`, which must be a (near-)UNIQUE column like the
+    * table's id: a low-cardinality column makes value-hash selection
+    * all-or-nothing per value, so a degenerate outcome (empty sample,
+    * or a whole value class far over the target) falls back to a
+    * `limit` sample rather than shipping a garbage size. The sample is
+    * coalesced to ONE scratch file before measuring — scattered across
+    * thousands of inherited partitions, per-file footer overhead and
+    * lost compression would inflate the measurement severalfold — and
+    * measured as actual encoded parquet bytes, compression included
+    * (in-memory row widths miss 3-10× of columnar compression).
     * `repartition(n)` round-robins rows, so shards come out uniform.
+    *
+    * Cost note: one count pass + one sample pass + the write itself.
+    * For a write-once sharding job two extra scans are the price of a
+    * true measurement; callers that know their bytes-per-row can
+    * `repartition(n)` directly.
     */
   def writeBalanced(df: DataFrame, path: String, sampleCol: String,
                     targetBytes: Long = 256L * 1024 * 1024,
                     sampleRows: Long = 10000L): Unit = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(sampleRows > 0, "sampleRows must be positive")
     val spark = df.sparkSession
     val total = df.count()
     if (total == 0) { df.write.mode("overwrite").parquet(path); return }
     val hadoop = new org.apache.hadoop.fs.Path(path)
     val fs = hadoop.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val scratch = new org.apache.hadoop.fs.Path(path + "_sizing")
+    // unique scratch name: a fixed sibling would clobber user data at
+    // that path and race concurrent calls sharing it
+    val scratch = new org.apache.hadoop.fs.Path(
+      path + "_sizing_" + java.util.UUID.randomUUID().toString)
     try {
       val mod = math.max(1L, total / sampleRows)
-      val sample = df.where(pmod(xxhash64(col(sampleCol)), lit(mod)) === 0)
-      sample.write.mode("overwrite").parquet(scratch.toString)
-      val sampled = spark.read.parquet(scratch.toString).count()
+      val hashSample = df.where(pmod(xxhash64(col(sampleCol)), lit(mod)) === 0)
+        .limit(10 * sampleRows.toInt)
+      hashSample.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      var sampled = spark.read.parquet(scratch.toString).count()
+      if (sampled == 0) {
+        // degenerate sampleCol (low cardinality): measure a plain
+        // bounded prefix instead — sizing needs representative bytes,
+        // not a value-deterministic selection
+        df.limit(sampleRows.toInt).coalesce(1)
+          .write.mode("overwrite").parquet(scratch.toString)
+        sampled = spark.read.parquet(scratch.toString).count()
+      }
       val bytes = fs.getContentSummary(scratch).getLength
       val bytesPerRow =
         if (sampled == 0) 64.0 else bytes.toDouble / sampled

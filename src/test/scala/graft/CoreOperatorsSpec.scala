@@ -239,8 +239,15 @@ class CoreOperatorsSpec extends AnyFunSuite {
       val one = new java.io.File(s"$dir/one").listFiles()
         .count(_.getName.endsWith(".parquet"))
       assert(one == 1)
-      // the sizing scratch dir is gone
-      assert(!new java.io.File(s"$dir/multi_sizing").exists())
+      // no sizing scratch dir left behind
+      assert(!new java.io.File(dir).listFiles().exists(_.getName.contains("_sizing")))
+      // degenerate sampleCol (3 distinct values, hash selection almost
+      // surely empty at this mod): the limit fallback must still size
+      // and write everything
+      graft.sources.PartitionedWrite.writeBalanced(
+        li, s"$dir/degenerate", "l_returnflag",
+        targetBytes = 64 * 1024, sampleRows = 10)
+      assert(spark.read.parquet(s"$dir/degenerate").count() == li.count())
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
