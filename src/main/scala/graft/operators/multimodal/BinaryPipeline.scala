@@ -11,13 +11,20 @@ import org.apache.spark.sql.functions._
   * instance per partition, not per row), and a metadata projection
   * that never materializes payloads on the driver.
   *
-  * ┌─ STUB ─────────────────────────────────────────────────────────┐
-  * │ The image/audio libraries are not in this container, so        │
-  * │ [[decodeStub]] is a DETERMINISTIC FAKE decoder: it derives     │
+  * Decoding is REAL where the JDK has a native codec — PNG/JPEG/GIF/
+  * BMP via `javax.imageio`, WAV via `javax.sound.sampled`, no external
+  * libraries — gated by a magic-byte sniff so non-media payloads never
+  * pay a codec probe.
+  *
+  * ┌─ STUB (partial) ───────────────────────────────────────────────┐
+  * │ Payloads OUTSIDE the JDK's codecs (video, exotic formats) and  │
+  * │ the synthetic test corpus (text bytes standing in for media)   │
+  * │ fall back to [[decodeStub]], a DETERMINISTIC FAKE that derives │
   * │ width/height/frame-count arithmetically from the payload size. │
-  * │ A real deployment swaps in e.g. javax.imageio / ffmpeg here —  │
-  * │ the Dataset schema, mapPartitions batching, and partitioning   │
-  * │ are the real, tested part.                                     │
+  * │ A real deployment swaps in ffmpeg for those — the Dataset      │
+  * │ schema, mapPartitions batching, and partitioning are the real, │
+  * │ tested part, and real PNG/WAV bytes already decode for real    │
+  * │ (spec-verified against images/audio generated in-test).        │
   * └────────────────────────────────────────────────────────────────┘
   */
 object BinaryPipeline {
@@ -51,6 +58,46 @@ object BinaryPipeline {
     (width, height, frames)
   }
 
+  /** Magic-byte sniff for formats the JDK decodes natively — the cheap
+    * gate before any codec probe runs.
+    */
+  private def sniffImage(d: Array[Byte]): Boolean =
+    d.length >= 4 && (
+      (d(0) == 0x89.toByte && d(1) == 0x50.toByte) ||              // PNG
+      (d(0) == 0xFF.toByte && d(1) == 0xD8.toByte) ||              // JPEG
+      (d(0) == 'G' && d(1) == 'I' && d(2) == 'F') ||               // GIF
+      (d(0) == 'B' && d(1) == 'M'))                                // BMP
+
+  private def sniffWav(d: Array[Byte]): Boolean =
+    d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' &&
+      d(3) == 'F' && d(8) == 'W' && d(9) == 'A' && d(10) == 'V'
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/
+    * BMP). None when the payload isn't decodable — the caller falls
+    * back to the stub, so corrupt files degrade instead of failing
+    * the whole partition.
+    */
+  def decodeImage(data: Array[Byte]): Option[(Int, Int)] =
+    if (!sniffImage(data)) None
+    else scala.util.Try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      if (img == null) None else Some((img.getWidth, img.getHeight))
+    }.toOption.flatten
+
+  /** REAL WAV probe via `javax.sound.sampled`: the audio frame count
+    * (sample frames — the audio analogue of n_frames).
+    */
+  def decodeWav(data: Array[Byte]): Option[Int] =
+    if (!sniffWav(data)) None
+    else scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val n = in.getFrameLength
+        if (n >= 0 && n <= Int.MaxValue) Some(n.toInt) else None
+      } finally in.close()
+    }.toOption.flatten
+
   /** Decode/feature-extract pass: typed mapPartitions so a real decoder
     * is initialized once per partition and rows stream through it in
     * batches. No shuffle; metadata output is a narrow projection.
@@ -58,10 +105,17 @@ object BinaryPipeline {
   def extractMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[RawMedia].mapPartitions { it =>
-      // real decoders allocate here, once per partition
+      // decoders initialize lazily per partition inside ImageIO/
+      // AudioSystem; rows stream through without shuffling
       it.map { m =>
         val magic = m.data.take(4).map(b => f"${b & 0xff}%02X").mkString
-        val (w, h, f) = decodeStub(m.media_type, m.data)
+        val (w, h, f) = (m.media_type match {
+          // real JDK decode first; undecodable payloads (including the
+          // synthetic text-byte corpus) keep the deterministic stub
+          case "image" => decodeImage(m.data).map { case (rw, rh) => (rw, rh, 1) }
+          case "audio" => decodeWav(m.data).map(frames => (0, 0, frames))
+          case _       => None
+        }).getOrElse(decodeStub(m.media_type, m.data))
         MediaMeta(m.doc_id, m.media_type, m.data.length.toLong, magic, w, h, f)
       }
     }

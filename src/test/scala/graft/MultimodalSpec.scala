@@ -36,6 +36,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real payloads decode for real: PNG dims via ImageIO, WAV frames via javax.sound") {
+    import spark.implicits._
+    // a genuine 23x17 PNG generated in-test
+    val img = new java.awt.image.BufferedImage(
+      23, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 5, 0xFF8800)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    val png = pngOut.toByteArray
+    // a genuine WAV: 1234 frames of 8-bit mono PCM
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val pcm = new java.io.ByteArrayInputStream(new Array[Byte](1234))
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(pcm, fmt, 1234),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val wav = wavOut.toByteArray
+
+    val mixed = Seq(
+      (0L, "image", png),
+      (1L, "audio", wav),
+      (2L, "image", "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "data")
+    val meta = BinaryPipeline.extractMeta(spark, mixed).collect()
+      .map(m => m.doc_id -> m).toMap
+    // real decodes: true dimensions / true frame count
+    assert(meta(0L).width == 23 && meta(0L).height == 17 && meta(0L).n_frames == 1)
+    assert(meta(0L).magic_hex == "89504E47")
+    assert(meta(1L).n_frames == 1234)
+    // undecodable payload degrades to the deterministic stub, not a crash
+    val (sw, sh, _) = BinaryPipeline.decodeStub("image", new Array[Byte](19))
+    assert(meta(2L).width == sw && meta(2L).height == sh)
+  }
+
   test("sampleFrames explodes only video rows, stride respected") {
     val meta = BinaryPipeline.extractMeta(spark, media)
     val frames = BinaryPipeline.sampleFrames(meta, stride = 4).collect()
