@@ -98,6 +98,55 @@ object BinaryPipeline {
       } finally in.close()
     }.toOption.flatten
 
+  /** Feature extraction (the brief's resize step, REAL): decode, area-
+    * resize to a `grid`×`grid` grayscale thumbnail, emit an L2-ready
+    * float vector — the bytes→pixels→embedding leg that plugs straight
+    * into [[graft.operators.similarity.Similarity]]'s ANN and
+    * [[graft.operators.dedup.Dedup.EmbeddingDedup]]'s near-dup ops.
+    * None for payloads the JDK can't decode.
+    */
+  def imageEmbedding(data: Array[Byte], grid: Int = 8): Option[Array[Float]] =
+    if (!sniffImage(data)) None
+    else scala.util.Try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      if (src == null) None
+      else {
+        val thumb = new java.awt.image.BufferedImage(
+          grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = thumb.createGraphics()
+        try {
+          // AREA_AVERAGING-quality downscale: bilinear over the scaled
+          // draw is deterministic and dependency-free
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, grid, grid, null)
+        } finally g.dispose()
+        val v = new Array[Float](grid * grid)
+        var i = 0
+        while (i < v.length) {
+          val rgb = thumb.getRGB(i % grid, i / grid)
+          val lum = ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0f
+          v(i) = lum / 255.0f
+          i += 1
+        }
+        Some(v)
+      }
+    }.toOption.flatten
+
+  /** (doc_id, embedding) for every JDK-decodable image payload — the
+    * map-side bridge from a binary media table to the embedding-keyed
+    * operators (ANN top-k, embedding dedup). Undecodable rows are
+    * dropped, not nulled: downstream similarity ops expect dense
+    * vectors.
+    */
+  def embedImages(spark: SparkSession, media: DataFrame,
+                  grid: Int = 8): DataFrame = {
+    import spark.implicits._
+    media.as[RawMedia].mapPartitions { it =>
+      it.flatMap(m => imageEmbedding(m.data, grid).map(v => (m.doc_id, v)))
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Decode/feature-extract pass: typed mapPartitions so a real decoder
     * is initialized once per partition and rows stream through it in
     * batches. No shuffle; metadata output is a narrow projection.

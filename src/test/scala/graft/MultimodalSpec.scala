@@ -70,6 +70,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta(2L).width == sw && meta(2L).height == sh)
   }
 
+  test("image embeddings: identical images identical vectors, ANN finds the duplicate") {
+    import spark.implicits._
+    def png(seed: Int): Array[Byte] = {
+      val rng = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 32)
+        img.setRGB(x, y, rng.nextInt(0xFFFFFF))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (0L, "image", png(1)),
+      (1L, "image", png(1)),                       // byte-identical twin of 0
+      (2L, "image", png(2)),                       // different image
+      (3L, "image", "junk".getBytes("UTF-8")))     // undecodable → dropped
+      .toDF("doc_id", "media_type", "data")
+    val emb = BinaryPipeline.embedImages(spark, media)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.keySet == Set(0L, 1L, 2L))
+    assert(vecs(0L) == vecs(1L))
+    assert(vecs(0L) != vecs(2L))
+    // the embedding column plugs straight into the ANN operator: doc 1's
+    // nearest neighbor is its identical twin at cosine 1.0
+    val top = graft.operators.similarity.Similarity.CosineTopK
+      .run(emb, emb.where($"vec_id" === 1L), k = 1).collect()(0)
+    assert(top.getLong(1) == 0L && top.getDouble(2) == 1.0)
+  }
+
   test("sampleFrames explodes only video rows, stride respected") {
     val meta = BinaryPipeline.extractMeta(spark, media)
     val frames = BinaryPipeline.sampleFrames(meta, stride = 4).collect()
