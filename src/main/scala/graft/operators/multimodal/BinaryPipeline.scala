@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   *
   * Media payloads are opaque `binary` columns with typed metadata
   * alongside — the plumbing a 100 TB image/audio/video corpus needs:
-  * a stable row schema, per-partition batch iteration (one decoder
-  * instance per partition, not per row), and a metadata projection
-  * that never materializes payloads on the driver.
+  * a stable row schema, per-partition batch iteration (rows stream
+  * through the codec probes with no shuffle and no driver
+  * materialization), and a metadata projection that drops payloads
+  * as early as possible.
   *
   * Decoding is REAL where the JDK has a native codec — PNG/JPEG/GIF/
   * BMP via `javax.imageio`, WAV via `javax.sound.sampled`, no external
@@ -32,10 +33,14 @@ object BinaryPipeline {
   /** Input row: id + modality tag + opaque payload. */
   final case class RawMedia(doc_id: Long, media_type: String, data: Array[Byte])
 
-  /** Output row: decoded metadata, payload dropped. */
+  /** Output row: decoded metadata, payload dropped. `decoded` = the
+    * numbers came from a REAL codec; false = stub arithmetic — a
+    * consumer filtering on dimensions must be able to tell fabricated
+    * values from measured ones.
+    */
   final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
                              magic_hex: String, width: Int, height: Int,
-                             n_frames: Int)
+                             n_frames: Int, decoded: Boolean)
 
   /** Build a media table from `documents`: UTF-8 bytes of `text` stand
     * in for real payloads; modality assigned round-robin by doc_id.
@@ -72,16 +77,50 @@ object BinaryPipeline {
     d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' &&
       d(3) == 'F' && d(8) == 'W' && d(9) == 'A' && d(10) == 'V'
 
-  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/
-    * BMP). None when the payload isn't decodable — the caller falls
-    * back to the stub, so corrupt files degrade instead of failing
-    * the whole partition.
+  /** One-time JVM switch: ImageIO's default stream cache writes a TEMP
+    * FILE per read — pure I/O overhead per row on executors, and an
+    * unwritable tmpdir would make decodes fail (→ stub fallback) on
+    * SOME executors only: nondeterministic, partition-dependent output.
     */
-  def decodeImage(data: Array[Byte]): Option[(Int, Int)] =
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL header-only image probe via the JDK's `javax.imageio`
+    * (PNG/JPEG/GIF/BMP): (width, height, n_frames) WITHOUT
+    * decompressing pixel data — reader.getWidth/getHeight read the
+    * header, getNumImages counts frames (real for animated GIFs).
+    * None when the payload isn't decodable — the caller falls back to
+    * the stub, so corrupt files degrade instead of failing the
+    * partition (and are flagged `decoded = false`).
+    */
+  def imageDims(data: Array[Byte]): Option[(Int, Int, Int)] =
     if (!sniffImage(data)) None
     else scala.util.Try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-      if (img == null) None else Some((img.getWidth, img.getHeight))
+      imageIoInMemory
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try {
+            val frames = scala.util.Try(r.getNumImages(true)).getOrElse(1)
+            Some((r.getWidth(0), r.getHeight(0), math.max(1, frames)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }.toOption.flatten
+
+  /** Full-pixel decode — only for consumers that NEED the raster
+    * (feature extraction); metadata readers use [[imageDims]].
+    */
+  def decodeImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!sniffImage(data)) None
+    else scala.util.Try {
+      imageIoInMemory
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
     }.toOption.flatten
 
   /** REAL WAV probe via `javax.sound.sampled`: the audio frame count
@@ -106,32 +145,41 @@ object BinaryPipeline {
     * None for payloads the JDK can't decode.
     */
   def imageEmbedding(data: Array[Byte], grid: Int = 8): Option[Array[Float]] =
-    if (!sniffImage(data)) None
-    else scala.util.Try {
-      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-      if (src == null) None
-      else {
-        val thumb = new java.awt.image.BufferedImage(
-          grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = thumb.createGraphics()
-        try {
-          // AREA_AVERAGING-quality downscale: bilinear over the scaled
-          // draw is deterministic and dependency-free
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(src, 0, 0, grid, grid, null)
-        } finally g.dispose()
-        val v = new Array[Float](grid * grid)
-        var i = 0
-        while (i < v.length) {
-          val rgb = thumb.getRGB(i % grid, i / grid)
-          val lum = ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0f
-          v(i) = lum / 255.0f
-          i += 1
+    decodeImage(data).map { src =>
+      // TRUE area averaging over the raster, hand-rolled: Graphics2D
+      // interpolation hints are best-effort and pipeline-dependent, so
+      // a heterogeneous cluster could embed byte-identical images
+      // differently per executor; integer-accumulated averages are a
+      // pure function of the pixels on every JVM
+      val (w, h) = (src.getWidth, src.getHeight)
+      val v = new Array[Float](grid * grid)
+      var gy = 0
+      while (gy < grid) {
+        val y0 = (gy.toLong * h / grid).toInt
+        val y1 = math.max(y0 + 1, ((gy + 1).toLong * h / grid).toInt)
+        var gx = 0
+        while (gx < grid) {
+          val x0 = (gx.toLong * w / grid).toInt
+          val x1 = math.max(x0 + 1, ((gx + 1).toLong * w / grid).toInt)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = src.getRGB(x, y)
+              sum += (rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          val nPix = (x1 - x0).toLong * (y1 - y0) * 3
+          v(gy * grid + gx) = (sum.toDouble / nPix / 255.0).toFloat
+          gx += 1
         }
-        Some(v)
+        gy += 1
       }
-    }.toOption.flatten
+      v
+    }
 
   /** (doc_id, embedding) for every JDK-decodable image payload — the
     * map-side bridge from a binary media table to the embedding-keyed
@@ -142,7 +190,10 @@ object BinaryPipeline {
   def embedImages(spark: SparkSession, media: DataFrame,
                   grid: Int = 8): DataFrame = {
     import spark.implicits._
-    media.as[RawMedia].mapPartitions { it =>
+    // same modality gate as extractMeta — a video row whose container
+    // happens to open with image magic must not sneak into the image
+    // embedding table
+    media.as[RawMedia].filter(_.media_type == "image").mapPartitions { it =>
       it.flatMap(m => imageEmbedding(m.data, grid).map(v => (m.doc_id, v)))
     }.toDF("vec_id", "embedding")
   }
@@ -155,17 +206,22 @@ object BinaryPipeline {
     import spark.implicits._
     media.as[RawMedia].mapPartitions { it =>
       // decoders initialize lazily per partition inside ImageIO/
-      // AudioSystem; rows stream through without shuffling
+      // AudioSystem; rows stream through without shuffling. Image
+      // metadata is a HEADER-ONLY probe (imageDims) — decompressing
+      // pixel rasters to read width/height would be orders of
+      // magnitude more CPU than the numbers are worth.
       it.map { m =>
         val magic = m.data.take(4).map(b => f"${b & 0xff}%02X").mkString
-        val (w, h, f) = (m.media_type match {
+        val real = m.media_type match {
           // real JDK decode first; undecodable payloads (including the
           // synthetic text-byte corpus) keep the deterministic stub
-          case "image" => decodeImage(m.data).map { case (rw, rh) => (rw, rh, 1) }
+          case "image" => imageDims(m.data)
           case "audio" => decodeWav(m.data).map(frames => (0, 0, frames))
           case _       => None
-        }).getOrElse(decodeStub(m.media_type, m.data))
-        MediaMeta(m.doc_id, m.media_type, m.data.length.toLong, magic, w, h, f)
+        }
+        val (w, h, f) = real.getOrElse(decodeStub(m.media_type, m.data))
+        MediaMeta(m.doc_id, m.media_type, m.data.length.toLong, magic, w, h, f,
+          decoded = real.isDefined)
       }
     }
   }
@@ -200,6 +256,7 @@ object BinaryPipeline {
        |  CAST(16 + octet_length(encode(text)) % 240 AS INTEGER) AS width,
        |  CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INTEGER) AS height,
        |  CAST(CASE WHEN doc_id % 3 = 2
-       |    THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS INTEGER) AS n_frames
+       |    THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS INTEGER) AS n_frames,
+       |  false AS decoded
        |FROM $table ORDER BY doc_id""".stripMargin
 }

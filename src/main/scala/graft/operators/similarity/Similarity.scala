@@ -36,10 +36,15 @@ object Similarity {
 
     /** rank over (cos desc, vec_id) — unique tie-break, and the filter
       * becomes a WindowGroupLimit partial limit per input partition.
+      * NaN scores (zero vectors: 0/0) are EXCLUDED before ranking —
+      * Spark and DuckDB both order NaN above every number, so an
+      * unguarded desc rank would crown a zero vector as every query's
+      * nearest neighbor.
       */
     private[similarity] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
       val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id"))
-      scored.withColumn("rank", rank().over(w).cast("int"))
+      scored.where(!isnan(col("cos_raw")))
+        .withColumn("rank", rank().over(w).cast("int"))
         .where(col("rank") <= k)
         .select(col("query_id"), col("vec_id"),
           round(col("cos_raw"), 4).as("cosine"), col("rank"))
@@ -53,7 +58,8 @@ object Similarity {
          |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM $table),
          |scored AS (
          |  SELECT query_id, vec_id, list_cosine_similarity(qv, cv) AS cos_raw
-         |  FROM q JOIN c ON query_id <> vec_id),
+         |  FROM q JOIN c ON query_id <> vec_id
+         |  WHERE NOT isnan(list_cosine_similarity(qv, cv))),
          |ranked AS (
          |  SELECT query_id, vec_id, cos_raw,
          |    CAST(rank() OVER (PARTITION BY query_id

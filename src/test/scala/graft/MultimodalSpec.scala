@@ -23,13 +23,15 @@ class MultimodalSpec extends AnyFunSuite {
   test("extractMeta: schema, dims from stub decoder, magic bytes, modality split") {
     val meta = BinaryPipeline.extractMeta(spark, media)
     assert(meta.columns.toSeq ==
-      Seq("doc_id", "media_type", "n_bytes", "magic_hex", "width", "height", "n_frames"))
+      Seq("doc_id", "media_type", "n_bytes", "magic_hex", "width", "height",
+        "n_frames", "decoded"))
     val rows = meta.collect()
     assert(rows.length == 500)
     rows.foreach { m =>
       val (w, h, f) = BinaryPipeline.decodeStub(m.media_type,
         Array.fill(m.n_bytes.toInt)(0.toByte))
       assert(m.width == w && m.height == h && m.n_frames == f)
+      assert(!m.decoded) // text payloads: stub values, honestly flagged
       assert(m.magic_hex.length == 8)
       if (m.media_type != "video") assert(m.n_frames == 1)
       assert(m.media_type == Seq("image", "audio", "video")((m.doc_id % 3).toInt))
@@ -61,13 +63,14 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("doc_id", "media_type", "data")
     val meta = BinaryPipeline.extractMeta(spark, mixed).collect()
       .map(m => m.doc_id -> m).toMap
-    // real decodes: true dimensions / true frame count
+    // real decodes: true dimensions / true frame count, flagged real
     assert(meta(0L).width == 23 && meta(0L).height == 17 && meta(0L).n_frames == 1)
-    assert(meta(0L).magic_hex == "89504E47")
-    assert(meta(1L).n_frames == 1234)
-    // undecodable payload degrades to the deterministic stub, not a crash
+    assert(meta(0L).magic_hex == "89504E47" && meta(0L).decoded)
+    assert(meta(1L).n_frames == 1234 && meta(1L).decoded)
+    // undecodable payload degrades to the deterministic stub, not a
+    // crash — and the fabricated numbers are flagged as such
     val (sw, sh, _) = BinaryPipeline.decodeStub("image", new Array[Byte](19))
-    assert(meta(2L).width == sw && meta(2L).height == sh)
+    assert(meta(2L).width == sw && meta(2L).height == sh && !meta(2L).decoded)
   }
 
   test("image embeddings: identical images identical vectors, ANN finds the duplicate") {
@@ -82,22 +85,33 @@ class MultimodalSpec extends AnyFunSuite {
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
     }
+    // an ALL-BLACK image embeds to the zero vector — its cosine against
+    // anything is NaN, the case the ANN ranking must exclude
+    val blackImg = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val blackOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(blackImg, "png", blackOut)
     val media = Seq(
       (0L, "image", png(1)),
       (1L, "image", png(1)),                       // byte-identical twin of 0
       (2L, "image", png(2)),                       // different image
-      (3L, "image", "junk".getBytes("UTF-8")))     // undecodable → dropped
+      (3L, "image", "junk".getBytes("UTF-8")),     // undecodable → dropped
+      (4L, "video", png(2)),                       // wrong modality → gated out
+      (5L, "image", blackOut.toByteArray))         // zero vector
       .toDF("doc_id", "media_type", "data")
     val emb = BinaryPipeline.embedImages(spark, media)
     val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(vecs.keySet == Set(0L, 1L, 2L))
+    assert(vecs.keySet == Set(0L, 1L, 2L, 5L))
     assert(vecs(0L) == vecs(1L))
     assert(vecs(0L) != vecs(2L))
+    assert(vecs(5L).forall(_ == 0.0f))
     // the embedding column plugs straight into the ANN operator: doc 1's
-    // nearest neighbor is its identical twin at cosine 1.0
+    // nearest neighbor is its identical twin at cosine 1.0, and the
+    // zero vector's NaN scores never outrank it
     val top = graft.operators.similarity.Similarity.CosineTopK
-      .run(emb, emb.where($"vec_id" === 1L), k = 1).collect()(0)
-    assert(top.getLong(1) == 0L && top.getDouble(2) == 1.0)
+      .run(emb, emb.where($"vec_id" === 1L), k = 3).collect()
+    assert(top.head.getLong(1) == 0L && top.head.getDouble(2) == 1.0)
+    assert(!top.map(_.getLong(1)).contains(5L), "NaN-scored zero vector must be excluded")
   }
 
   test("sampleFrames explodes only video rows, stride respected") {
