@@ -30,6 +30,8 @@ object SparkEntry {
     "q3_topk"      -> ((s, d) => RelationalQueries.q3TopK(s, d)),
     "q5_starjoin"  -> ((s, d) => RelationalQueries.q5StarJoin(s, d)),
     "q_window"     -> ((s, d) => RelationalQueries.qWindow(s, d)),
+    "q17_smallqty" -> ((s, d) => RelationalQueries.q17SmallQty(s, d)),
+    "q21_semi_anti" -> ((s, d) => RelationalQueries.q21SemiAnti(s, d)),
     "events_hourly" -> ((s, d) => RelationalQueries.eventsHourly(s, d)),
     "events_sessions" -> ((s, d) =>
       Sessionize.sessions(Tables(s, d, "events"), SessionGapMinutes)),
@@ -354,6 +356,27 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    // the oracle keeps the NATURAL correlated/EXISTS phrasing a
+    // reference user would write — agreement proves the Spark-side
+    // window / semi / anti rewrites are semantics-preserving
+    "q17_smallqty" ->
+      """SELECT p.p_brand, round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
+    "q21_semi_anti" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_linestatus = 'O')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, price_rank FROM (
         |  SELECT o_custkey, o_orderkey,

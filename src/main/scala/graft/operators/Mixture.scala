@@ -41,10 +41,17 @@ object Mixture {
              idCol: String = "doc_id", nBuckets: Int = DefaultBuckets): DataFrame = {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
       "budgets must be non-empty with non-negative token targets")
+    // a negative count corrupts the running prefix sum identically on
+    // Spark and the SQL oracle (the harness can't catch agreement on
+    // garbage) — fail the job instead
+    val tokens = col(tokensCol).cast("long")
+    val guardedTokens = when(tokens < 0, raise_error(format_string(
+        "negative token count %s for doc_id=%s", tokens, col(idCol))))
+      .otherwise(tokens)
     val base = df.select(
         col(idCol).cast("long").as("doc_id"),
         col(sourceCol).as("source"),
-        col(tokensCol).cast("long").as("n_tokens"),
+        guardedTokens.as("n_tokens"),
         Sampling.unitPos(col(idCol)).as("pos"))
       .withColumn("bucket", bucketOf(col("pos"), nBuckets))
       // only budgeted sources pay any further work; NULL-id rows are
@@ -79,10 +86,13 @@ object Mixture {
   def oracleSql(table: String, budgets: Map[String, Long],
                 tokensExpr: String, idCol: String = "doc_id"): String = {
     val pos = Sampling.unitPosSql(idCol)
+    // SQL-escape embedded quotes so a source like "o'reilly" builds a
+    // well-formed CASE/IN list
+    def q(s: String) = s"'${s.replace("'", "''")}'"
     val budgetCase = budgets.toSeq.sortBy(_._1)
-      .map { case (s, b) => s"WHEN '$s' THEN $b" }
+      .map { case (s, b) => s"WHEN ${q(s)} THEN $b" }
       .mkString("CASE source ", " ", " END")
-    val sources = budgets.keys.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    val sources = budgets.keys.toSeq.sorted.map(q).mkString(", ")
     s"""SELECT doc_id, source, n_tokens FROM (
        |  SELECT doc_id, source, n_tokens,
        |    coalesce(sum(n_tokens) OVER (PARTITION BY source

@@ -46,6 +46,10 @@ object Packing {
             tokensCol: String = "n_tokens", idCol: String = "doc_id",
             nGroups: Int = DefaultGroups): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    // pack_id = group * 2^40 + ordinal: groups above 2^23 would overflow
+    // the Long and silently collide pack ids
+    require(nGroups > 0 && nGroups <= (1 << 23),
+      s"nGroups must be in [1, ${1 << 23}], got $nGroups")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("doc_id"),
@@ -64,6 +68,11 @@ object Packing {
         var packOrdinal = -1L
         var filled = 0L
         it.map { case (docId, group, tokens) =>
+          // a negative count would corrupt the running fill identically
+          // on Spark and the SQL oracle — the harness can't catch it, so
+          // fail the job instead of packing garbage
+          if (tokens < 0) throw new IllegalArgumentException(
+            s"negative token count $tokens for doc_id=$docId")
           if (group != curGroup) { curGroup = group; packOrdinal = -1L }
           // packOrdinal < 0 guards the group's first doc WITHOUT a
           // sentinel `filled` value (Long.MaxValue + tokens overflows)

@@ -91,6 +91,52 @@ object RelationalQueries {
       .orderBy("o_custkey", "price_rank", "o_orderkey")
   }
 
+  /** TPC-H Q17 shape: a correlated scalar subquery (per-part average
+    * quantity) rewritten Spark-first. The brand filter broadcasts into
+    * the fact scan first, so every later stage touches only the brand's
+    * rows; the correlated average becomes a whole-partition window over
+    * `l_partkey` — ONE shuffle and ONE pass over the filtered fact,
+    * where the textbook groupBy + join-back rewrite scans it twice.
+    * l_quantity is integral-valued, so sum-order cannot perturb the
+    * 0.2×avg threshold across engines.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#1", "Brand#2", "Brand#3")
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_brand").isInCollection(brands))
+      .select("p_partkey", "p_brand")
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val w = Window.partitionBy("l_partkey")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .withColumn("qty_threshold", avg("l_quantity").over(w) * 0.2)
+      .where(col("l_quantity") < col("qty_threshold"))
+      .groupBy("p_brand")
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q21/Q22 shape: EXISTS and NOT EXISTS as left_semi/left_anti
+    * joins — orders with at least one returned line ('R') and no line
+    * still open ('O'). Both probes shuffle on the order key with the
+    * build side reduced to a single projected column; semi/anti joins
+    * short-circuit per key, never materializing the match set.
+    */
+  def q21SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("rk"))
+    val open = li.filter(col("l_linestatus") === "O")
+      .select(col("l_orderkey").as("ok"))
+    ord.join(returned, col("o_orderkey") === col("rk"), "left_semi")
+      .join(open, col("o_orderkey") === col("ok"), "left_anti")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Time-bucketed event rollup — the batch twin of the streaming
     * windowed aggregation in graft.streaming.EventStream.
     */

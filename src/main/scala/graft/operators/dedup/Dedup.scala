@@ -130,7 +130,10 @@ object Dedup {
           // is a known metadata quantity)
           val n = math.max(1L, corpusFps.count())
           val bloom = corpusFps.stat.bloomFilter("fingerprint", n, bloomFpp)
-          val mightContain = udf((s: String) => bloom.mightContain(s))
+          // null guard: a null text yields a null fingerprint, and the
+          // join path reports it in_corpus = false — the bloom path must
+          // agree instead of throwing inside BloomFilter.mightContain
+          val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
           // the UDF is a per-row bit probe on an already-computed md5 —
           // the codegen break costs microseconds against the shuffle it
           // saves for every bloom-negative row
@@ -245,7 +248,7 @@ object Dedup {
       * anywhere) or word w-shingles (the classic near-dup granularity
       * for web/LLM corpora — Broder '97 used w=10 words).
       */
-    sealed trait Shingler extends Serializable {
+    trait Shingler extends Serializable {
       /** Hashes of the (possibly repeated) shingles of normalized text. */
       def shingleHashes(normalized: String): Array[Long]
     }
@@ -519,6 +522,18 @@ object Dedup {
       nearDuplicatesUnordered(df, threshold, textCol, idCol, shingler, maxBucket)
         .orderBy("doc_id_1", "doc_id_2")
 
+    /** [[nearDuplicates]] over a pre-materialized [[signatures]] frame —
+      * the composition path: a pipeline that wants raw candidates AND
+      * verified pairs builds `signatures(df).localCheckpoint(false)`
+      * ONCE and feeds it to both this and [[candidatePairs]], so the
+      * shingle+minhash kernel — the dominant cost — runs exactly once
+      * for the whole pipeline instead of once per operator.
+      */
+    def nearDuplicatesOf(sigs: DataFrame, threshold: Double,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame =
+      fromSignatures(sigs, threshold, maxBucket)
+        .orderBy("doc_id_1", "doc_id_2")
+
     /** [[nearDuplicates]] without the final global sort — the variant
       * consumers that aggregate the pairs (connected components) feed
       * on: a total order on pair output is presentation, and at scale
@@ -529,12 +544,7 @@ object Dedup {
                        df: DataFrame, threshold: Double,
                        textCol: String = "text", idCol: String = "doc_id",
                        shingler: Shingler = CharNgrams(),
-                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-      require(threshold > 0.0 && threshold <= 1.0,
-        s"threshold must be in (0, 1], got $threshold (at 0 every pair matches — " +
-          "that output is quadratic by definition; use allPairs on a blocked domain)")
-      val spark = df.sparkSession
-      import spark.implicits._
+                       maxBucket: Int = DefaultMaxBucket): DataFrame =
       // localCheckpoint — materialize the signature kernel ONCE: sigs
       // feeds the membership, the band explode, AND both sides of the
       // verify join, and those branches share no exchange. Unlike a
@@ -547,7 +557,22 @@ object Dedup {
       // benched as a 2.7× regression on sub-second corpora while
       // buying nothing at scale (the work is identical, only the
       // barrier moves).
-      val sigs = signatures(df, textCol, idCol, shingler).localCheckpoint(false)
+      fromSignatures(
+        signatures(df, textCol, idCol, shingler).localCheckpoint(false),
+        threshold, maxBucket)
+
+    /** Shared kernel of [[nearDuplicates]]/[[nearDuplicatesOf]]: `sigs`
+      * should already be checkpointed (callers that share it across
+      * operators checkpoint once; a raw lineage still computes
+      * correctly, just re-running its kernel per consuming branch).
+      */
+    private def fromSignatures(sigs: DataFrame, threshold: Double,
+                               maxBucket: Int): DataFrame = {
+      require(threshold > 0.0 && threshold <= 1.0,
+        s"threshold must be in (0, 1], got $threshold (at 0 every pair matches — " +
+          "that output is quadratic by definition; use allPairs on a blocked domain)")
+      val spark = sigs.sparkSession
+      import spark.implicits._
       val members = contentMembers(sigs).localCheckpoint(false)
       val estCutoff =
         threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / NumHashes)

@@ -77,7 +77,11 @@ object PartitionedWrite {
                     targetBytes: Long = 256L * 1024 * 1024,
                     sampleRows: Long = 10000L): Unit = {
     require(targetBytes > 0, "targetBytes must be positive")
-    require(sampleRows > 0, "sampleRows must be positive")
+    // the 10× safety-margin limit below does Int arithmetic; beyond
+    // Int.MaxValue/10 it would overflow negative and fail the job —
+    // and a >200M-row SAMPLE is a config error anyway
+    require(sampleRows > 0 && sampleRows <= Int.MaxValue / 10,
+      s"sampleRows must be in [1, ${Int.MaxValue / 10}], got $sampleRows")
     val spark = df.sparkSession
     val total = df.count()
     if (total == 0) { df.write.mode("overwrite").parquet(path); return }

@@ -248,6 +248,12 @@ class CoreOperatorsSpec extends AnyFunSuite {
         li, s"$dir/degenerate", "l_returnflag",
         targetBytes = 64 * 1024, sampleRows = 10)
       assert(spark.read.parquet(s"$dir/degenerate").count() == li.count())
+      // sampleRows past Int.MaxValue/10 would overflow the Int limit
+      // arithmetic — rejected up front, not a negative-limit job failure
+      intercept[IllegalArgumentException] {
+        graft.sources.PartitionedWrite.writeBalanced(
+          li, s"$dir/overflow", "l_orderkey", sampleRows = Int.MaxValue.toLong)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

@@ -4,6 +4,19 @@ import graft.operators.dedup.Dedup
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Instrumented shingler: counts kernel invocations so composition
+  * specs can assert the signature kernel ran once per document total
+  * across a multi-operator pipeline (valid in local mode, where
+  * executors share the driver JVM's singleton).
+  */
+object CountingShingler extends Dedup.MinHashDedup.Shingler {
+  val calls = new java.util.concurrent.atomic.AtomicLong(0)
+  private val inner = Dedup.MinHashDedup.CharNgrams()
+  def shingleHashes(t: String): Array[Long] = {
+    calls.incrementAndGet(); inner.shingleHashes(t)
+  }
+}
+
 /** Dedup operators (SURVEY §2 #25-29): exact behavior on constructed
   * near-duplicates, plus MinHash/SimHash candidate quality asserted
   * against the brute-force paths.
@@ -60,6 +73,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got(0.5) == expected)
     // bloom disabled = pure join verification path, same answer
     assert(got(0.0) == expected)
+  }
+
+  test("incremental dedup: null-text batch rows report in_corpus=false on both paths") {
+    val corpus = docs.where(col("doc_id") < 100)
+    val batch = docs.where(col("doc_id") >= 100)
+      .union(Seq((300L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // the bloom path must agree with the pure-join path instead of
+    // throwing on the null fingerprint inside BloomFilter.mightContain
+    def flag(fpp: Double) =
+      Dedup.IncrementalDedup.report(batch, corpus, bloomFpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flag(0.01).get(300L).contains(false))
+    assert(flag(0.0).get(300L).contains(false))
+  }
+
+  test("nearDuplicatesOf + candidatePairs share ONE signatures kernel run") {
+    CountingShingler.calls.set(0)
+    val nDocs = docs.count()
+    val sigs = Dedup.MinHashDedup
+      .signatures(docs, shingler = CountingShingler)
+      .localCheckpoint(false)
+    val cands = Dedup.MinHashDedup.candidatePairs(sigs).count()
+    val pairs = Dedup.MinHashDedup.nearDuplicatesOf(sigs, 0.8).collect()
+    assert(cands > 0 && pairs.nonEmpty)
+    assert(CountingShingler.calls.get == nDocs,
+      s"kernel shingled ${CountingShingler.calls.get} docs across the " +
+        s"composed pipeline; expected exactly $nDocs (one run)")
+    // and the shared-frame path agrees with the self-contained one
+    val direct = Dedup.MinHashDedup.nearDuplicates(docs, 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      direct.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
   test("charNgrams of short text is empty, never a spurious gram") {

@@ -56,6 +56,24 @@ class MixtureSpec extends AnyFunSuite {
     assert(run(docs) == run(docs.sort(desc("n_tokens"))))
   }
 
+  test("negative token counts fail the job instead of corrupting the prefix sum") {
+    val bad = Seq((1L, "src0", 40L), (2L, "src0", -7L))
+      .toDF("doc_id", "source", "n_tokens")
+    val ex = intercept[Exception] {
+      Mixture.sample(bad, Map("src0" -> 100L)).collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("negative token count")) ||
+        mentions(t.getCause))
+    assert(mentions(ex))
+  }
+
+  test("oracle SQL escapes quoted source names") {
+    val sql = Mixture.oracleSql("docs", Map("o'reilly" -> 10L), "n_tokens")
+    assert(sql.contains("'o''reilly'"))
+    assert(!sql.contains("'o'reilly'"))
+  }
+
   test("zero budget selects nothing for that source") {
     val got = Mixture.sample(docs, Map("src0" -> 0L, "src1" -> 500L))
       .collect().map(_.getString(1)).toSet

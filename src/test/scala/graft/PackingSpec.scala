@@ -56,6 +56,22 @@ class PackingSpec extends AnyFunSuite {
     assert(packed.values.toSeq.distinct.length == 3)
   }
 
+  test("negative token counts fail the job instead of corrupting packs") {
+    val bad = Seq((1L, 40L), (2L, -5L)).toDF("doc_id", "n_tokens")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Packing.packs(bad, Cap, nGroups = 1).collect()
+    }
+    assert(ex.getMessage.contains("negative token count") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative token count")))
+  }
+
+  test("nGroups beyond the pack_id bit budget is rejected") {
+    intercept[IllegalArgumentException] {
+      Packing.packs(docs, Cap, nGroups = (1 << 23) + 1)
+    }
+    intercept[IllegalArgumentException] { Packing.packs(docs, Cap, nGroups = 0) }
+  }
+
   test("assignments are identical across partition layouts (determinism)") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Packing.packs(df, Cap).collect()

@@ -37,6 +37,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") || p.indexOf("BroadcastHashJoin") >= 0)
   }
 
+  test("q17_smallqty: one fact pass — brand broadcast, single hash exchange, no nested loop") {
+    val p = plan(q("q17_smallqty"))
+    assert(p.contains("BroadcastHashJoin"), s"brand filter not broadcast in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+    // the correlated-avg rewrite must ride ONE shuffle on l_partkey (the
+    // window), not a groupBy + join-back second scan: one parquet scan
+    // of lineitem only
+    val liScans = p.linesIterator.count(l =>
+      l.trim.startsWith("Location:") && l.contains("lineitem"))
+    assert(liScans == 1, s"expected 1 lineitem scan, got $liScans in:\n$p")
+  }
+
+  test("q21_semi_anti: EXISTS/NOT EXISTS become semi/anti hash or merge joins") {
+    val p = plan(q("q21_semi_anti"))
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+  }
+
   test("ann_cosine_topk: rank<=k compiles to a WindowGroupLimit partial top-k") {
     val p = plan(q("ann_cosine_topk"))
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")

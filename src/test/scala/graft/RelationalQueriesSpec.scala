@@ -31,6 +31,46 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q17 small-qty: per-brand rows, every kept line under its part's 0.2x avg") {
+    val rows = RelationalQueries.q17SmallQty(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    // brute-force the correlated rule on the driver for one brand
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, sf0001, "lineitem")
+    val bp = graft.sources.Tables(spark, sf0001, "part")
+      .where(col("p_brand") === "Brand#1").select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    val lines = li.select("l_partkey", "l_quantity", "l_extendedprice")
+      .collect().filter(r => bp.contains(r.getLong(0)))
+    val avgQty = lines.groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> rs.map(_.getDouble(1)).sum / rs.length }
+    val expected = BigDecimal(lines.filter(r =>
+        r.getDouble(1) < 0.2 * avgQty(r.getLong(0)))
+      .map(_.getDouble(2)).sum / 7.0)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_.getString(0) == "Brand#1").map(_.getDouble(1))
+    assert(got.contains(expected), s"Brand#1: got $got, expected $expected")
+  }
+
+  test("q21 semi/anti: kept orders have a returned line and no open line") {
+    val rows = RelationalQueries.q21SemiAnti(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, sf0001, "lineitem")
+    val withR = li.where(col("l_returnflag") === "R")
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    val withO = li.where(col("l_linestatus") === "O")
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    val ord = graft.sources.Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderpriority").collect()
+    val expected = ord.filter(r => withR.contains(r.getLong(0)) &&
+        !withO.contains(r.getLong(0)))
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("events hourly buckets") {
     val rows = RelationalQueries.eventsHourly(spark, sf0001).collect()
     assert(rows.nonEmpty)
