@@ -252,6 +252,14 @@ object SparkEntry {
       val emb = Tables(s, d, "embeddings")
       Similarity.IvfAnn.topK(emb, emb.where(col("vec_id") < AnnNumQueries), AnnK)
     }),
+    // recall@k of the approximate indexes vs exact top-k, tracked
+    // round-over-round like a perf number (rows-only: the indexes it
+    // measures are not SQL-expressible; floor asserted in SimilaritySpec)
+    "ann_recall" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.RecallReport.run(emb, emb.where(col("vec_id") < AnnNumQueries),
+        AnnK, dim = 64)
+    }),
     // --- multimodal binary pipeline (SURVEY §2 #36) ---
     "multimodal_meta" -> ((s, d) =>
       BinaryPipeline.extractMeta(s, BinaryPipeline.fromDocuments(Tables(s, d, "documents")))

@@ -17,18 +17,37 @@ import org.apache.spark.sql.functions._
   * libraries — gated by a magic-byte sniff so non-media payloads never
   * pay a codec probe.
   *
-  * ┌─ STUB (partial) ───────────────────────────────────────────────┐
-  * │ Payloads OUTSIDE the JDK's codecs (video, exotic formats) and  │
-  * │ the synthetic test corpus (text bytes standing in for media)   │
-  * │ fall back to [[decodeStub]], a DETERMINISTIC FAKE that derives │
-  * │ width/height/frame-count arithmetically from the payload size. │
-  * │ A real deployment swaps in ffmpeg for those — the Dataset      │
-  * │ schema, mapPartitions batching, and partitioning are the real, │
-  * │ tested part, and real PNG/WAV bytes already decode for real    │
-  * │ (spec-verified against images/audio generated in-test).        │
-  * └────────────────────────────────────────────────────────────────┘
+  * Video is the one declared adapter boundary: the JVM ships no video
+  * codec, so [[extractMeta]] takes a [[FrameProber]] — a real
+  * deployment passes an ffmpeg/JCodec-backed implementation; the
+  * default [[FrameProber.None]] probes nothing and rows fall back to
+  * [[decodeStub]]'s deterministic arithmetic, flagged `decoded=false`
+  * so fabricated dimensions are always distinguishable from measured
+  * ones. (The synthetic test corpus — text bytes standing in for
+  * media — exercises exactly this fallback path.)
   */
 object BinaryPipeline {
+
+  /** Pluggable video-container probe: payload bytes in,
+    * (width, height, n_frames) out; `None` when this prober cannot
+    * read the container — the pipeline then falls back to
+    * [[decodeStub]] and flags the row `decoded = false`. Implementations
+    * must be Serializable (they ship to executors) and are initialized
+    * once per JVM, streaming rows per partition — the same batch shape
+    * the image/WAV probes use.
+    */
+  trait FrameProber extends Serializable {
+    def probe(data: Array[Byte]): Option[(Int, Int, Int)]
+  }
+  object FrameProber {
+    /** Default in this container: no video codec on the JVM — every
+      * payload falls back to the stub arithmetic. An ffmpeg adapter
+      * replaces this object without touching the pipeline.
+      */
+    object None extends FrameProber {
+      def probe(data: Array[Byte]): Option[(Int, Int, Int)] = scala.None
+    }
+  }
 
   /** Input row: id + modality tag + opaque payload. */
   final case class RawMedia(doc_id: Long, media_type: String, data: Array[Byte])
@@ -202,7 +221,8 @@ object BinaryPipeline {
     * is initialized once per partition and rows stream through it in
     * batches. No shuffle; metadata output is a narrow projection.
     */
-  def extractMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+  def extractMeta(spark: SparkSession, media: DataFrame,
+                  videoProber: FrameProber = FrameProber.None): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[RawMedia].mapPartitions { it =>
       // decoders initialize lazily per partition inside ImageIO/
@@ -217,6 +237,7 @@ object BinaryPipeline {
           // synthetic text-byte corpus) keep the deterministic stub
           case "image" => imageDims(m.data)
           case "audio" => decodeWav(m.data).map(frames => (0, 0, frames))
+          case "video" => videoProber.probe(m.data)
           case _       => None
         }
         val (w, h, f) = real.getOrElse(decodeStub(m.media_type, m.data))

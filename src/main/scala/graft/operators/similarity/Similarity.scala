@@ -89,6 +89,8 @@ object Similarity {
 
     val Seed = 42L
     val MaxTrainRows = 100000L
+    val DefaultCells = 32
+    val DefaultProbe = 4
 
     /** L2-normalized copy of a float vector. */
     private def normalized(v: Array[Float]): Array[Double] = {
@@ -151,7 +153,7 @@ object Similarity {
     }
 
     def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-             nCells: Int = 32, nProbe: Int = 4,
+             nCells: Int = DefaultCells, nProbe: Int = DefaultProbe,
              vecCol: String = "embedding", idCol: String = "vec_id",
              maxTrain: Long = MaxTrainRows): DataFrame = {
       val spark = corpus.sparkSession
@@ -282,6 +284,41 @@ object Similarity {
         .withColumn("cos_raw", EmbeddingDedup.cosine(col("query_v"), col("corpus_v")))
         .withColumnRenamed("corpus_id", "vec_id")
       CosineTopK.rankTopK(scored, k)
+    }
+  }
+
+  /** Recall@k report for the approximate indexes vs the exact
+    * [[CosineTopK]] ground truth on the SAME corpus and queries — one
+    * row per method, so index quality is tracked round-over-round in
+    * the correctness dump exactly like performance is in the bench
+    * (recall is the quantity LSH/IVF trade for their scale shape; a
+    * tuning change that silently tanks it must show up somewhere).
+    *
+    * recall = |approx-top-k ∩ true-top-k| / |true-top-k|, pair-level
+    * over all queries. One driver scalar (the truth count) — bounded
+    * at queries × k rows by construction.
+    */
+  object RecallReport {
+    def run(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+            nCells: Int = IvfAnn.DefaultCells, nProbe: Int = IvfAnn.DefaultProbe,
+            vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      // ground truth feeds the count AND two hit-joins: checkpoint so
+      // the brute-force scoring runs once
+      val truth = CosineTopK.run(corpus, queries, k, vecCol, idCol)
+        .select("query_id", "vec_id").localCheckpoint(false)
+      val nTrue = truth.count()
+      val approx =
+        LshAnn.topK(corpus, queries, k, dim, vecCol = vecCol, idCol = idCol)
+          .select(lit("lsh").as("method"), col("query_id"), col("vec_id"))
+        .unionAll(
+          IvfAnn.topK(corpus, queries, k, nCells = nCells, nProbe = nProbe,
+              vecCol = vecCol, idCol = idCol)
+            .select(lit("ivf").as("method"), col("query_id"), col("vec_id")))
+      approx.join(truth, Seq("query_id", "vec_id"))
+        .groupBy("method").agg(count(lit(1)).as("n_hit"))
+        .select(col("method"), lit(k).as("k"), lit(nTrue).as("n_true"),
+          col("n_hit"), round(col("n_hit") / nTrue, 4).as("recall"))
+        .orderBy("method")
     }
   }
 }

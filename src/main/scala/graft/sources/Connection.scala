@@ -45,6 +45,15 @@ trait Connection {
   def countRows(name: String): Long =
     table(name).groupBy().count().collect()(0).getLong(0)
 
+  /** reference: count_rows(where_clause=…) (connections.py:92) — a
+    * filtered count for partition-bounded reconciliation. `where` is a
+    * SQL predicate in the backend's dialect, evaluated as close to the
+    * data as the backend allows: here Catalyst plans it, so a predicate
+    * over parquet partition/stats columns prunes at the scan.
+    */
+  def countRows(name: String, where: String): Long =
+    table(name).where(where).groupBy().count().collect()(0).getLong(0)
+
   /** (table_name, row_count) for many tables, as one plan whose scans
     * run concurrently. Backends where counting can be pushed to the
     * engine (JDBC) override this — pulling whole tables through Spark
@@ -231,6 +240,15 @@ final class JdbcConnection(val spark: SparkSession, url: String,
     */
   override def countRows(name: String): Long =
     runQuery(s"SELECT COUNT(*) AS n FROM ${qualify(name)}")
+      .collect()(0).get(0).asInstanceOf[Number].longValue()
+
+  /** Filtered count, WHERE pushed into the database with the COUNT —
+    * the predicate runs in the remote engine's dialect and only the
+    * scalar crosses the wire (reference count_rows' where_clause,
+    * connections.py:92-107).
+    */
+  override def countRows(name: String, where: String): Long =
+    runQuery(s"SELECT COUNT(*) AS n FROM ${qualify(name)} WHERE $where")
       .collect()(0).get(0).asInstanceOf[Number].longValue()
 
   /** Counting N tables pushes N scalar COUNT(*) queries concurrently

@@ -14,6 +14,10 @@ class ConnectionSpec extends AnyFunSuite {
   test("parquet backend: list, metadata, counts, query") {
     assert(parquetConn.listTables() == Seq("region", "nation"))
     assert(parquetConn.countRows("region") == 5)
+    // filtered count (reference count_rows where_clause): the predicate
+    // plans through Catalyst and prunes at the scan
+    assert(parquetConn.countRows("region", "r_regionkey >= 2") == 3)
+    assert(parquetConn.countRows("nation", "n_regionkey = 0") == 5)
     val meta = parquetConn.tableMetadata("nation").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(meta("n_name") == "string")
@@ -73,6 +77,11 @@ class ConnectionSpec extends AnyFunSuite {
     assert(jdbcConn.listTables() == Seq("NATION", "REGION"))
     assert(jdbcConn.countRows("NATION") == 26)
     assert(jdbcConn.countRows("REGION") == 5)
+    // filtered count pushed WHERE-and-all into the database (Derby
+    // dialect), only the scalar returns. The fixture's extra row
+    // (25, NULL, 0) sits in region 0 — 5 TPC-H nations + it = 6.
+    assert(jdbcConn.countRows("NATION", "N_REGIONKEY = 0") == 6)
+    assert(jdbcConn.countRows("NATION", "N_NAME IS NULL") == 1)
     val meta = jdbcConn.tableMetadata("NATION").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(meta("N_NAME") == "string")

@@ -38,6 +38,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("FrameProber adapter: video rows use the prober's dims; refusal falls back to stub") {
+    // a fake "codec" standing in for an ffmpeg adapter: probes any
+    // payload at least 8 bytes long, refuses shorter ones
+    object FakeProber extends BinaryPipeline.FrameProber {
+      def probe(d: Array[Byte]): Option[(Int, Int, Int)] =
+        if (d.length >= 8) Some((640, 480, 24)) else None
+    }
+    val rows = BinaryPipeline.extractMeta(spark, media, FakeProber).collect()
+    // pipeline schema identical regardless of prober
+    assert(BinaryPipeline.extractMeta(spark, media, FakeProber).columns.toSeq ==
+      BinaryPipeline.extractMeta(spark, media).columns.toSeq)
+    val videos = rows.filter(_.media_type == "video")
+    assert(videos.nonEmpty)
+    videos.filter(_.n_bytes >= 8).foreach { m =>
+      assert(m.decoded && m.width == 640 && m.height == 480 && m.n_frames == 24)
+    }
+    videos.filter(_.n_bytes < 8).foreach { m =>
+      val (w, h, f) = BinaryPipeline.decodeStub("video",
+        Array.fill(m.n_bytes.toInt)(0.toByte))
+      assert(!m.decoded && m.width == w && m.height == h && m.n_frames == f)
+    }
+    // image/audio rows are identical to the default-prober run — the
+    // video prober never touches other modalities; and under the
+    // default prober all video rows stay stubbed
+    val defaults = BinaryPipeline.extractMeta(spark, media).collect()
+    defaults.filter(_.media_type == "video").foreach(m => assert(!m.decoded))
+    assert(rows.filter(_.media_type != "video").sortBy(_.doc_id).toSeq ==
+      defaults.filter(_.media_type != "video").sortBy(_.doc_id).toSeq)
+  }
+
   test("real payloads decode for real: PNG dims via ImageIO, WAV frames via javax.sound") {
     import spark.implicits._
     // a genuine 23x17 PNG generated in-test

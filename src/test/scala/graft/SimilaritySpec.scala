@@ -95,6 +95,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall7 >= 0.9, s"IVF recall $recall7 below floor after repartition(7)")
   }
 
+  test("recall report: one row per method, hits consistent, floors hold on clustered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val dim = 64
+    val clustered = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(rng.nextGaussian())
+      (0 until 12).map { m =>
+        val v = center.map(x => (x + 0.07 * rng.nextGaussian()).toFloat)
+        ((c * 12 + m).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.where(col("vec_id") % 12 === 0 && col("vec_id") < 60)
+    val report = Similarity.RecallReport
+      .run(clustered, queries, K, dim, nCells = 16, nProbe = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(report.keySet == Set("ivf", "lsh"))
+    report.foreach { case (m, (k, nTrue, nHit, recall)) =>
+      assert(k == K && nTrue > 0 && nHit <= nTrue, s"$m inconsistent")
+      assert(math.abs(recall - nHit.toDouble / nTrue) < 1e-3)
+    }
+    // same floors the per-index specs assert, now tracked as a query
+    assert(report("lsh")._4 >= 0.8, s"lsh recall ${report("lsh")._4}")
+    assert(report("ivf")._4 >= 0.9, s"ivf recall ${report("ivf")._4}")
+  }
+
   test("IVF ANN accepts array<double> embeddings (cast, not reject)") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
