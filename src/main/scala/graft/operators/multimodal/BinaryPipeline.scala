@@ -17,14 +17,17 @@ import org.apache.spark.sql.functions._
   * libraries — gated by a magic-byte sniff so non-media payloads never
   * pay a codec probe.
   *
-  * Video is the one declared adapter boundary: the JVM ships no video
-  * codec, so [[extractMeta]] takes a [[FrameProber]] — a real
-  * deployment passes an ffmpeg/JCodec-backed implementation; the
-  * default [[FrameProber.None]] probes nothing and rows fall back to
-  * [[decodeStub]]'s deterministic arithmetic, flagged `decoded=false`
-  * so fabricated dimensions are always distinguishable from measured
-  * ones. (The synthetic test corpus — text bytes standing in for
-  * media — exercises exactly this fallback path.)
+  * Video metadata is REAL too: the default [[FrameProber]] is
+  * [[ContainerProbe]], a pure-JVM MP4/ISO-BMFF + AVI/RIFF container
+  * header parser (dims + frame count, no codec needed). What still
+  * needs an external codec is frame RASTER extraction — that is the
+  * declared adapter boundary: a real deployment passes an
+  * ffmpeg/JCodec-backed [[FrameProber]]/decoder. Payloads no prober
+  * can read fall back to [[decodeStub]]'s deterministic arithmetic,
+  * flagged `decoded=false` so fabricated dimensions are always
+  * distinguishable from measured ones. (The synthetic test corpus —
+  * text bytes standing in for media — exercises exactly this fallback
+  * path.)
   */
 object BinaryPipeline {
 
@@ -40,9 +43,9 @@ object BinaryPipeline {
     def probe(data: Array[Byte]): Option[(Int, Int, Int)]
   }
   object FrameProber {
-    /** Default in this container: no video codec on the JVM — every
-      * payload falls back to the stub arithmetic. An ffmpeg adapter
-      * replaces this object without touching the pipeline.
+    /** Probes nothing — every payload falls back to the stub
+      * arithmetic. Kept for tests and for pipelines that want metadata
+      * extraction with the video leg explicitly off.
       */
     object None extends FrameProber {
       def probe(data: Array[Byte]): Option[(Int, Int, Int)] = scala.None
@@ -222,7 +225,7 @@ object BinaryPipeline {
     * batches. No shuffle; metadata output is a narrow projection.
     */
   def extractMeta(spark: SparkSession, media: DataFrame,
-                  videoProber: FrameProber = FrameProber.None): Dataset[MediaMeta] = {
+                  videoProber: FrameProber = ContainerProbe): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[RawMedia].mapPartitions { it =>
       // decoders initialize lazily per partition inside ImageIO/
