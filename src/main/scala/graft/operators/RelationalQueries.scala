@@ -51,8 +51,16 @@ object RelationalQueries {
     // materializes ~1.3 M groups before the join can filter anything,
     // while the join-first plan's shuffle carries only three narrow
     // lineitem columns and AQE converts it to a shuffled-hash join.
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // …and the broadcast customer join goes BELOW the fact-fact join:
+    // the segment filter keeps ~1/5 of customers, so probing orders
+    // through the broadcast dim first cuts the order-key exchange ~5×
+    // before anything shuffles — the join order a CBO would pick, made
+    // explicit because no table stats exist at plan time. Single-node
+    // sf10 A/B is flat (a 14 M-row narrow in-memory exchange is not the
+    // local bottleneck); the win is shuffle VOLUME, which is the bill
+    // on a real cluster's network.
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
