@@ -32,6 +32,7 @@ object SparkEntry {
     "q_window"     -> ((s, d) => RelationalQueries.qWindow(s, d)),
     "q17_smallqty" -> ((s, d) => RelationalQueries.q17SmallQty(s, d)),
     "q21_semi_anti" -> ((s, d) => RelationalQueries.q21SemiAnti(s, d)),
+    "q18_large_orders" -> ((s, d) => RelationalQueries.q18LargeOrders(s, d)),
     "events_hourly" -> ((s, d) => RelationalQueries.eventsHourly(s, d)),
     "events_sessions" -> ((s, d) =>
       Sessionize.sessions(Tables(s, d, "events"), SessionGapMinutes)),
@@ -385,6 +386,17 @@ object SparkEntry {
         |    WHERE l.l_orderkey = o.o_orderkey AND l.l_linestatus = 'O')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
     "q_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, price_rank FROM (
         |  SELECT o_custkey, o_orderkey,

@@ -151,6 +151,30 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q18 shape: HAVING + IN-subquery (large-volume orders)
+    * Spark-first. The subquery becomes an aggregate on the fact key
+    * with the HAVING as a post-aggregation filter — map-side combine
+    * collapses ~4 lineitems/order before the one fact shuffle, and the
+    * filtered key set is small enough that AQE broadcasts it into
+    * orders at runtime (no second fact-sized exchange). The customer
+    * dimension broadcasts as everywhere else. `l_quantity` is
+    * integral-valued so the threshold cannot flip on sum order.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+                     minQty: Double = 250.0): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+      .orderBy(desc("total_qty"), col("o_orderkey"))
+  }
+
   /** Time-bucketed event rollup — the batch twin of the streaming
     * windowed aggregation in graft.streaming.EventStream.
     */

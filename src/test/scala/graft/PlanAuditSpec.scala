@@ -49,6 +49,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(liScans == 1, s"expected 1 lineitem scan, got $liScans in:\n$p")
   }
 
+  test("q18_large_orders: HAVING subquery rides the single fact scan, dims broadcast") {
+    val p = plan(q("q18_large_orders"))
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+    // the IN-subquery rewrite must NOT rescan lineitem the way the
+    // natural SQL does: the HAVING set and the join totals come from
+    // ONE aggregate over ONE scan
+    val liScans = p.linesIterator.count(l =>
+      l.trim.startsWith("Location:") && l.contains("lineitem"))
+    assert(liScans == 1, s"expected 1 lineitem scan, got $liScans in:\n$p")
+  }
+
   test("q21_semi_anti: EXISTS/NOT EXISTS become semi/anti hash or merge joins") {
     val p = plan(q("q21_semi_anti"))
     assert(p.contains("LeftSemi"), s"no semi join in:\n$p")

@@ -71,6 +71,23 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q18 large orders: exactly the orders whose lines sum over the threshold") {
+    val rows = RelationalQueries.q18LargeOrders(spark, sf0001, minQty = 100.0).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity").collect()
+    val totals = li.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getDouble(1)).sum).toMap
+    val expected = totals.filter(_._2 > 100.0)
+    val got = rows.map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, q) => assert(math.abs(q - expected(k)) < 1e-6) }
+    // descending by total quantity, orderkey tiebreak — deterministic
+    val keys = rows.map(r => (-r.getDouble(4), r.getLong(1))).toSeq
+    assert(keys == keys.sorted)
+  }
+
   test("events hourly buckets") {
     val rows = RelationalQueries.eventsHourly(spark, sf0001).collect()
     assert(rows.nonEmpty)
