@@ -78,11 +78,12 @@ object ContainerProbe extends FrameProber {
     findAvih(d, 12, riffEnd).flatMap { a =>
       if (a + 40 > d.length) None
       else {
-        val frames = le32(d, a + 16)
+        val frames = le32(d, a + 16) // u32: clamp before the Int narrowing
         val w = le32(d, a + 32)
         val h = le32(d, a + 36)
         if (w > 0 && w <= Int.MaxValue && h > 0 && h <= Int.MaxValue)
-          Some((w.toInt, h.toInt, math.max(1L, frames).toInt))
+          Some((w.toInt, h.toInt,
+            math.min(math.max(1L, frames), Int.MaxValue.toLong).toInt))
         else None
       }
     }

@@ -90,6 +90,27 @@ class ContainerProbeSpec extends AnyFunSuite {
     assert(ContainerProbe.probe(lying).isEmpty)
   }
 
+  test("fuzz: arbitrary, truncated, and bit-flipped payloads never throw, outputs stay positive") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sane = (r: Option[(Int, Int, Int)]) =>
+      r.forall { case (w, h, f) => w > 0 && h > 0 && f > 0 }
+    val arbitrary = Prop.forAll(Gen.containerOf[Array, Byte](
+      Gen.choose(Byte.MinValue, Byte.MaxValue)))(d => sane(ContainerProbe.probe(d)))
+    // mutations of REAL headers probe the parser's deep paths: random
+    // truncation and byte flips over valid MP4/AVI bytes
+    val valid = Gen.oneOf(mp4(320, 240, 90), avi(640, 360, 120))
+    val mutated = Prop.forAll(valid, Gen.choose(0, 200), Gen.choose(0, 255)) {
+      (orig, pos, b) =>
+        val cut = orig.take(math.min(pos, orig.length))
+        val flipped = orig.clone()
+        if (flipped.nonEmpty) flipped(pos % flipped.length) = b.toByte
+        sane(ContainerProbe.probe(cut)) && sane(ContainerProbe.probe(flipped))
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(500)
+    assert(SCTest.check(params, arbitrary).passed, "arbitrary-bytes fuzz failed")
+    assert(SCTest.check(params, mutated).passed, "mutated-header fuzz failed")
+  }
+
   test("end-to-end: real container bytes decode in extractMeta; text stays stubbed") {
     val spark = TestSpark.spark
     import spark.implicits._
