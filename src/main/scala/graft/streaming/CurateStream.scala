@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.operators.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of [[graft.operators.text.Curate]]: curation ON
+  * INGEST, so known-bad and already-seen documents are dropped at
+  * arrival time instead of in a nightly batch over the whole corpus.
+  *
+  * Spark-first decomposition of the batch decision:
+  *
+  *  - quality score and language ID are row-local Column expressions —
+  *    identical code to batch, no state, fully map-side;
+  *  - the batch operator's exact-dup window (keep the min doc id per
+  *    content fingerprint) becomes `dropDuplicatesWithinWatermark` on
+  *    the fingerprint: keep the FIRST ARRIVAL, with state bounded by
+  *    arrival rate × watermark — the only streaming-sound reading of
+  *    "keep one per fingerprint" on an unbounded stream.
+  *
+  * The quality/language filter runs BEFORE the dedup state on purpose:
+  * duplicates share a fingerprint, hence the same normalized text and
+  * the same row-local scores, so filtering first changes nothing about
+  * which documents survive — but it keeps rejected-quality content out
+  * of the state store entirely.
+  *
+  * Returns the KEPT stream (id, event time, text, fingerprint,
+  * signals). A batch run of [[graft.operators.text.Curate]] over the
+  * same rows keeps the same set whenever arrival order matches doc-id
+  * order (the batch tiebreak); under reordering within the watermark
+  * the two may keep a different REPRESENTATIVE of a duplicate group,
+  * never a different group count.
+  */
+object CurateStream {
+
+  def run(docs: DataFrame, minQuality: Double = 0.5, keepLang: String = "en",
+          textCol: String = "text", idCol: String = "doc_id",
+          tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(TextOps.Fingerprint.normalized(col(textCol))))
+      .withColumn("quality_score", round(TextOps.QualityScore.score(col(textCol)), 4))
+      .withColumn("predicted_lang", TextOps.LangId.predicted(col(textCol)))
+      .where(col("quality_score") >= minQuality &&
+        col("predicted_lang") === keepLang)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col(idCol), col(tsCol), col(textCol), col("fingerprint"),
+        col("quality_score"), col("predicted_lang"))
+}

@@ -56,6 +56,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming curation keeps what the batch twin keeps: dups, quality, language") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val en = ("the a of and to in is on for with " * 12).trim
+    val rows = Seq(
+      (1L, ts("10:00"), en),                                  // keep
+      (2L, ts("10:05"), en + " "),                            // exact dup of 1 → dropped
+      (3L, ts("10:10"), "zxq! #@%"),                          // low quality → dropped
+      (4L, ts("10:15"), ("lorem ipsum dolor sit amet " * 25).trim), // wrong lang
+      (5L, ts("10:20"), "where is the cat and the dog on the mat of the house"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = graft.streaming.CurateStream.run(
+        input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("curate_stream")
+        .collect().map(_.getLong(0)).toSet
+      // batch twin over the same rows — arrival order == id order here,
+      // so the kept sets must agree exactly
+      val batch = graft.operators.text.Curate.run(
+          rows.map(r => (r._1, r._3)).toDF("doc_id", "text"))
+        .where(col("keep") === 1).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(1L, 5L))
+      // kept rows carry the row-local signals computed in-stream
+      val kept = spark.table("curate_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+      assert(kept.values.forall(_ == "en"))
+    } finally query.stop()
+  }
+
   test("stateless operators (hashSplit) run unchanged on streams, same assignments") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
