@@ -163,9 +163,13 @@ object RelationalQueries {
   def q18LargeOrders(spark: SparkSession, dir: String,
                      minQty: Double = 250.0): DataFrame = {
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    // filter on the RAW sum exactly like the oracle's HAVING — rounding
+    // first would flip orders within half a cent of the threshold —
+    // and round only in the reported column
     val big = li.groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
-      .where(col("total_qty") > minQty)
+      .agg(sum(col("l_quantity")).as("total_qty_raw"))
+      .where(col("total_qty_raw") > minQty)
+      .select(col("l_orderkey"), round(col("total_qty_raw"), 2).as("total_qty"))
     val ord = Tables(spark, dir, "orders")
     val cust = Tables(spark, dir, "customer")
     ord.join(big, col("o_orderkey") === col("l_orderkey"))

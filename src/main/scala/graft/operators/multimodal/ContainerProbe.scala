@@ -47,20 +47,28 @@ object ContainerProbe extends FrameProber {
       d(off) == tag(0).toByte && d(off + 1) == tag(1).toByte &&
       d(off + 2) == tag(2).toByte && d(off + 3) == tag(3).toByte
 
-  /** Depth-first RIFF chunk walk for the first `avih` payload offset.
-    * Chunks are fourcc + LE u32 size + data (padded to even); `LIST`
-    * chunks nest after a 4-byte list type.
+  /** Depth-first RIFF chunk walk for the first WELL-SIZED `avih`
+    * payload offset (the 56-byte AVIMAINHEADER needs at least 40 bytes
+    * for the fields we read — a shorter declared size would send the
+    * field reads into the NEXT sibling chunk's bytes, so it is skipped,
+    * not read). Chunks are fourcc + LE u32 size + data (padded to
+    * even); `LIST` chunks nest after a 4-byte list type. `depth` bounds
+    * the recursion: a corrupt payload nesting thousands of LISTs must
+    * refuse, not StackOverflowError through the Try (fatal errors pass
+    * NonFatal).
     */
-  private def findAvih(d: Array[Byte], start: Int, end: Int): Option[Int] = {
+  private def findAvih(d: Array[Byte], start: Int, end: Int,
+                       depth: Int = 16): Option[Int] = {
+    if (depth <= 0) return None
     var off = start
     while (off + 8 <= end) {
       val size = le32(d, off + 4)
       val dataStart = off + 8
       val dataEnd = dataStart + size
-      if (size < 0 || dataEnd > end) return None // truncated/corrupt
-      if (fourcc(d, off, "avih")) return Some(dataStart)
+      if (dataEnd > end) return None // truncated/corrupt
+      if (fourcc(d, off, "avih") && size >= 40) return Some(dataStart)
       if (fourcc(d, off, "LIST") && size >= 4) {
-        val hit = findAvih(d, dataStart + 4, dataEnd.toInt)
+        val hit = findAvih(d, dataStart + 4, dataEnd.toInt, depth - 1)
         if (hit.isDefined) return hit
       }
       off = dataEnd.toInt + (size.toInt & 1) // chunks pad to even length
@@ -75,17 +83,16 @@ object ContainerProbe extends FrameProber {
     if (d.length < 12 || !fourcc(d, 0, "RIFF") || !fourcc(d, 8, "AVI "))
       return None
     val riffEnd = math.min(d.length.toLong, 8L + le32(d, 4)).toInt
+    // findAvih guarantees the chunk declares >= 40 bytes, so the reads
+    // below stay inside the avih chunk itself, never a sibling's bytes
     findAvih(d, 12, riffEnd).flatMap { a =>
-      if (a + 40 > d.length) None
-      else {
-        val frames = le32(d, a + 16) // u32: clamp before the Int narrowing
-        val w = le32(d, a + 32)
-        val h = le32(d, a + 36)
-        if (w > 0 && w <= Int.MaxValue && h > 0 && h <= Int.MaxValue)
-          Some((w.toInt, h.toInt,
-            math.min(math.max(1L, frames), Int.MaxValue.toLong).toInt))
-        else None
-      }
+      val frames = le32(d, a + 16) // u32: clamp before the Int narrowing
+      val w = le32(d, a + 32)
+      val h = le32(d, a + 36)
+      if (w > 0 && w <= Int.MaxValue && h > 0 && h <= Int.MaxValue)
+        Some((w.toInt, h.toInt,
+          math.min(math.max(1L, frames), Int.MaxValue.toLong).toInt))
+      else None
     }
   }
 
@@ -137,12 +144,16 @@ object ContainerProbe extends FrameProber {
   }
 
   /** `tkhd`: width/height as 16.16 fixed point, offset past the
-    * version-dependent time fields (v0 times are u32, v1 u64).
+    * version-dependent time fields (v0 times are u32, v1 u64) and the
+    * fixed 52-byte block between duration and width — reserved[2] (8)
+    * + layer (2) + alternate_group (2) + volume (2) + reserved (2) +
+    * matrix[9] (36), per ISO 14496-12 §8.3.2 (a spec-conformant v0
+    * tkhd payload is exactly 84 bytes).
     */
   private def tkhdDims(d: Array[Byte], payload: Int, end: Int): Option[(Int, Int)] = {
     if (payload >= end) return None
     val version = d(payload) & 0xff
-    val whOff = payload + 4 + (if (version == 1) 32 else 20) + 60
+    val whOff = payload + 4 + (if (version == 1) 32 else 20) + 52
     if (whOff + 8 > end) None
     else {
       val w = (be32(d, whOff) >> 16).toInt

@@ -314,10 +314,22 @@ object Similarity {
           IvfAnn.topK(corpus, queries, k, nCells = nCells, nProbe = nProbe,
               vecCol = vecCol, idCol = idCol)
             .select(lit("ivf").as("method"), col("query_id"), col("vec_id")))
-      approx.join(truth, Seq("query_id", "vec_id"))
-        .groupBy("method").agg(count(lit(1)).as("n_hit"))
+      // anchored on a STATIC method list with left joins, NOT an inner
+      // join + groupBy: a method whose recall collapses to zero — or
+      // whose index returns no rows at all — must still report its row
+      // with recall 0.0. A vanished row is exactly the wrong way to
+      // surface the regression this report exists to catch.
+      val hitCounts = approx
+        .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("method")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      Seq("ivf", "lsh").toDF("method")
+        .join(hitCounts, Seq("method"), "left")
         .select(col("method"), lit(k).as("k"), lit(nTrue).as("n_true"),
-          col("n_hit"), round(col("n_hit") / nTrue, 4).as("recall"))
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / nTrue, 4).as("recall"))
         .orderBy("method")
     }
   }

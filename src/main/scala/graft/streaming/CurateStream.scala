@@ -40,6 +40,12 @@ object CurateStream {
       .withColumn("fingerprint", md5(TextOps.Fingerprint.normalized(col(textCol))))
       .withColumn("quality_score", round(TextOps.QualityScore.score(col(textCol)), 4))
       .withColumn("predicted_lang", TextOps.LangId.predicted(col(textCol)))
+      // null-text parity with the batch twin, by construction:
+      // predicted_lang is TOTAL (null text → 'und', never null), so
+      // this conjunction is never null — for null text it is
+      // (null >= q) && ('und' === lang) = false, dropping the row
+      // exactly as the batch twin's wrong_lang branch does
+      // (spec-pinned in StreamingSpec).
       .where(col("quality_score") >= minQuality &&
         col("predicted_lang") === keepLang)
       .withWatermark(tsCol, watermark)

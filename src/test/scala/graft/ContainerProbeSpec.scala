@@ -21,12 +21,15 @@ class ContainerProbeSpec extends AnyFunSuite {
   private def be32(v: Int): Array[Byte] =
     java.nio.ByteBuffer.allocate(4).putInt(v).array
 
-  /** tkhd payload: version/flags + version-dependent time/id block +
-    * 60 bytes of layout fields + 16.16-fixed width/height.
+  /** tkhd payload per ISO 14496-12 §8.3.2: version/flags +
+    * version-dependent time/id block (20 bytes v0, 32 bytes v1) + the
+    * fixed 52-byte reserved/layer/volume/matrix block + 16.16-fixed
+    * width/height — 84 payload bytes total for v0, matching real
+    * muxer output byte-for-byte.
     */
   private def tkhd(w: Int, h: Int, version: Int): Array[Byte] = {
     val times = new Array[Byte](if (version == 1) 32 else 20)
-    Array[Byte](version.toByte, 0, 0, 0) ++ times ++ new Array[Byte](60) ++
+    Array[Byte](version.toByte, 0, 0, 0) ++ times ++ new Array[Byte](52) ++
       be32(w << 16) ++ be32(h << 16)
   }
   private def stsz(sampleCount: Int): Array[Byte] =
@@ -60,6 +63,13 @@ class ContainerProbeSpec extends AnyFunSuite {
     val body = "AVI ".getBytes ++ chunk("JUNK", new Array[Byte](7)) ++
       chunk("LIST", "hdrl".getBytes ++ chunk("avih", avih))
     "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  test("tkhd construction matches the spec'd real-world box sizes (92 bytes v0, 104 v1)") {
+    // pins the layout constants to ISO 14496-12 §8.3.2's known box
+    // sizes so the parser and the test generator cannot drift together
+    assert(box("tkhd", tkhd(320, 240, 0)).length == 92)
+    assert(box("tkhd", tkhd(320, 240, 1)).length == 104)
   }
 
   test("MP4: tkhd dims + stsz frame count, audio track skipped (v0 and v1 tkhd)") {

@@ -65,7 +65,9 @@ class StreamingSpec extends AnyFunSuite {
       (2L, ts("10:05"), en + " "),                            // exact dup of 1 → dropped
       (3L, ts("10:10"), "zxq! #@%"),                          // low quality → dropped
       (4L, ts("10:15"), ("lorem ipsum dolor sit amet " * 25).trim), // wrong lang
-      (5L, ts("10:20"), "where is the cat and the dog on the mat of the house"))
+      (5L, ts("10:20"), "where is the cat and the dog on the mat of the house"),
+      (6L, ts("10:25"), null),                                // null text → 'und' → dropped
+      (7L, ts("10:30"), null))                                // same, both engines agree
     val input = MemoryStream[(Long, Timestamp, String)]
     val query = graft.streaming.CurateStream.run(
         input.toDF().toDF("doc_id", "ts", "text"))
