@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions.expr
   * reference's tabbed HTML report shape), or to the console.
   *
   * {{{
-  * GraftApp rowcount        --dir /data/sf1 [--exclude tmp_%] | --config conn.yaml
+  * GraftApp rowcount        --dir /data/sf1 [--exclude tmp_%] [--where "pred"] | --config conn.yaml
   * GraftApp dbstats-compare --source-dir a --target-dir b [--tables t1,t2]
   * GraftApp nullcheck       --dir /data/sf1 --table customer
   * GraftApp keyfinder       --dir /data/sf1 --table orders \
@@ -167,12 +167,26 @@ object GraftApp {
 
     val result: DataFrame = tool match {
       case "rowcount" =>
+        // --where: the reference's count_rows(where_clause=…) — a
+        // partition-bounded reconciliation count. Dir-backed, Catalyst
+        // pushes the predicate to the parquet scan; connection-backed,
+        // each backend pushes it as close to the data as it can (JDBC:
+        // into the remote COUNT).
+        val whereOpt = f.get("where")
         side("dir", "config") match {
           // connection-backed: let the backend count (JDBC pushes one
           // COUNT(*) per table instead of pulling rows through Spark)
-          case (names, _, Some(conn)) => conn.rowCounts(names)
+          case (names, _, Some(conn)) =>
+            whereOpt match {
+              case Some(w) =>
+                import spark.implicits._
+                names.sorted.map(n => (n, conn.countRows(n, w)))
+                  .toDF("table_name", "row_count")
+              case None => conn.rowCounts(names)
+            }
           case (names, load, None) =>
-            RowCount.counts(spark, names.map(t => t -> load(t)).toMap)
+            RowCount.counts(spark, names.map(t =>
+              t -> whereOpt.fold(load(t))(w => load(t).where(expr(w)))).toMap)
         }
       case "dbstats-compare" =>
         // reference dbstats source/target mode (dbstats.py:201-214 +

@@ -21,6 +21,23 @@ class GraftAppSpec extends AnyFunSuite {
     assert(n == 7)
   }
 
+  test("rowcount --where returns predicate-filtered counts per table") {
+    val out = java.nio.file.Files.createTempDirectory("graft_app").toString + "/res"
+    // the predicate applies to every counted table, so scope the run to
+    // tables that can resolve it (the reference's where_clause counts
+    // are per-table calls for the same reason)
+    GraftApp.run(spark, Seq("rowcount", "--dir", TestSpark.sf0001,
+      "--exclude", "c%,d%,e%,l%,o%,p%,r%,s%", // keep nation only
+      "--where", "n_nationkey < 7", "--out", out))
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.sources.Tables(spark, TestSpark.sf0001, "nation")
+      .where("n_nationkey < 7").count()
+    assert(got == Map("nation" -> want))
+    assert(want > 0 && want < graft.sources.Tables(
+      spark, TestSpark.sf0001, "nation").count())
+  }
+
   test("nullcheck, keyfinder, colcompare, completeness run end-to-end") {
     assert(runToParquet("nullcheck", "--dir", TestSpark.sf0001,
       "--table", "customer") > 0)
