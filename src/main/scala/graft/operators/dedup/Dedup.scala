@@ -561,13 +561,16 @@ object Dedup {
         signatures(df, textCol, idCol, shingler).localCheckpoint(false),
         threshold, maxBucket)
 
-    /** Shared kernel of [[nearDuplicates]]/[[nearDuplicatesOf]]: `sigs`
-      * should already be checkpointed (callers that share it across
-      * operators checkpoint once; a raw lineage still computes
-      * correctly, just re-running its kernel per consuming branch).
+    /** The funnel shared by the pair expansion ([[fromSignatures]]) and
+      * the connectivity-only edge list ([[clusterEdges]]): content-group
+      * membership plus REP-LEVEL verified pairs — everything BEFORE the
+      * output shape is decided. `sigs` should already be checkpointed
+      * (callers that share it across operators checkpoint once; a raw
+      * lineage still computes correctly, just re-running its kernel per
+      * consuming branch).
       */
-    private def fromSignatures(sigs: DataFrame, threshold: Double,
-                               maxBucket: Int): DataFrame = {
+    private def membersAndVerified(sigs: DataFrame, threshold: Double,
+                                   maxBucket: Int): (DataFrame, DataFrame) = {
       require(threshold > 0.0 && threshold <= 1.0,
         s"threshold must be in (0, 1], got $threshold (at 0 every pair matches — " +
           "that output is quadratic by definition; use allPairs on a blocked domain)")
@@ -615,7 +618,16 @@ object Dedup {
             if (jac >= threshold) Iterator.single((a, b, jac)) else Iterator.empty
           }
         }.toDF("rep_1", "rep_2", "jaccard_raw")
+      (members, verified)
+    }
 
+    /** Pair-expansion output of [[nearDuplicates]]/[[nearDuplicatesOf]]:
+      * verified rep-pair scores expanded to every member pair (the
+      * contract-mandated, potentially duplication-quadratic OUTPUT).
+      */
+    private def fromSignatures(sigs: DataFrame, threshold: Double,
+                               maxBucket: Int): DataFrame = {
+      val (members, verified) = membersAndVerified(sigs, threshold, maxBucket)
       val m1 = members.select(col("rep").as("rep_1"), col("gid").as("m1"))
       val m2 = members.select(col("rep").as("rep_2"), col("gid").as("m2"))
       val cross = verified.join(m1, Seq("rep_1")).join(m2, Seq("rep_2"))
@@ -632,6 +644,41 @@ object Dedup {
       cross.unionAll(within)
         .select(col("doc_id_1"), col("doc_id_2"),
           round(col("jaccard_raw"), 4).as("jaccard"))
+    }
+
+    /** Connectivity-only edge list for CLUSTERING consumers: one star
+      * per duplicate content group (rep → member, g−1 edges) plus ONE
+      * edge per verified rep pair — O(docs + rep pairs) edges with the
+      * SAME connected components as the full pair expansion (a clique
+      * and its star are connectivity-equivalent; a complete bipartite
+      * cross-group expansion and star₁ ∪ star₂ ∪ {rep₁—rep₂}
+      * likewise).
+      *
+      * This is the difference between clustering surviving heavy
+      * duplication and not: measured at 100× replication (every doc in
+      * 100-clone groups, 500 k docs), the pair expansion emits ~25 M
+      * edges — C(100,2) per group — and label propagation over them
+      * exhausted the executor memory manager, while this list is
+      * ~500 k edges, under the driver union-find bound. The pair
+      * expansion stays the contract for consumers that need per-pair
+      * scores; clustering never did.
+      */
+    private[graft] def clusterEdges(df: DataFrame, threshold: Double,
+                                    textCol: String = "text",
+                                    idCol: String = "doc_id",
+                                    shingler: Shingler = CharNgrams(),
+                                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      val (members, verified) = membersAndVerified(
+        signatures(df, textCol, idCol, shingler).localCheckpoint(false),
+        threshold, maxBucket)
+      // same group-eligibility rule as the `within` expansion: only
+      // non-empty content (n_grams > 0) forms duplicate edges
+      val star = members
+        .where(col("n_docs") >= 2 && col("n_grams") > 0 &&
+          col("gid") =!= col("rep"))
+        .select(col("rep").as("doc_id_1"), col("gid").as("doc_id_2"))
+      verified.select(col("rep_1").as("doc_id_1"), col("rep_2").as("doc_id_2"))
+        .unionAll(star)
     }
   }
 
@@ -779,13 +826,17 @@ object Dedup {
       spark.createDataFrame(rows).toDF("doc_id", "component").orderBy("doc_id")
     }
 
-    /** End-to-end near-dup grouping: MinHash pairs → components. Feeds
-      * on the UNORDERED pair variant — components aggregates the pairs,
-      * so sorting them first would be a thrown-away global exchange.
+    /** End-to-end near-dup grouping: MinHash → components. Feeds on
+      * [[MinHashDedup.clusterEdges]] — the connectivity-equivalent
+      * star + rep-pair edge list, O(docs + rep pairs) — NOT the pair
+      * expansion, whose size is quadratic in duplicate-group size
+      * (C(g,2) per g-clone group): components only needs reachability,
+      * and at 100× duplication the expansion alone is ~25 M edges
+      * where this list is ~500 k (see clusterEdges scaladoc).
       */
     def dedupGroups(df: DataFrame, threshold: Double,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-      components(MinHashDedup.nearDuplicatesUnordered(df, threshold, textCol, idCol))
+      components(MinHashDedup.clusterEdges(df, threshold, textCol, idCol))
 
     /** DuckDB oracle for [[components]] over the EXACT n-gram Jaccard
       * pairs: a recursive CTE walks the (bidirectional) edge relation

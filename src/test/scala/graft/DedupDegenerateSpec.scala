@@ -50,6 +50,24 @@ class DedupDegenerateSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterEdges: LINEAR in clone count (a star), same components as the pair expansion") {
+    // the 1k-identical class yields exactly C−1 star edges — not the
+    // C(C,2) ≈ 500k pairs the expansion contract emits — and the empty
+    // class yields nothing
+    val edges = MinHashDedup.clusterEdges(degenerate, 0.8)
+    assert(edges.count() == (C - 1).toLong)
+    // the components built from the star equal the components built
+    // from the full quadratic pair list
+    val viaStar = Dedup.Components.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = Dedup.Components.components(
+        MinHashDedup.nearDuplicates(degenerate, 0.8)
+          .select("doc_id_1", "doc_id_2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaPairs)
+    assert(viaStar.values.toSet == Set(0L)) // one cluster, min-id keyed
+  }
+
   test("candidatePairs: identical class expands in-group, empty class is excluded") {
     val sigs = MinHashDedup.signatures(degenerate)
     assert(MinHashDedup.candidatePairs(sigs).count() == nPairs(C))

@@ -236,6 +236,22 @@ class DedupSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(groups(200L + i) == i.toLong))
   }
 
+  test("clusterEdges components == pair-expansion components on a mixed near/exact corpus") {
+    // cross-group verified edges (near-dups 100+i), in-group stars
+    // (exact copies 200+i), and transitive chains must cluster the
+    // same through the linear edge list as through the full pairs
+    val threshold = 0.5
+    val viaEdges = Dedup.Components.components(
+        Dedup.MinHashDedup.clusterEdges(docs, threshold))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = Dedup.Components.components(
+        Dedup.MinHashDedup.nearDuplicates(docs, threshold)
+          .select("doc_id_1", "doc_id_2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaEdges == viaPairs)
+    assert(viaEdges.nonEmpty)
+  }
+
   test("embedding LSH pairs: exact scores (precision 1), recall floor vs allPairs") {
     val emb = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings")
     val brute = Dedup.EmbeddingDedup.allPairs(emb, 0.4).collect()
