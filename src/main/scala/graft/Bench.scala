@@ -24,9 +24,20 @@ object Bench {
     // is dedup_embedding (codegen'd cosine makes 2M pairs cheap).
     // The skip list is emitted in the JSON so round-over-round totals
     // stay interpretable when coverage changes.
+    // SPARK_GRAFT_SKIP=q1,q2 adds run-local skips (same loud-on-typo
+    // rule as SPARK_GRAFT_ONLY): the scale-up runs use it to exclude
+    // the remaining deliberately-quadratic exact paths (dedup_embedding
+    // all-pairs is cheap at sf0.1's 2M pairs but 125G pairs at 100×),
+    // with the skips recorded in the JSON like the static ones.
+    val envSkip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    val unknownSkips = envSkip.diff(SparkEntry.queries.keySet)
+    require(unknownSkips.isEmpty,
+      s"SPARK_GRAFT_SKIP names unknown queries: ${unknownSkips.toSeq.sorted.mkString(",")}")
     val skip = Map(
       "dedup_ngram_jaccard" -> "quadratic oracle path; scalable twin dedup_minhash benched",
-      "dedup_clusters" -> "components over the quadratic oracle pairs; scalable twin dedup_clusters_minhash benched")
+      "dedup_clusters" -> "components over the quadratic oracle pairs; scalable twin dedup_clusters_minhash benched") ++
+      envSkip.map(_ -> "skipped via SPARK_GRAFT_SKIP").toMap
     // Two passes, min per query: steady-state timing (pass 1 additionally
     // pays OS page-cache warm-up and first-plan codegen for each query).
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for iterating on one
