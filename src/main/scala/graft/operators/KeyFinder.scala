@@ -26,6 +26,15 @@ import scala.collection.parallel.CollectionConverters._
   * measured 10× slower at sf0.1 because Catalyst plans n distinct groups
   * as an Expand (row count × n) followed by a giant shuffle; per-combo
   * jobs shuffle only each combo's partial-agg output instead.
+  *
+  * Also measured and REJECTED (round 6, 60 M rows, 4 candidates,
+  * maxKeySize 4): a single-scan `approx_count_distinct(struct(...))`
+  * prefilter to skip exact jobs for combos far from unique. It has no
+  * Expand problem, but it was ~20% SLOWER end-to-end (isolated min
+  * 48.5 → 58.5 s): the concurrent exact jobs already overlap their
+  * scans over the cached projection, so the fused HLL pass only adds a
+  * serialized CPU-heavy multi-struct-hash scan whose savings don't
+  * cover its cost at realistic combo counts.
   */
 object KeyFinder {
 
