@@ -29,8 +29,10 @@ object Bench {
     // the remaining deliberately-quadratic exact paths (dedup_embedding
     // all-pairs is cheap at sf0.1's 2M pairs but 125G pairs at 100×),
     // with the skips recorded in the JSON like the static ones.
+    // empty names filtered: a wrapper script exporting an EMPTY env var
+    // for the no-op case must mean "no skips", not a loud abort on ""
     val envSkip = sys.env.get("SPARK_GRAFT_SKIP")
-      .map(_.split(",").toSet).getOrElse(Set.empty)
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val unknownSkips = envSkip.diff(SparkEntry.queries.keySet)
     require(unknownSkips.isEmpty,
       s"SPARK_GRAFT_SKIP names unknown queries: ${unknownSkips.toSeq.sorted.mkString(",")}")
@@ -44,7 +46,8 @@ object Bench {
     // query family without paying the full-suite wall clock. Unknown
     // names fail LOUDLY: a typo'd filter would otherwise produce an
     // empty suite reporting total 0 with exit 0 — a fake perfect score.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
@@ -54,6 +57,10 @@ object Bench {
       .filterNot(q => skip.contains(q._1))
       .filter(q => only.forall(_.contains(q._1)))
       .toSeq
+    // ONLY ∩ skip = ∅ would otherwise report total 0 / exit 0 — the
+    // fake perfect score the loud-on-typo rule exists to prevent
+    require(headline.nonEmpty,
+      "SPARK_GRAFT_ONLY and the skip set leave no queries to bench")
     // A query that throws must be visible as a FAILURE, not a fast run:
     // time-to-throw once masqueraded as a 3x speedup in a round bench.
     def onePass(): Map[String, (Double, Option[String])] = headline.map {

@@ -174,19 +174,35 @@ object GraftApp {
         // into the remote COUNT).
         val whereOpt = f.get("where")
         side("dir", "config") match {
-          // connection-backed: let the backend count (JDBC pushes one
-          // COUNT(*) per table instead of pulling rows through Spark)
-          case (names, _, Some(conn)) =>
-            whereOpt match {
-              case Some(w) =>
-                import spark.implicits._
-                names.sorted.map(n => (n, conn.countRows(n, w)))
-                  .toDF("table_name", "row_count")
-              case None => conn.rowCounts(names)
-            }
+          // connection-backed: let the backend count (JDBC pushes the
+          // COUNT(*)s — with the WHERE when given — through its bounded
+          // pool instead of pulling rows through Spark). The config
+          // names its tables explicitly, so the predicate must resolve
+          // on each of them.
+          case (names, _, Some(conn)) => conn.rowCounts(names, whereOpt)
+          // dir-backed catalogs are DISCOVERED, so a predicate cannot
+          // be expected to resolve on every table: count the tables it
+          // resolves on (the reference's count_rows(where_clause) is a
+          // per-table call), fail loudly if it resolves on none
           case (names, load, None) =>
-            RowCount.counts(spark, names.map(t =>
-              t -> whereOpt.fold(load(t))(w => load(t).where(expr(w)))).toMap)
+            val frames = names.flatMap { t =>
+              val df = load(t)
+              whereOpt match {
+                case Some(w) =>
+                  try {
+                    val filtered = df.where(expr(w))
+                    filtered.queryExecution.analyzed // force resolution
+                    Some(t -> filtered)
+                  } catch {
+                    case _: org.apache.spark.sql.AnalysisException => None
+                  }
+                case None => Some(t -> df)
+              }
+            }.toMap
+            require(frames.nonEmpty,
+              s"--where '${whereOpt.getOrElse("")}' resolves on none of: " +
+                names.sorted.mkString(", "))
+            RowCount.counts(spark, frames)
         }
       case "dbstats-compare" =>
         // reference dbstats source/target mode (dbstats.py:201-214 +

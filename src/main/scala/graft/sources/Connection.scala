@@ -60,7 +60,19 @@ trait Connection {
     * just to count them defeats the reference's execution model.
     */
   def rowCounts(names: Seq[String]): org.apache.spark.sql.DataFrame =
-    graft.operators.RowCount.counts(spark, names.map(n => n -> table(n)).toMap)
+    rowCounts(names, None)
+
+  /** [[rowCounts]] with an optional shared predicate (the catalog form
+    * of `count_rows(where_clause=…)`): one plan, every scan filtered —
+    * Catalyst pushes the predicate into each scan. The predicate must
+    * resolve on every named table; catalogs with heterogeneous schemas
+    * scope the name list first (the CLI's dir-backed path does this
+    * automatically).
+    */
+  def rowCounts(names: Seq[String],
+                where: Option[String]): org.apache.spark.sql.DataFrame =
+    graft.operators.RowCount.counts(spark,
+      names.map(n => n -> where.fold(table(n))(w => table(n).where(w))).toMap)
 
   /** reference: run_query — registers this connection's tables as temp
     * views, then runs Spark SQL (Catalyst plans it; nothing is pushed
@@ -258,14 +270,16 @@ final class JdbcConnection(val spark: SparkSession, url: String,
     * pool is sized to the machine's cores — 32 simultaneous
     * connections is a self-inflicted DoS on a production backend).
     */
-  override def rowCounts(names: Seq[String]): DataFrame = {
+  override def rowCounts(names: Seq[String],
+                         where: Option[String]): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new java.util.concurrent.ForkJoinPool(
       math.max(1, math.min(JdbcConnection.MaxConcurrentCounts, names.size)))
     try {
       val par = names.par
       par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
-      val counts = par.map(n => (n, countRows(n))).seq.sortBy(_._1)
+      val counts = par.map(n =>
+        (n, where.fold(countRows(n))(w => countRows(n, w)))).seq.sortBy(_._1)
       spark.createDataFrame(counts).toDF("table_name", "row_count")
     } finally pool.shutdown()
   }

@@ -18,6 +18,10 @@ class ConnectionSpec extends AnyFunSuite {
     // plans through Catalyst and prunes at the scan
     assert(parquetConn.countRows("region", "r_regionkey >= 2") == 3)
     assert(parquetConn.countRows("nation", "n_regionkey = 0") == 5)
+    // catalog form: one plan, the shared predicate filters every scan
+    assert(parquetConn.rowCounts(Seq("region"), Some("r_regionkey >= 2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("region" -> 3L))
     val meta = parquetConn.tableMetadata("nation").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(meta("n_name") == "string")
@@ -82,6 +86,11 @@ class ConnectionSpec extends AnyFunSuite {
     // (25, NULL, 0) sits in region 0 — 5 TPC-H nations + it = 6.
     assert(jdbcConn.countRows("NATION", "N_REGIONKEY = 0") == 6)
     assert(jdbcConn.countRows("NATION", "N_NAME IS NULL") == 1)
+    // catalog form rides the bounded pool with the WHERE pushed into
+    // every remote COUNT (the CLI's connection-backed --where path)
+    assert(jdbcConn.rowCounts(Seq("NATION", "REGION"), Some("1 = 1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("NATION" -> 26L, "REGION" -> 5L))
     val meta = jdbcConn.tableMetadata("NATION").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(meta("N_NAME") == "string")

@@ -23,11 +23,11 @@ class GraftAppSpec extends AnyFunSuite {
 
   test("rowcount --where returns predicate-filtered counts per table") {
     val out = java.nio.file.Files.createTempDirectory("graft_app").toString + "/res"
-    // the predicate applies to every counted table, so scope the run to
-    // tables that can resolve it (the reference's where_clause counts
-    // are per-table calls for the same reason)
+    // discovered catalog + a predicate only ONE table can resolve: the
+    // run counts that table and skips the rest (the reference's
+    // where_clause counts are per-table calls), instead of aborting on
+    // the first unresolvable column
     GraftApp.run(spark, Seq("rowcount", "--dir", TestSpark.sf0001,
-      "--exclude", "c%,d%,e%,l%,o%,p%,r%,s%", // keep nation only
       "--where", "n_nationkey < 7", "--out", out))
     val got = spark.read.parquet(out).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -36,6 +36,11 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got == Map("nation" -> want))
     assert(want > 0 && want < graft.sources.Tables(
       spark, TestSpark.sf0001, "nation").count())
+    // a predicate NO table resolves fails loudly, not silently empty
+    val e = intercept[IllegalArgumentException](GraftApp.run(spark,
+      Seq("rowcount", "--dir", TestSpark.sf0001,
+        "--where", "no_such_column = 1", "--out", out + "2")))
+    assert(e.getMessage.contains("resolves on none"))
   }
 
   test("nullcheck, keyfinder, colcompare, completeness run end-to-end") {
