@@ -130,21 +130,27 @@ object RelationalQueries {
       .orderBy("p_brand")
   }
 
-  /** TPC-H Q21/Q22 shape: EXISTS and NOT EXISTS as left_semi/left_anti
-    * joins — orders with at least one returned line ('R') and no line
-    * still open ('O'). Both probes shuffle on the order key with the
-    * build side reduced to a single projected column; semi/anti joins
-    * short-circuit per key, never materializing the match set.
+  /** TPC-H Q21/Q22 shape: EXISTS and NOT EXISTS — orders with at least
+    * one returned line ('R') and no line still open ('O') — rewritten to
+    * ride ONE fact scan. Both existence tests collapse into a single
+    * per-orderkey aggregate (`max(flag)` is boolean OR, map-side
+    * combined before the one order-key shuffle); the qualifying key set
+    * then semi-joins into orders, where AQE broadcasts it when small —
+    * the same runtime key-set broadcast q18 demonstrates. The naive
+    * semi+anti plan pays two fact scans and two order-key shuffles;
+    * this pays one of each, halving fact I/O and shuffle volume on a
+    * cluster.
     */
   def q21SemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables(spark, dir, "orders")
     val li = Tables(spark, dir, "lineitem")
-    val returned = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("rk"))
-    val open = li.filter(col("l_linestatus") === "O")
-      .select(col("l_orderkey").as("ok"))
-    ord.join(returned, col("o_orderkey") === col("rk"), "left_semi")
-      .join(open, col("o_orderkey") === col("ok"), "left_anti")
+      .select("l_orderkey", "l_returnflag", "l_linestatus")
+    val keys = li.groupBy(col("l_orderkey"))
+      .agg(max(col("l_returnflag") === "R").as("has_returned"),
+        max(col("l_linestatus") === "O").as("has_open"))
+      .where(col("has_returned") && !col("has_open"))
+      .select("l_orderkey")
+    ord.join(keys, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         round(sum("o_totalprice"), 2).as("total_price"))

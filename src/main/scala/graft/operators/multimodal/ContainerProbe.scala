@@ -153,6 +153,10 @@ object ContainerProbe extends FrameProber {
   private def tkhdDims(d: Array[Byte], payload: Int, end: Int): Option[(Int, Int)] = {
     if (payload >= end) return None
     val version = d(payload) & 0xff
+    // only v0/v1 exist (ISO 14496-12); any other version byte is
+    // corruption — refuse rather than read plausible garbage from the
+    // v0 offsets, matching the parser's refuse-on-corrupt philosophy
+    if (version != 0 && version != 1) return None
     val whOff = payload + 4 + (if (version == 1) 32 else 20) + 52
     if (whOff + 8 > end) None
     else {

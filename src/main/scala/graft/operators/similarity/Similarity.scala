@@ -307,6 +307,11 @@ object Similarity {
       val truth = CosineTopK.run(corpus, queries, k, vecCol, idCol)
         .select("query_id", "vec_id").localCheckpoint(false)
       val nTrue = truth.count()
+      // an empty truth set means the report could only emit null/0÷0
+      // recall — a misconfigured run (empty corpus or query set) must
+      // fail loudly, not surface as a quiet null row
+      require(nTrue > 0,
+        s"recall report needs a non-empty ground truth: corpus/queries produced 0 true top-$k pairs")
       val approx =
         LshAnn.topK(corpus, queries, k, dim, vecCol = vecCol, idCol = idCol)
           .select(lit("lsh").as("method"), col("query_id"), col("vec_id"))

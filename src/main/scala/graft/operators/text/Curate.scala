@@ -13,16 +13,27 @@ import org.apache.spark.sql.functions._
   * expressions, the duplicate flag is a single window over the content
   * fingerprint — so the whole decision costs one shuffle, not a join
   * per signal. Reason precedence: duplicate > low_quality > wrong_lang.
+  *
+  * Quality and language are scored over the NORMALIZED text (the same
+  * whitespace-collapsed lowercase form the fingerprint hashes), so the
+  * keep/drop decision is fingerprint-invariant: every member of a
+  * duplicate group carries identical signals, and the streaming twin
+  * can filter before dedup without changing which groups survive.
+  * (Raw-text scoring would let two same-fingerprint variants with
+  * different raw whitespace straddle the quality floor via the
+  * punct/length ratio.) The standalone [[TextOps.QualityScore]] report
+  * still scores RAW text — there the raw surface is the signal.
   */
 object Curate {
 
   def run(df: DataFrame, minQuality: Double = 0.5, keepLang: String = "en",
           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy("fingerprint")
+    val norm = TextOps.Fingerprint.normalized(col(textCol))
     df.select(col(idCol), col(textCol))
-      .withColumn("fingerprint", md5(TextOps.Fingerprint.normalized(col(textCol))))
-      .withColumn("quality_score", round(TextOps.QualityScore.score(col(textCol)), 4))
-      .withColumn("predicted_lang", TextOps.LangId.predicted(col(textCol)))
+      .withColumn("fingerprint", md5(norm))
+      .withColumn("quality_score", round(TextOps.QualityScore.score(norm), 4))
+      .withColumn("predicted_lang", TextOps.LangId.predicted(norm))
       .withColumn("keep_doc_id", min(col(idCol)).over(w))
       .withColumn("is_exact_dup", (col(idCol) =!= col("keep_doc_id")).cast("int"))
       .withColumn("drop_reason",
@@ -38,23 +49,28 @@ object Curate {
   def oracleSql(table: String, minQuality: Double = 0.5,
                 keepLang: String = "en"): String = {
     val stops = TextOps.EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    // signals over the NORMALIZED text (ntext), mirroring run()
     val stopRatio =
-      s"""CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      s"""CAST(len(list_filter(string_split_regex(ntext, '\\s+'),
          |      x -> list_contains($stops, x))) AS DOUBLE)
-         |    / len(string_split_regex(trim(lower(text)), '\\s+'))""".stripMargin
+         |    / len(string_split_regex(ntext, '\\s+'))""".stripMargin
     val punctRatio =
-      """CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-        |    / length(text)""".stripMargin
-    val nTokens = """len(string_split_regex(trim(lower(text)), '\s+'))"""
-    s"""WITH base AS (
+      """CAST(length(ntext) - length(regexp_replace(ntext, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / length(ntext)""".stripMargin
+    val nTokens = """len(string_split_regex(ntext, '\s+'))"""
+    s"""WITH n AS (
        |  SELECT doc_id,
-       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+       |  FROM $table),
+       |base AS (
+       |  SELECT doc_id,
+       |    md5(ntext) AS fingerprint,
        |    round(0.4 * least(1.0, CAST($nTokens AS DOUBLE) / 100.0)
        |        + 0.3 * least(1.0, ($stopRatio) * 5.0)
        |        + 0.3 * (1.0 - least(1.0, ($punctRatio) * 10.0)), 4) AS quality_score,
        |    CASE WHEN round($stopRatio, 4) >= ${TextOps.LangId.EnThreshold}
        |      THEN 'en' ELSE 'und' END AS predicted_lang
-       |  FROM $table),
+       |  FROM n),
        |d AS (
        |  SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_doc_id
        |  FROM base)

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first decomposition of the batch decision:
   *
-  *  - quality score and language ID are row-local Column expressions —
-  *    identical code to batch, no state, fully map-side;
+  *  - quality score and language ID are row-local Column expressions
+  *    over the NORMALIZED (fingerprint) text — identical code to
+  *    batch, no state, fully map-side;
   *  - the batch operator's exact-dup window (keep the min doc id per
   *    content fingerprint) becomes `dropDuplicatesWithinWatermark` on
   *    the fingerprint: keep the FIRST ARRIVAL, with state bounded by
@@ -19,10 +20,12 @@ import org.apache.spark.sql.functions._
   *    "keep one per fingerprint" on an unbounded stream.
   *
   * The quality/language filter runs BEFORE the dedup state on purpose:
-  * duplicates share a fingerprint, hence the same normalized text and
-  * the same row-local scores, so filtering first changes nothing about
-  * which documents survive — but it keeps rejected-quality content out
-  * of the state store entirely.
+  * duplicates share a fingerprint, hence the same normalized text —
+  * and because the scores are computed OVER that normalized text (not
+  * the raw text, whose incidental whitespace can differ within a
+  * fingerprint group), every member of a group scores identically, so
+  * filtering first changes nothing about which groups survive — but it
+  * keeps rejected-quality content out of the state store entirely.
   *
   * Returns the KEPT stream (id, event time, text, fingerprint,
   * signals). A batch run of [[graft.operators.text.Curate]] over the
@@ -35,11 +38,12 @@ object CurateStream {
 
   def run(docs: DataFrame, minQuality: Double = 0.5, keepLang: String = "en",
           textCol: String = "text", idCol: String = "doc_id",
-          tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+          tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    val norm = TextOps.Fingerprint.normalized(col(textCol))
     docs
-      .withColumn("fingerprint", md5(TextOps.Fingerprint.normalized(col(textCol))))
-      .withColumn("quality_score", round(TextOps.QualityScore.score(col(textCol)), 4))
-      .withColumn("predicted_lang", TextOps.LangId.predicted(col(textCol)))
+      .withColumn("fingerprint", md5(norm))
+      .withColumn("quality_score", round(TextOps.QualityScore.score(norm), 4))
+      .withColumn("predicted_lang", TextOps.LangId.predicted(norm))
       // null-text parity with the batch twin, by construction:
       // predicted_lang is TOTAL (null text → 'und', never null), so
       // this conjunction is never null — for null text it is
@@ -52,4 +56,5 @@ object CurateStream {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col(idCol), col(tsCol), col(textCol), col("fingerprint"),
         col("quality_score"), col("predicted_lang"))
+  }
 }

@@ -61,11 +61,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(liScans == 1, s"expected 1 lineitem scan, got $liScans in:\n$p")
   }
 
-  test("q21_semi_anti: EXISTS/NOT EXISTS become semi/anti hash or merge joins") {
+  test("q21_semi_anti: both existence tests ride ONE fact scan + one semi join") {
     val p = plan(q("q21_semi_anti"))
     assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
-    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+    // the EXISTS + NOT EXISTS pair must collapse into one per-orderkey
+    // flag aggregate over a single lineitem scan — not two filtered
+    // rescans feeding separate semi/anti probes
+    val liScans = p.linesIterator.count(l =>
+      l.trim.startsWith("Location:") && l.contains("lineitem"))
+    assert(liScans == 1, s"expected 1 lineitem scan, got $liScans in:\n$p")
   }
 
   test("ann_cosine_topk: rank<=k compiles to a WindowGroupLimit partial top-k") {
