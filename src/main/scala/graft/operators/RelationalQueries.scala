@@ -145,9 +145,12 @@ object RelationalQueries {
     val ord = Tables(spark, dir, "orders")
     val li = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_returnflag", "l_linestatus")
+    // coalesce: an order whose flag column is entirely NULL must behave
+    // like EXISTS/NOT EXISTS (no 'R' seen → false), not propagate NULL
+    // through the boolean filter and silently drop the order
     val keys = li.groupBy(col("l_orderkey"))
-      .agg(max(col("l_returnflag") === "R").as("has_returned"),
-        max(col("l_linestatus") === "O").as("has_open"))
+      .agg(coalesce(max(col("l_returnflag") === "R"), lit(false)).as("has_returned"),
+        coalesce(max(col("l_linestatus") === "O"), lit(false)).as("has_open"))
       .where(col("has_returned") && !col("has_open"))
       .select("l_orderkey")
     ord.join(keys, col("o_orderkey") === col("l_orderkey"), "left_semi")

@@ -40,10 +40,21 @@ object ScaleUp {
 
   val dims = Seq("region", "nation")
 
-  def scaleTable(df: DataFrame, keys: Seq[String], factor: Int): DataFrame =
-    (0 until factor).map { i =>
-      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Offset)))
-    }.reduce(_ unionAll _)
+  /** One scan, not `factor` scans: explode a replica-id array per row and
+    * shift each key by `replica * Offset`. A `unionAll` of `factor`
+    * branches re-reads the source per replica and hands Catalyst a plan
+    * whose size grows with the factor — fine at 10×, hostile at 1000×.
+    * The input is repartitioned first so the explosion parallelizes
+    * (small sources arrive as one file = one partition).
+    */
+  def scaleTable(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
+    val exploded = df
+      .repartition(32)
+      .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+    keys.foldLeft(exploded) { (d, k) =>
+      d.withColumn(k, col(k) + col("__rep") * Offset)
+    }.drop("__rep")
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUp <inDir> <outDir> <factor>")

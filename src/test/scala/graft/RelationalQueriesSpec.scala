@@ -71,6 +71,32 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q21 semi/anti: all-NULL flag groups follow EXISTS semantics, not NULL-drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q21null").toString
+    // order 1: has an 'R' line, linestatus entirely NULL → EXISTS('R') is
+    // true, NOT EXISTS('O') is true → must be KEPT (a bare max() would
+    // yield NULL has_open and silently drop it)
+    // order 2: returnflag entirely NULL → no 'R' → dropped
+    // order 3: 'R' line but also an 'O' line → dropped
+    Seq(
+      (1L, Some("R"), None: Option[String]),
+      (1L, None, None),
+      (2L, None, Some("F")),
+      (3L, Some("R"), Some("O"))
+    ).toDF("l_orderkey", "l_returnflag", "l_linestatus")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "1-URGENT", 10.0), (2L, "1-URGENT", 20.0), (3L, "1-URGENT", 30.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+
+    val rows = RelationalQueries.q21SemiAnti(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "1-URGENT")
+    assert(rows(0).getLong(1) === 1L) // only order 1 qualifies
+  }
+
   test("q18 large orders: exactly the orders whose lines sum over the threshold") {
     val rows = RelationalQueries.q18LargeOrders(spark, sf0001, minQty = 100.0).collect()
     assert(rows.nonEmpty)
