@@ -34,6 +34,10 @@ object SparkEntry {
     "q21_semi_anti" -> ((s, d) => RelationalQueries.q21SemiAnti(s, d)),
     "q18_large_orders" -> ((s, d) => RelationalQueries.q18LargeOrders(s, d)),
     "events_hourly" -> ((s, d) => RelationalQueries.eventsHourly(s, d)),
+    // HLL twin of events_hourly for the 100 TB regime; rows-only —
+    // rsd-bound agreement with the exact rollup asserted in
+    // RelationalQueriesSpec (the nullcheck_approx pattern)
+    "events_hourly_approx" -> ((s, d) => RelationalQueries.eventsHourlyApprox(s, d)),
     "events_sessions" -> ((s, d) =>
       Sessionize.sessions(Tables(s, d, "events"), SessionGapMinutes)),
     "range_join" -> ((s, d) => {

@@ -59,6 +59,14 @@ object RelationalQueries {
     // sf10 A/B is flat (a 14 M-row narrow in-memory exchange is not the
     // local bottleneck); the win is shuffle VOLUME, which is the bill
     // on a real cluster's network.
+    // The aggregate adds NO exchange of its own: hash partitioning on
+    // l_orderkey (the join's output) satisfies the 3-key grouping's
+    // ClusteredDistribution, so the only shuffles are the join's two
+    // side exchanges. Verified round 8 by formatted plan + two more
+    // measured rejections: groupBy(l_orderkey)+max for the dependent
+    // columns (same exchanges, SortAggregate replaces HashAggregate —
+    // flat) and a 100 MB broadcast threshold to broadcast the filtered
+    // fact side (4.9 → 6.1 s at sf10 — worse). See ROUND8_NOTES.md.
     li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -199,4 +207,21 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("hour", "event_type")
   }
+
+  /** eventsHourly's approximate twin for the 100 TB regime: HyperLogLog++
+    * (`approx_count_distinct`, default rsd 5%) replaces the exact distinct
+    * — ONE ordinary two-phase aggregate, no per-user regroup, sketch
+    * merge instead of a user-key shuffle. rows-only entry; rsd-bound
+    * agreement with the exact rollup is asserted in spec (the
+    * nullcheck_approx pattern).
+    */
+  def eventsHourlyApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .orderBy("hour", "event_type")
+  }
+
 }

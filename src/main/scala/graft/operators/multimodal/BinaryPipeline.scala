@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * Video metadata is REAL too: the default [[FrameProber]] is
   * [[ContainerProbe]], a pure-JVM MP4/ISO-BMFF + AVI/RIFF container
-  * header parser (dims + frame count, no codec needed). What still
-  * needs an external codec is frame RASTER extraction — that is the
-  * declared adapter boundary: a real deployment passes an
-  * ffmpeg/JCodec-backed [[FrameProber]]/decoder. Payloads no prober
+  * header parser (dims + frame count, no codec needed). Frame RASTERS
+  * are real for the codecs a pure JDK can decode — Motion-JPEG and
+  * uncompressed-DIB AVI via [[AviFrames]] (feeding
+  * [[embedVideoFrames]]) — while compressed inter-frame codecs
+  * (H.264/H.265/VP9…) genuinely need an external decoder and remain
+  * the declared adapter boundary: a real deployment passes an
+  * ffmpeg-backed [[FrameProber]]/decoder there. Payloads no prober
   * can read fall back to [[decodeStub]]'s deterministic arithmetic,
   * flagged `decoded=false` so fabricated dimensions are always
   * distinguishable from measured ones. (The synthetic test corpus —
@@ -167,7 +170,13 @@ object BinaryPipeline {
     * None for payloads the JDK can't decode.
     */
   def imageEmbedding(data: Array[Byte], grid: Int = 8): Option[Array[Float]] =
-    decodeImage(data).map { src =>
+    decodeImage(data).map(imageEmbeddingOf(_, grid))
+
+  /** The raster→vector kernel behind [[imageEmbedding]], directly
+    * callable for rasters that were decoded elsewhere (video frames).
+    */
+  def imageEmbeddingOf(src: java.awt.image.BufferedImage,
+                       grid: Int = 8): Array[Float] = {
       // TRUE area averaging over the raster, hand-rolled: Graphics2D
       // interpolation hints are best-effort and pipeline-dependent, so
       // a heterogeneous cluster could embed byte-identical images
@@ -201,7 +210,7 @@ object BinaryPipeline {
         gy += 1
       }
       v
-    }
+  }
 
   /** (doc_id, embedding) for every JDK-decodable image payload — the
     * map-side bridge from a binary media table to the embedding-keyed
@@ -218,6 +227,27 @@ object BinaryPipeline {
     media.as[RawMedia].filter(_.media_type == "image").mapPartitions { it =>
       it.flatMap(m => imageEmbedding(m.data, grid).map(v => (m.doc_id, v)))
     }.toDF("vec_id", "embedding")
+  }
+
+  /** Video → frame rasters → embeddings: every `stride`-th frame of
+    * each video payload [[AviFrames]] can decode (MJPEG or uncompressed
+    * DIB in AVI — real rasters, pure JDK) runs through the SAME
+    * [[imageEmbedding]] kernel as still images, emitting
+    * (doc_id, frame_idx, embedding). Payloads carrying codecs that
+    * genuinely need an external decoder (H.264…) produce no rows here —
+    * they stay behind the [[FrameProber]] adapter boundary, exactly
+    * like undecodable images are dropped from [[embedImages]]. Same
+    * scale shape as every decode leg: typed mapPartitions, no shuffle,
+    * payload dropped at projection.
+    */
+  def embedVideoFrames(spark: SparkSession, media: DataFrame,
+                       stride: Int = 1, grid: Int = 8): DataFrame = {
+    import spark.implicits._
+    media.as[RawMedia].filter(_.media_type == "video").flatMap { m =>
+      AviFrames.videoFrames(m.data, stride).map { case (idx, img) =>
+        (m.doc_id, idx, imageEmbeddingOf(img, grid))
+      }
+    }.toDF("doc_id", "frame_idx", "embedding")
   }
 
   /** Decode/feature-extract pass: typed mapPartitions so a real decoder

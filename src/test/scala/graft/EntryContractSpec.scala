@@ -16,7 +16,7 @@ class EntryContractSpec extends AnyFunSuite {
     */
   private val RowsOnly = Set("dedup_minhash", "dedup_simhash", "dedup_candidates",
     "dedup_clusters_minhash", "dedup_embedding_lsh", "nullcheck_approx",
-    "ann_lsh", "ann_ivf", "ann_recall")
+    "events_hourly_approx", "ann_lsh", "ann_ivf", "ann_recall")
 
   test("every oracle key has a query; rows-only set is exactly as documented") {
     val q = SparkEntry.queries.keySet

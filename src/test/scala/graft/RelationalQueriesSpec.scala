@@ -119,6 +119,22 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("events hourly approx twin tracks the exact distinct within HLL error") {
+    val exact = RelationalQueries.eventsHourly(spark, sf0001).collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getLong(4)).toMap
+    val approx = RelationalQueries.eventsHourlyApprox(spark, sf0001).collect()
+    assert(approx.length === exact.size) // same (hour, type) buckets
+    approx.foreach { r =>
+      val key = (r.get(0), r.getString(1))
+      val est = r.getLong(4)
+      val truth = exact(key)
+      // HLL++ default rsd = 5%; allow 4 sigma plus slack for tiny buckets
+      val tol = math.max(4.0, truth * 0.20)
+      assert(math.abs(est - truth) <= tol,
+        s"bucket $key: approx $est vs exact $truth out of tolerance")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
