@@ -63,9 +63,10 @@ object ScaleUp {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
-      // read events' TIMESTAMP(NANOS) ts as a raw long and WRITE it as
-      // a raw long — the scaled directory must stay readable by
-      // graft.sources.Tables' nanos handling, not silently change type
+      // If events.ts is the old TIMESTAMP(NANOS) layout, read it as a
+      // raw long and write it back as a raw long; a plain-micros layout
+      // round-trips as timestamp[us] untouched. Either way the scaled
+      // directory stays readable by Tables' schema-probing load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
