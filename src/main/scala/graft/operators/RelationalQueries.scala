@@ -76,25 +76,46 @@ object RelationalQueries {
   }
 
   /** TPC-H Q5 shape: 6-table star join. All dimension chains broadcast;
-    * only the orders↔lineitem fact join shuffles.
+    * only the orders↔lineitem fact join shuffles — and both fact sides
+    * are PRE-FILTERED through their broadcast dimension chains before
+    * that shuffle. The region filter reaches lineitem via the supplier
+    * broadcast (s_nationkey ∈ ASIA keeps ~1/5 of suppliers, hence ~1/5
+    * of lineitem) and reaches orders via the customer broadcast
+    * (c_nationkey ∈ ASIA is a NECESSARY condition of the final
+    * c_nationkey = s_nationkey match, so applying it early is
+    * semantics-preserving). Measured at sf100 (600 M lineitem): the
+    * broadcast-above-the-fact-join plan shuffles the full fact tables
+    * (58.7 s); this shape shuffles ~1/5 of each — see BENCH_SF100.md.
+    * The nation name rides the supplier side (c_nationkey =
+    * s_nationkey makes it the customer's nation too), so the final
+    * aggregate needs no further dimension join.
     */
   def q5StarJoin(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
-    val nation = Tables(spark, dir, "nation")
-    val cust   = Tables(spark, dir, "customer")
-    val supp   = Tables(spark, dir, "supplier")
+    val asiaNations = Tables(spark, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables(spark, dir, "supplier")
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables(spark, dir, "customer")
+      .join(broadcast(asiaNations.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
     val ord = Tables(spark, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
     val li = Tables(spark, dir, "lineitem")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust),
-        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("l_orderkey"), col("s_nationkey"), col("n_name"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
   }
 
@@ -129,6 +150,14 @@ object RelationalQueries {
       .select("p_partkey", "p_brand")
     val li = Tables(spark, dir, "lineitem")
       .select("l_partkey", "l_quantity", "l_extendedprice")
+    // Window, not aggregate-then-join-back: the join-back shape was
+    // MEASURED at sf100 (13.6 → 10.7 s, ~21% faster locally) and
+    // REJECTED — differential column pruning makes its two exchange
+    // subtrees non-identical, ReuseExchange cannot fire, and the fact
+    // table is scanned TWICE. One pruned fact scan is the property
+    // that matters against object storage at cluster scale; the
+    // window's per-partition sort is the cheaper bill. See
+    // BENCH_SF100.md.
     val w = Window.partitionBy("l_partkey")
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .withColumn("qty_threshold", avg("l_quantity").over(w) * 0.2)
@@ -156,9 +185,14 @@ object RelationalQueries {
     // coalesce: an order whose flag column is entirely NULL must behave
     // like EXISTS/NOT EXISTS (no 'R' seen → false), not propagate NULL
     // through the boolean filter and silently drop the order
-    val keys = li.groupBy(col("l_orderkey"))
-      .agg(coalesce(max(col("l_returnflag") === "R"), lit(false)).as("has_returned"),
-        coalesce(max(col("l_linestatus") === "O"), lit(false)).as("has_open"))
+    val keys = li
+      .select(col("l_orderkey"),
+        (col("l_returnflag") === "R").as("is_r"),
+        (col("l_linestatus") === "O").as("is_o"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(coalesce(max(col("is_r")), lit(false)).as("has_returned"),
+        coalesce(max(col("is_o")), lit(false)).as("has_open"))
       .where(col("has_returned") && !col("has_open"))
       .select("l_orderkey")
     ord.join(keys, col("o_orderkey") === col("l_orderkey"), "left_semi")
@@ -183,7 +217,8 @@ object RelationalQueries {
     // filter on the RAW sum exactly like the oracle's HAVING — rounding
     // first would flip orders within half a cent of the threshold —
     // and round only in the reported column
-    val big = li.groupBy(col("l_orderkey"))
+    val big = li.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("total_qty_raw"))
       .where(col("total_qty_raw") > minQty)
       .select(col("l_orderkey"), round(col("total_qty_raw"), 2).as("total_qty"))
