@@ -68,7 +68,14 @@ object Bench {
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: " +
+          catch { case e: Throwable =>
+            // JSON carries the one-line summary; the full chain goes to
+            // stderr — STAGE_MATERIALIZATION-style wrappers put the real
+            // cause lines after the first, and losing them once cost a
+            // re-run to diagnose a scale failure
+            System.err.println(s"== bench failure in $name ==")
+            e.printStackTrace()
+            Some(s"${e.getClass.getSimpleName}: " +
             Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString) }
         name -> ((System.nanoTime() - t0) / 1e9, err)
     }.toMap

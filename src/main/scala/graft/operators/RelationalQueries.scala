@@ -170,13 +170,20 @@ object RelationalQueries {
   /** TPC-H Q21/Q22 shape: EXISTS and NOT EXISTS — orders with at least
     * one returned line ('R') and no line still open ('O') — rewritten to
     * ride ONE fact scan. Both existence tests collapse into a single
-    * per-orderkey aggregate (`max(flag)` is boolean OR, map-side
-    * combined before the one order-key shuffle); the qualifying key set
-    * then semi-joins into orders, where AQE broadcasts it when small —
-    * the same runtime key-set broadcast q18 demonstrates. The naive
-    * semi+anti plan pays two fact scans and two order-key shuffles;
-    * this pays one of each, halving fact I/O and shuffle volume on a
-    * cluster.
+    * per-orderkey aggregate (`max(flag)` is boolean OR) run AFTER a
+    * repartition on the order key: StageProfile at sf100 measured the
+    * map-side partial aggregate achieving ZERO combining on this data
+    * family (order keys unclustered, avg run length 1.000005), so every
+    * map task paid a multi-million-entry hash build and then shuffled
+    * ~1 row per input row anyway — repartition-first carries the same
+    * shuffle bytes and builds the hash once on co-located data
+    * (49.7 → 31.5 s at sf100; on a layout clustered by order key the
+    * combine would win and a deployment with layout stats should pick
+    * per-table). The qualifying key set then semi-joins into orders,
+    * where AQE broadcasts it when small — the same runtime key-set
+    * broadcast q18 demonstrates. The naive semi+anti plan pays two fact
+    * scans and two order-key shuffles; this pays one of each, halving
+    * fact I/O and shuffle volume on a cluster.
     */
   def q21SemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables(spark, dir, "orders")
@@ -204,12 +211,15 @@ object RelationalQueries {
 
   /** TPC-H Q18 shape: HAVING + IN-subquery (large-volume orders)
     * Spark-first. The subquery becomes an aggregate on the fact key
-    * with the HAVING as a post-aggregation filter — map-side combine
-    * collapses ~4 lineitems/order before the one fact shuffle, and the
-    * filtered key set is small enough that AQE broadcasts it into
-    * orders at runtime (no second fact-sized exchange). The customer
-    * dimension broadcasts as everywhere else. `l_quantity` is
-    * integral-valued so the threshold cannot flip on sum order.
+    * with the HAVING as a post-aggregation filter, run repartition-first
+    * for the same measured reason as [[q21SemiAnti]]: the ~4
+    * lineitems/order are scattered across map tasks on this unclustered
+    * layout, so the map-side combine hash build was pure overhead
+    * (61.5 → 45.0 s at sf100). The filtered key set is small enough
+    * that AQE broadcasts it into orders at runtime (no second
+    * fact-sized exchange). The customer dimension broadcasts as
+    * everywhere else. `l_quantity` is integral-valued so the threshold
+    * cannot flip on sum order.
     */
   def q18LargeOrders(spark: SparkSession, dir: String,
                      minQty: Double = 250.0): DataFrame = {

@@ -462,11 +462,15 @@ object Dedup {
         .distinct()
       val m1 = keyed.select(col("rep").as("rep_1"), col("gid").as("m1"))
       val m2 = keyed.select(col("rep").as("rep_2"), col("gid").as("m2"))
-      val cross = repPairs.join(m1, Seq("rep_1")).join(m2, Seq("rep_2"))
+      // shuffle_hash, build = candidate pairs (see membersAndVerified:
+      // membership legs are O(corpus), never the build side at scale)
+      val cross = repPairs.hint("shuffle_hash").join(m1, Seq("rep_1"))
+        .hint("shuffle_hash").join(m2, Seq("rep_2"))
         .select(least(col("m1"), col("m2")).as("doc_id_1"),
           greatest(col("m1"), col("m2")).as("doc_id_2"))
       val dup = keyed.where(col("n_docs") >= 2 && !col("empty"))
       val within = dup.select(col("rep"), col("gid").as("doc_id_1"))
+        .hint("shuffle_hash")
         .join(dup.select(col("rep"), col("gid").as("doc_id_2")), Seq("rep"))
         .where(col("doc_id_1") < col("doc_id_2"))
         .select("doc_id_1", "doc_id_2")
@@ -600,8 +604,17 @@ object Dedup {
         .dropDuplicates("rep_1", "rep_2")
 
       val g = sigs.select(col("gid"), col("ghash"))
-      val verified = survivors
+      // shuffle_hash hints, build side = the pair list: a checkpointed
+      // frame's copied Catalyst stats price array columns at their
+      // tiny defaultSize, so the static planner would BROADCAST the
+      // gram-hash legs — measured 8.3 GiB at 1000× sf0.1, over Spark's
+      // 8 GiB hard broadcast cap (the run fails outright, found by the
+      // sf100 full-suite survival run). The ghash side is O(corpus) at
+      // any scale and can never be the build side; the surviving rep
+      // pairs are the post-prefilter narrow side a cluster wants hashed.
+      val verified = survivors.hint("shuffle_hash")
         .join(g.select(col("gid").as("rep_1"), col("ghash").as("h1")), Seq("rep_1"))
+        .hint("shuffle_hash")
         .join(g.select(col("gid").as("rep_2"), col("ghash").as("h2")), Seq("rep_2"))
         .select(col("rep_1"), col("rep_2"), col("h1"), col("h2"))
         .as[(Long, Long, Array[Long], Array[Long])]
@@ -630,7 +643,12 @@ object Dedup {
       val (members, verified) = membersAndVerified(sigs, threshold, maxBucket)
       val m1 = members.select(col("rep").as("rep_1"), col("gid").as("m1"))
       val m2 = members.select(col("rep").as("rep_2"), col("gid").as("m2"))
-      val cross = verified.join(m1, Seq("rep_1")).join(m2, Seq("rep_2"))
+      // shuffle_hash, build = verified pairs: the membership legs are
+      // O(corpus) rows — broadcastable at bench scale only because the
+      // checkpoint stats undercount (see membersAndVerified); at 100 TB
+      // a full doc-id membership broadcast is impossible by size
+      val cross = verified.hint("shuffle_hash").join(m1, Seq("rep_1"))
+        .hint("shuffle_hash").join(m2, Seq("rep_2"))
         .select(least(col("m1"), col("m2")).as("doc_id_1"),
           greatest(col("m1"), col("m2")).as("doc_id_2"), col("jaccard_raw"))
       // in-group pairs: identical gram sets ⇒ jaccard exactly 1.0 ≥ any
@@ -638,6 +656,7 @@ object Dedup {
       // similarity 0.0 by convention and emit nothing
       val dup = members.where(col("n_docs") >= 2 && col("n_grams") > 0)
       val within = dup.select(col("rep"), col("gid").as("doc_id_1"))
+        .hint("shuffle_hash")
         .join(dup.select(col("rep"), col("gid").as("doc_id_2")), Seq("rep"))
         .where(col("doc_id_1") < col("doc_id_2"))
         .select(col("doc_id_1"), col("doc_id_2"), lit(1.0).as("jaccard_raw"))
@@ -951,11 +970,15 @@ object Dedup {
         .distinct()
       val m1 = members.select(col("rep").as("rep_1"), col("gid").as("m1"))
       val m2 = members.select(col("rep").as("rep_2"), col("gid").as("m2"))
-      val cross = repPairs.join(m1, Seq("rep_1")).join(m2, Seq("rep_2"))
+      // shuffle_hash, build = rep pairs (see MinHashDedup
+      // .membersAndVerified: membership legs are O(corpus))
+      val cross = repPairs.hint("shuffle_hash").join(m1, Seq("rep_1"))
+        .hint("shuffle_hash").join(m2, Seq("rep_2"))
         .select(least(col("m1"), col("m2")).as("doc_id_1"),
           greatest(col("m1"), col("m2")).as("doc_id_2"), col("hamming"))
       val dup = members.where(col("n_docs") >= 2)
       val within = dup.select(col("rep"), col("gid").as("doc_id_1"))
+        .hint("shuffle_hash")
         .join(dup.select(col("rep"), col("gid").as("doc_id_2")), Seq("rep"))
         .where(col("doc_id_1") < col("doc_id_2"))
         .select(col("doc_id_1"), col("doc_id_2"),
@@ -1055,11 +1078,15 @@ object Dedup {
         .dropDuplicates("rep_1", "rep_2")
       val m1 = members.select(col("rep").as("rep_1"), col("vid").as("m1"))
       val m2 = members.select(col("rep").as("rep_2"), col("vid").as("m2"))
-      val cross = repPairs.join(m1, Seq("rep_1")).join(m2, Seq("rep_2"))
+      // shuffle_hash, build = rep pairs (see MinHashDedup
+      // .membersAndVerified: membership legs are O(corpus))
+      val cross = repPairs.hint("shuffle_hash").join(m1, Seq("rep_1"))
+        .hint("shuffle_hash").join(m2, Seq("rep_2"))
         .select(least(col("m1"), col("m2")).as("vec_id_1"),
           greatest(col("m1"), col("m2")).as("vec_id_2"), col("cos_raw"))
       val dup = members.where(col("n_docs") >= 2)
       val within = dup.select(col("rep"), col("vid").as("vec_id_1"), col("v"))
+        .hint("shuffle_hash")
         .join(dup.select(col("rep"), col("vid").as("vec_id_2")), Seq("rep"))
         .where(col("vec_id_1") < col("vec_id_2"))
         .withColumn("cos_raw", cosine(col("v"), col("v")))

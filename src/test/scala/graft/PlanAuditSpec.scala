@@ -255,6 +255,29 @@ class PlanAuditSpec extends AnyFunSuite {
         "x", "y", nFiles = 4))
   }
 
+  test("dedup_minhash: gram-hash and membership legs are never broadcast") {
+    // A checkpointed frame's copied Catalyst stats price array columns
+    // at defaultSize, so without hints the static planner broadcasts
+    // the ghash verify legs — 8.3 GiB at 1000× sf0.1, over Spark's
+    // 8 GiB hard cap (the sf100 survival run failed outright on it).
+    // Lock the scale-safe shape: verify and member-expansion joins are
+    // shuffled-hash with the pair list as build side.
+    val p = plan(q("dedup_minhash"))
+    // formatted explain: each detail block is "(N) NodeName" followed
+    // by an "Output [k]: [...]" line — assert no BroadcastExchange
+    // block carries a gram-hash (h1/h2/ghash) or membership (m1/m2) leg
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.trim.matches("""\(\d+\) BroadcastExchange.*""")) {
+        val out = lines.slice(i + 1, i + 3).mkString(" ")
+        assert(!out.matches(""".*\b(ghash|h1|h2|m1|m2)#.*"""),
+          s"unbounded leg broadcast at '$l': $out\n$p")
+      }
+    }
+    val shj = lines.count(_.trim.matches("""\(\d+\) ShuffledHashJoin.*"""))
+    assert(shj >= 4, s"expected >=4 shuffled-hash joins (2 verify + 2 expansion), got $shj:\n$p")
+  }
+
   test("text ops stay in one codegen'd projection over the scan (no agg shuffle)") {
     val p = plan(q("text_quality"))
     // the only exchange allowed is the final orderBy's range partition
