@@ -202,8 +202,14 @@ object Similarity {
         .select("query_id", "query_v", "cell")
 
       // every corpus vector lives in exactly one cell, so (query, vec)
-      // candidates are already unique — no dedup shuffle needed
-      val scored = cells.join(assigned, Seq("cell"))
+      // candidates are already unique — no dedup shuffle needed.
+      // broadcast the QUERY side explicitly (bounded at nQueries ×
+      // nProbe rows by construction, same pattern as CosineTopK.run):
+      // `assigned` flows through a typed kernel, whose copied stats
+      // price the embedding array at defaultSize, so leaving the choice
+      // to the planner risks broadcasting the O(corpus) side — the
+      // 8 GiB-cap failure mode the minhash pipeline hit at 1000×
+      val scored = broadcast(cells).join(assigned, Seq("cell"))
         .where(col("query_id") =!= col("corpus_id"))
         .withColumn("cos_raw", EmbeddingDedup.cosine(col("query_v"), col("corpus_v")))
         .withColumnRenamed("corpus_id", "vec_id")
@@ -275,7 +281,11 @@ object Similarity {
         withBuckets(df, side, planes, vecCol, idCol)
       val c = bucketed(corpus, "corpus")
       val q = bucketed(queries, "query")
-      val cands = q.join(c,
+      // broadcast the QUERY side explicitly (nQueries × L rows): both
+      // legs come out of the typed bucket kernel with defaultSize-
+      // priced array stats, so the planner could otherwise pick the
+      // O(corpus × L) side as the build — see IvfAnn.topK
+      val cands = broadcast(q).join(c,
           q("tbl") === c("tbl") && q("query_bucket") === c("corpus_bucket") &&
             col("query_id") =!= col("corpus_id"))
         .select(col("query_id"), col("query_v"), col("corpus_id"), col("corpus_v"))
