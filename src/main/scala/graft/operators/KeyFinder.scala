@@ -35,6 +35,18 @@ import scala.collection.parallel.CollectionConverters._
   * scans over the cached projection, so the fused HLL pass only adds a
   * serialized CPU-heavy multi-struct-hash scan whose savings don't
   * cover its cost at realistic combo counts.
+  *
+  * Re-measured at 600 M rows (round 9), rejection CONFIRMED with a
+  * sharper reason: the sketch cannot prune near-keys. On the scaled
+  * data every size-2+ combo is ≥99.9% unique (exact 599.94 M of
+  * 600 M), while HLL at rsd 0.01 estimated 592–604 M — the 1% sketch
+  * error is 100× larger than the non-uniqueness it would need to
+  * resolve, so every combo stays inside any sound verification margin
+  * and the exact jobs run anyway (the ~169 s of HLL passes would be
+  * pure overhead on the ~723 s exact lattice). An HLL prefilter only
+  * pays off when candidate combos are far from unique, which is
+  * exactly when the profiler-style [[candidateReport]] is the right
+  * tool instead.
   */
 object KeyFinder {
 
