@@ -157,7 +157,13 @@ object RelationalQueries {
     // table is scanned TWICE. One pruned fact scan is the property
     // that matters against object storage at cluster scale; the
     // window's per-partition sort is the cheaper bill. See
-    // BENCH_SF100.md.
+    // BENCH_SF100.md. A third variant — repartition + lazy
+    // localCheckpoint as a pruning barrier so the hash-aggregate
+    // threshold and the join-back share ONE exchange and ONE scan —
+    // was also measured at sf100 and REJECTED (9.5 → 11.9 s, same box
+    // back-to-back): materializing the 360 M-row joined fact to
+    // executor storage costs more than the window's per-partition
+    // sort it replaces.
     val w = Window.partitionBy("l_partkey")
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .withColumn("qty_threshold", avg("l_quantity").over(w) * 0.2)

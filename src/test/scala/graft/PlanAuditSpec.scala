@@ -278,6 +278,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shj >= 4, s"expected >=4 shuffled-hash joins (2 verify + 2 expansion), got $shj:\n$p")
   }
 
+  test("ann_lsh / ann_ivf: the corpus side is never the broadcast build") {
+    // both candidate joins feed legs through typed kernels whose copied
+    // stats price embedding arrays at defaultSize — the planner left to
+    // those stats may broadcast the O(corpus) side (the 8 GiB-cap
+    // failure mode dedup hit at 1000×). The query side is pinned as
+    // the broadcast; the corpus leg (corpus_v / assigned cells) must
+    // never appear under a BroadcastExchange.
+    for (name <- Seq("ann_lsh", "ann_ivf")) {
+      val p = plan(q(name))
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.trim.matches("""\(\d+\) BroadcastExchange.*""")) {
+          val out = lines.slice(i + 1, i + 3).mkString(" ")
+          assert(!out.contains("corpus_v"),
+            s"$name broadcasts a corpus leg at '$l': $out\n$p")
+        }
+      }
+      assert(lines.exists(_.contains("BroadcastExchange")),
+        s"$name: expected the pinned query-side broadcast in:\n$p")
+    }
+  }
+
   test("text ops stay in one codegen'd projection over the scan (no agg shuffle)") {
     val p = plan(q("text_quality"))
     // the only exchange allowed is the final orderBy's range partition
