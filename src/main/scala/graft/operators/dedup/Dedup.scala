@@ -469,8 +469,13 @@ object Dedup {
         .select(least(col("m1"), col("m2")).as("doc_id_1"),
           greatest(col("m1"), col("m2")).as("doc_id_2"))
       val dup = keyed.where(col("n_docs") >= 2 && !col("empty"))
+      // merge, not shuffle_hash: both sides ARE the dup membership leg
+      // (no narrow build side exists), and an SHJ build of a duplicate-
+      // heavy group leg cannot spill — sort-merge is the safe shape;
+      // the hint still only needs to keep broadcast off (checkpoint
+      // stats undercount array columns, see membersAndVerified)
       val within = dup.select(col("rep"), col("gid").as("doc_id_1"))
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(dup.select(col("rep"), col("gid").as("doc_id_2")), Seq("rep"))
         .where(col("doc_id_1") < col("doc_id_2"))
         .select("doc_id_1", "doc_id_2")
@@ -655,8 +660,13 @@ object Dedup {
       // valid threshold; empty-content groups (n_grams = 0) are
       // similarity 0.0 by convention and emit nothing
       val dup = members.where(col("n_docs") >= 2 && col("n_grams") > 0)
+      // merge, not shuffle_hash: both sides ARE the dup membership leg
+      // (no narrow build side exists), and an SHJ build of a duplicate-
+      // heavy group leg cannot spill — sort-merge is the safe shape;
+      // the hint still only needs to keep broadcast off (checkpoint
+      // stats undercount array columns, see membersAndVerified)
       val within = dup.select(col("rep"), col("gid").as("doc_id_1"))
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(dup.select(col("rep"), col("gid").as("doc_id_2")), Seq("rep"))
         .where(col("doc_id_1") < col("doc_id_2"))
         .select(col("doc_id_1"), col("doc_id_2"), lit(1.0).as("jaccard_raw"))
@@ -977,8 +987,13 @@ object Dedup {
         .select(least(col("m1"), col("m2")).as("doc_id_1"),
           greatest(col("m1"), col("m2")).as("doc_id_2"), col("hamming"))
       val dup = members.where(col("n_docs") >= 2)
+      // merge, not shuffle_hash: both sides ARE the dup membership leg
+      // (no narrow build side exists), and an SHJ build of a duplicate-
+      // heavy group leg cannot spill — sort-merge is the safe shape;
+      // the hint still only needs to keep broadcast off (checkpoint
+      // stats undercount array columns, see membersAndVerified)
       val within = dup.select(col("rep"), col("gid").as("doc_id_1"))
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(dup.select(col("rep"), col("gid").as("doc_id_2")), Seq("rep"))
         .where(col("doc_id_1") < col("doc_id_2"))
         .select(col("doc_id_1"), col("doc_id_2"),
@@ -1085,8 +1100,9 @@ object Dedup {
         .select(least(col("m1"), col("m2")).as("vec_id_1"),
           greatest(col("m1"), col("m2")).as("vec_id_2"), col("cos_raw"))
       val dup = members.where(col("n_docs") >= 2)
+      // merge, not shuffle_hash: same-size self-join (see the gid twins)
       val within = dup.select(col("rep"), col("vid").as("vec_id_1"), col("v"))
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(dup.select(col("rep"), col("vid").as("vec_id_2")), Seq("rep"))
         .where(col("vec_id_1") < col("vec_id_2"))
         .withColumn("cos_raw", cosine(col("v"), col("v")))

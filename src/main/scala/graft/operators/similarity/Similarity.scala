@@ -84,6 +84,18 @@ object Similarity {
     * O(queries × corpus). The centroid table (nCells × dim) is tiny
     * and broadcast. Recall is governed by nProbe — the standard IVF
     * trade-off — and returned scores are always exact.
+    *
+    * QUERY-SIDE SIZE CONTRACT: `queries` must be a bounded probe set
+    * (thousands, not the corpus) — [[topK]] broadcasts the probed
+    * query×cell frame unconditionally, so a corpus-sized query set
+    * fails at Spark's 8 GiB broadcast cap / driver memory. This is
+    * deliberate: both join legs exit typed kernels whose copied stats
+    * price array columns at `defaultSize`, so leaving the choice to
+    * the planner risks broadcasting the O(corpus) side instead (the
+    * exact 1000×-scale failure the minhash pipeline hit). For
+    * corpus-vs-corpus all-pairs similarity use
+    * [[graft.operators.dedup.Dedup.EmbeddingDedup]], whose joins are
+    * shuffle-shaped for two unbounded sides.
     */
   object IvfAnn {
 
@@ -272,6 +284,11 @@ object Similarity {
 
     /** ANN top-k: same-bucket candidates under any of the L tables,
       * verified with exact cosine, ranked per query.
+      *
+      * QUERY-SIDE SIZE CONTRACT: `queries` must be a bounded probe set
+      * — the bucketed query frame (nQueries × L rows) is broadcast
+      * unconditionally (same rationale and same corpus-vs-corpus
+      * escape hatch as [[IvfAnn]]: see its docstring).
       */
     def topK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
              bits: Int = DefaultBits, tables: Int = DefaultTables,

@@ -278,6 +278,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shj >= 4, s"expected >=4 shuffled-hash joins (2 verify + 2 expansion), got $shj:\n$p")
   }
 
+  test("dedup_simhash / dedup_embedding_lsh: membership legs are never broadcast; " +
+       "within self-join is sort-merge") {
+    // same checkpoint-stats failure mode as dedup_minhash (array columns
+    // priced at defaultSize after localCheckpoint), same hint fix — lock
+    // the shape for the two pipelines the minhash audit didn't cover.
+    // Additionally the within-group self-join must be SortMergeJoin, not
+    // ShuffledHashJoin: both sides are the same O(duplicate-members) dup
+    // leg, and an SHJ build of it cannot spill (ADVICE r9).
+    // dedup_embedding itself is the brute-force ORACLE path (bounded,
+    // cross-join by design) — the checkpoint-stats-hinted scale
+    // pipelines are the simhash pair generator and the embedding LSH
+    for (name <- Seq("dedup_simhash", "dedup_embedding_lsh")) {
+      val p = plan(q(name))
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.trim.matches("""\(\d+\) BroadcastExchange.*""")) {
+          val out = lines.slice(i + 1, i + 3).mkString(" ")
+          assert(!out.matches(""".*\b(m1|m2|doc_id_1|doc_id_2|vec_id_1|vec_id_2)#.*"""),
+            s"$name: unbounded membership leg broadcast at '$l': $out\n$p")
+        }
+      }
+      assert(lines.exists(_.trim.matches("""\(\d+\) SortMergeJoin.*""")),
+        s"$name: expected the within self-join as SortMergeJoin in:\n$p")
+    }
+  }
+
   test("ann_lsh / ann_ivf: the corpus side is never the broadcast build") {
     // both candidate joins feed legs through typed kernels whose copied
     // stats price embedding arrays at defaultSize — the planner left to
