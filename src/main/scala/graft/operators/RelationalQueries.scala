@@ -176,16 +176,14 @@ object RelationalQueries {
   /** TPC-H Q21/Q22 shape: EXISTS and NOT EXISTS — orders with at least
     * one returned line ('R') and no line still open ('O') — rewritten to
     * ride ONE fact scan. Both existence tests collapse into a single
-    * per-orderkey aggregate (`max(flag)` is boolean OR) run AFTER a
-    * repartition on the order key: StageProfile at sf100 measured the
-    * map-side partial aggregate achieving ZERO combining on this data
-    * family (order keys unclustered, avg run length 1.000005), so every
-    * map task paid a multi-million-entry hash build and then shuffled
-    * ~1 row per input row anyway — repartition-first carries the same
-    * shuffle bytes and builds the hash once on co-located data
-    * (49.7 → 31.5 s at sf100; on a layout clustered by order key the
-    * combine would win and a deployment with layout stats should pick
-    * per-table). The qualifying key set then semi-joins into orders,
+    * per-orderkey aggregate (`max(flag)` is boolean OR) whose shuffle
+    * placement is chosen per input layout by [[AggChoice.preAgg]]:
+    * repartition-first on unclustered layouts (StageProfile at sf100
+    * measured ZERO map-side combining there — avg key run length
+    * 1.000005 — so the combine's hash build was pure overhead;
+    * 49.7 → 31.5 s), the natural combine plan on key-clustered or
+    * bucketed layouts where it shrinks the shuffle by the run length.
+    * The qualifying key set then semi-joins into orders,
     * where AQE broadcasts it when small — the same runtime key-set
     * broadcast q18 demonstrates. The naive semi+anti plan pays two fact
     * scans and two order-key shuffles; this pays one of each, halving
@@ -198,11 +196,10 @@ object RelationalQueries {
     // coalesce: an order whose flag column is entirely NULL must behave
     // like EXISTS/NOT EXISTS (no 'R' seen → false), not propagate NULL
     // through the boolean filter and silently drop the order
-    val keys = li
+    val keys = AggChoice.preAgg(li
       .select(col("l_orderkey"),
         (col("l_returnflag") === "R").as("is_r"),
-        (col("l_linestatus") === "O").as("is_o"))
-      .repartition(col("l_orderkey"))
+        (col("l_linestatus") === "O").as("is_o")), "l_orderkey")
       .groupBy(col("l_orderkey"))
       .agg(coalesce(max(col("is_r")), lit(false)).as("has_returned"),
         coalesce(max(col("is_o")), lit(false)).as("has_open"))
@@ -217,11 +214,12 @@ object RelationalQueries {
 
   /** TPC-H Q18 shape: HAVING + IN-subquery (large-volume orders)
     * Spark-first. The subquery becomes an aggregate on the fact key
-    * with the HAVING as a post-aggregation filter, run repartition-first
-    * for the same measured reason as [[q21SemiAnti]]: the ~4
-    * lineitems/order are scattered across map tasks on this unclustered
-    * layout, so the map-side combine hash build was pure overhead
-    * (61.5 → 45.0 s at sf100). The filtered key set is small enough
+    * with the HAVING as a post-aggregation filter, its shuffle
+    * placement layout-chosen by [[AggChoice.preAgg]] exactly as in
+    * [[q21SemiAnti]] (on the unclustered bench layout the ~4
+    * lineitems/order are scattered across map tasks, so the map-side
+    * combine hash build was pure overhead: repartition-first took
+    * 61.5 → 45.0 s at sf100). The filtered key set is small enough
     * that AQE broadcasts it into orders at runtime (no second
     * fact-sized exchange). The customer dimension broadcasts as
     * everywhere else. `l_quantity` is integral-valued so the threshold
@@ -233,7 +231,7 @@ object RelationalQueries {
     // filter on the RAW sum exactly like the oracle's HAVING — rounding
     // first would flip orders within half a cent of the threshold —
     // and round only in the reported column
-    val big = li.repartition(col("l_orderkey"))
+    val big = AggChoice.preAgg(li, "l_orderkey")
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("total_qty_raw"))
       .where(col("total_qty_raw") > minQty)
