@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   *
   * Key offset is 2³³ per replica: far above any key in the source data,
   * far below Long overflow at any plausible factor.
+  *
+  * A fourth argument `zipf` enables the SKEWED mode: same replication,
+  * but [[SkewFrac]] of orders/lineitems/events have their FK
+  * (o_custkey / l_orderkey / user_id) redirected to [[HotKeys]] global
+  * heavy hitters with ~1/rank mass ([[skewFk]]). Uniform replication
+  * keeps every per-key group at source size, so it can never falsify
+  * the skew claims (AQE skew-join splitting, salting, window-partition
+  * hot keys) — this mode exists to do exactly that.
   */
 object ScaleUp {
 
@@ -56,10 +64,59 @@ object ScaleUp {
     }.drop("__rep")
   }
 
+  /** Zipfian FK redirect for the skewed mode: `skewFrac` of rows (chosen
+    * by value-hash of `pk` — deterministic, layout-independent) have
+    * their `fk` redirected to one of `hotKeys`, rank-picked log-uniform
+    * so hot-key mass follows ~1/rank (Zipf s≈1). The redirect happens
+    * AFTER replica key-offsetting, so every replica's redirected rows
+    * land on the SAME replica-0 hot keys — global heavy hitters whose
+    * share grows with the factor, exactly the shape uniform replication
+    * can never produce (its per-key counts stay flat at source level,
+    * which is why the sf100 survival run exercised none of the
+    * AQE-skew/salting machinery).
+    *
+    * Referential integrity is preserved by construction: `hotKeys` are
+    * values read from the referenced table itself.
+    */
+  def skewFk(df: DataFrame, pk: String, fk: String, hotKeys: Seq[Long],
+             skewFrac: Double): DataFrame = {
+    require(hotKeys.nonEmpty && skewFrac > 0 && skewFrac < 1)
+    val h = hotKeys.length
+    // u ∈ [0,1) from a value hash — independent of the redirect decision
+    // hash (different salt), so rank is uniform within the hot set
+    val u = pmod(xxhash64(col(pk), lit(1)), lit(1000000L)).cast("double") / 1000000.0
+    // log-uniform 0-based rank over [0,h): P(rank=r) ∝ ~1/(r+1)
+    // (floor(exp(u·ln h)) ∈ [1,h); the `least` guards the u→1 edge)
+    val rank =
+      least(floor(exp(u * log(lit(h.toDouble)))).cast("long") - 1, lit(h - 1L))
+    val redirect =
+      pmod(xxhash64(col(pk), lit(2)), lit(1000L)) < lit((skewFrac * 1000).toLong)
+    df.withColumn(fk,
+      when(redirect, element_at(typedLit(hotKeys), (rank + 1).cast("int")))
+        .otherwise(col(fk)))
+  }
+
+  /** First `n` key values of the referenced table, by key order —
+    * deterministic hot-key set, guaranteed to exist.
+    */
+  private def firstKeys(df: DataFrame, key: String, n: Int): Seq[Long] = {
+    import org.apache.spark.sql.Row
+    df.select(key).orderBy(key).limit(n).collect()
+      .map { case Row(k: Long) => k }.toSeq
+  }
+
+  /** Skewed-mode FK redirects: (table, pk, fk, referenced table, key).
+    * q3/q18-family joins see hot order/customer keys; the event family
+    * (sessionize, as-of, hourly `n_users`) sees hot users.
+    */
+  val SkewFrac = 0.2
+  val HotKeys = 64
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <inDir> <outDir> <factor>")
-    val Array(in, out, f) = args
-    val factor = f.toInt
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <inDir> <outDir> <factor> [zipf]")
+    val in = args(0); val out = args(1); val factor = args(2).toInt
+    val zipf = args.length == 4 && args(3) == "zipf"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -75,11 +132,33 @@ object ScaleUp {
       spark.read.parquet(s"$in/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // (table, its pk for the hashes, fk to redirect, referenced table+key)
+    val skews: Seq[(String, String, String, String, String)] =
+      if (!zipf) Nil
+      else Seq(
+        ("orders",   "o_orderkey", "o_custkey",  "customer", "c_custkey"),
+        ("lineitem", "l_linenumber_pk", "l_orderkey", "orders", "o_orderkey"),
+        ("events",   "event_id",   "user_id",    "events",   "user_id"))
+    val hotSets: Map[String, Seq[Long]] = skews.map { case (t, _, fk, ref, rk) =>
+      (t + "." + fk, firstKeys(spark.read.parquet(s"$in/$ref.parquet"), rk, HotKeys))
+    }.toMap
     keyCols.foreach { case (t, keys) =>
-      scaleTable(spark.read.parquet(s"$in/$t.parquet"), keys, factor)
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      val scaled = scaleTable(spark.read.parquet(s"$in/$t.parquet"), keys, factor)
+      val skewed = skews.find(_._1 == t) match {
+        case Some((_, pk, fk, _, _)) =>
+          // lineitem has no single-column pk: hash the (orderkey, line
+          // number) pair via a synthetic column
+          val (withPk, pkCol) =
+            if (t == "lineitem")
+              (scaled.withColumn("__pk",
+                col("l_orderkey") * 16 + col("l_linenumber")), "__pk")
+            else (scaled, pk)
+          skewFk(withPk, pkCol, fk, hotSets(t + "." + fk), SkewFrac).drop("__pk")
+        case None => scaled
+      }
+      skewed.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    println(s"""{"scaled":"$out","factor":$factor}""")
+    println(s"""{"scaled":"$out","factor":$factor,"zipf":$zipf}""")
     spark.stop()
   }
 }
