@@ -14,11 +14,12 @@ import java.awt.image.BufferedImage
   *    decoded by hand, exactly (no codec involved at all).
   *
   * Compressed inter-frame codecs (H.264/H.265/VP9…) genuinely need an
-  * external decoder and stay behind the [[BinaryPipeline.FrameProber]]
-  * adapter boundary — this object makes the raster leg real for the
-  * codecs a pure-JDK container can carry, the same line
-  * [[BinaryPipeline.imageDims]]/[[ContainerProbe]] draw for images and
-  * container metadata.
+  * external decoder: they plug in through the [[FrameDecoder]] seam —
+  * the container walk below is codec-independent and hands each frame
+  * chunk to the first decoder claiming the stream's format, so an
+  * ffmpeg/JNI adapter is a drop-in beside the two pure-JDK built-ins
+  * (the same line [[BinaryPipeline.imageDims]]/[[ContainerProbe]] draw
+  * for images and container metadata).
   *
   * Structure per the public AVI/RIFF layout (AVIMAINHEADER 56 bytes,
   * AVISTREAMHEADER 56 bytes, BITMAPINFOHEADER 40 bytes; video chunks in
@@ -118,71 +119,46 @@ object AviFrames {
     result
   }
 
-  /** Decode one BI_RGB 24 bpp DIB frame: bottom-up BGR rows padded to
-    * 4 bytes (top-down when the header declared negative height).
-    */
-  private def decodeDib(d: Array[Byte], s: Int, e: Int,
-                        w: Int, h: Int, topDown: Boolean): Option[BufferedImage] = {
-    val rowBytes = (w * 3 + 3) & ~3
-    if (e - s < rowBytes.toLong * h) return None
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      val srcRow = s + (if (topDown) y else h - 1 - y) * rowBytes
-      var x = 0
-      while (x < w) {
-        val b = d(srcRow + x * 3) & 0xff
-        val g = d(srcRow + x * 3 + 1) & 0xff
-        val r = d(srcRow + x * 3 + 2) & 0xff
-        img.setRGB(x, y, r << 16 | g << 8 | b)
-        x += 1
-      }
-      y += 1
-    }
-    Some(img)
-  }
-
-  private def decodeMjpeg(d: Array[Byte], s: Int, e: Int): Option[BufferedImage] =
-    scala.util.Try {
-      javax.imageio.ImageIO.setUseCache(false)
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(d, s, e - s)))
-    }.toOption.flatten
-
   /** Every `stride`-th decodable frame raster of the payload's video
     * stream as (frame_idx, raster), materialized eagerly per row (a
     * video payload that fits a binary cell fits its decoded strided
     * frames; rows stream per partition, so executor memory holds one
     * row's frames at a time). Empty for payloads that aren't AVI, carry
-    * a codec this decoder can't read, or are corrupt — callers fall
+    * a codec none of `decoders` reads, or are corrupt — callers fall
     * back to the stub/adapter path exactly like undecodable images.
+    *
+    * The container walk here is codec-independent; per-chunk decoding
+    * is delegated to the first [[FrameDecoder]] claiming the stream's
+    * format — [[FrameDecoder.builtins]] (MJPEG + DIB, pure JDK) by
+    * default, with compressed-codec adapters (H.264…) plugged in by
+    * the caller.
     */
   def videoFrames(data: Array[Byte], stride: Int = 1,
-                  maxFrames: Int = 1024): Seq[(Int, BufferedImage)] = {
+                  maxFrames: Int = 1024,
+                  decoders: Seq[FrameDecoder] = FrameDecoder.builtins)
+      : Seq[(Int, BufferedImage)] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    videoFormat(data) match {
-      case Some(fmt) if fmt.codec == "MJPG" ||
-          (fmt.codec == "DIB " && fmt.bitCount == 24) =>
-        val chunkTagDc = f"${fmt.streamIndex}%02ddc"
-        val chunkTagDb = f"${fmt.streamIndex}%02ddb"
-        val riffEnd = math.min(data.length.toLong, 8L + le32(data, 4)).toInt
-        val out = Seq.newBuilder[(Int, BufferedImage)]
-        var idx = 0
-        var taken = 0
-        walkChunks(data, 12, riffEnd, 16) { (tag, s, e) =>
-          if (tag == chunkTagDc || tag == chunkTagDb) {
-            if (idx % stride == 0 && e > s) {
-              val img =
-                if (fmt.codec == "MJPG") decodeMjpeg(data, s, e)
-                else decodeDib(data, s, e, fmt.width, fmt.height, fmt.topDown)
-              img.foreach { i => out += ((idx, i)); taken += 1 }
+    (for {
+      fmt <- videoFormat(data)
+      dec <- decoders.find(_.supports(fmt))
+    } yield {
+      val chunkTagDc = f"${fmt.streamIndex}%02ddc"
+      val chunkTagDb = f"${fmt.streamIndex}%02ddb"
+      val riffEnd = math.min(data.length.toLong, 8L + le32(data, 4)).toInt
+      val out = Seq.newBuilder[(Int, BufferedImage)]
+      var idx = 0
+      var taken = 0
+      walkChunks(data, 12, riffEnd, 16) { (tag, s, e) =>
+        if (tag == chunkTagDc || tag == chunkTagDb) {
+          if (idx % stride == 0 && e > s)
+            dec.decode(data, s, e, fmt).foreach { i =>
+              out += ((idx, i)); taken += 1
             }
-            idx += 1
-          }
-          taken < maxFrames
+          idx += 1
         }
-        out.result()
-      case _ => Seq.empty
-    }
+        taken < maxFrames
+      }
+      out.result()
+    }).getOrElse(Seq.empty)
   }
 }

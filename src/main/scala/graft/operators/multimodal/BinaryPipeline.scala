@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   * header parser (dims + frame count, no codec needed). Frame RASTERS
   * are real for the codecs a pure JDK can decode — Motion-JPEG and
   * uncompressed-DIB AVI via [[AviFrames]] (feeding
-  * [[embedVideoFrames]]) — while compressed inter-frame codecs
-  * (H.264/H.265/VP9…) genuinely need an external decoder and remain
-  * the declared adapter boundary: a real deployment passes an
-  * ffmpeg-backed [[FrameProber]]/decoder there. Payloads no prober
+  * [[embedVideoFrames]]) — and PLUGGABLE for the rest: compressed
+  * inter-frame codecs (H.264/H.265/VP9…) genuinely need an external
+  * decoder, which drops in through the [[FrameDecoder]] seam beside
+  * the pure-JDK built-ins (and an ffmpeg-backed [[FrameProber]] for
+  * container metadata). Payloads no prober
   * can read fall back to [[decodeStub]]'s deterministic arithmetic,
   * flagged `decoded=false` so fabricated dimensions are always
   * distinguishable from measured ones. (The synthetic test corpus —
@@ -233,20 +234,24 @@ object BinaryPipeline {
     * each video payload [[AviFrames]] can decode (MJPEG or uncompressed
     * DIB in AVI — real rasters, pure JDK) runs through the SAME
     * [[imageEmbedding]] kernel as still images, emitting
-    * (doc_id, frame_idx, embedding). Payloads carrying codecs that
-    * genuinely need an external decoder (H.264…) produce no rows here —
-    * they stay behind the [[FrameProber]] adapter boundary, exactly
-    * like undecodable images are dropped from [[embedImages]]. Same
+    * (doc_id, frame_idx, embedding). Payloads carrying codecs outside
+    * `decoders` produce no rows, exactly like undecodable images are
+    * dropped from [[embedImages]] — pass an ffmpeg/JNI-backed
+    * [[FrameDecoder]] to light up H.264-class streams with the whole
+    * downstream leg (frame → embedding → ANN) unchanged. Same
     * scale shape as every decode leg: typed mapPartitions, no shuffle,
     * payload dropped at projection.
     */
   def embedVideoFrames(spark: SparkSession, media: DataFrame,
-                       stride: Int = 1, grid: Int = 8): DataFrame = {
+                       stride: Int = 1, grid: Int = 8,
+                       decoders: Seq[FrameDecoder] = FrameDecoder.builtins)
+      : DataFrame = {
     import spark.implicits._
     media.as[RawMedia].filter(_.media_type == "video").flatMap { m =>
-      AviFrames.videoFrames(m.data, stride).map { case (idx, img) =>
-        (m.doc_id, idx, imageEmbeddingOf(img, grid))
-      }
+      AviFrames.videoFrames(m.data, stride, decoders = decoders)
+        .map { case (idx, img) =>
+          (m.doc_id, idx, imageEmbeddingOf(img, grid))
+        }
     }.toDF("doc_id", "frame_idx", "embedding")
   }
 

@@ -235,4 +235,48 @@ class AviFramesSpec extends AnyFunSuite {
     assert(white.forall(_ > 0.9)) // white frame ≈ 1.0 everywhere
     assert(black.forall(_ < 0.1)) // black frame ≈ 0.0 everywhere
   }
+
+  test("FrameDecoder seam: an H.264-class payload lights up only with a plugged adapter") {
+    import graft.operators.multimodal.FrameDecoder
+    // three "compressed" chunks: arbitrary non-JPEG bytes whose first
+    // three values the fake adapter turns into a solid-color raster —
+    // standing in for a JNI/ffmpeg decoder with zero native deps
+    object FakeH264 extends FrameDecoder {
+      def supports(fmt: AviFrames.VideoFormat): Boolean = fmt.codec == "H264"
+      def decode(d: Array[Byte], s: Int, e: Int,
+                 fmt: AviFrames.VideoFormat): Option[BufferedImage] =
+        if (e - s < 3) None
+        else Some(solidImage(fmt.width, fmt.height,
+          (d(s) & 0xff) << 16 | (d(s + 1) & 0xff) << 8 | (d(s + 2) & 0xff)))
+    }
+    val chunks = Seq[Array[Byte]](
+      Array(0x10, 0x20, 0x30, 0x7f).map(_.toByte),
+      Array(0x40, 0x50, 0x60, 0x00).map(_.toByte),
+      Array(0x70, 0x7f, 0x11, 0x22).map(_.toByte))
+    val avi = build("H264", 8, 6, 24, chunks)
+
+    // built-ins alone: the adapter boundary holds — no fabricated rasters
+    assert(AviFrames.videoFrames(avi).isEmpty)
+
+    // adapter plugged in: the codec-independent container walk feeds it
+    // every chunk, stride/cap policy included
+    val all = AviFrames.videoFrames(avi,
+      decoders = FrameDecoder.builtins :+ FakeH264)
+    assert(all.map(_._1) === Seq(0, 1, 2))
+    assert(all.head._2.getRGB(0, 0) === (0xFF102030 | 0xFF000000))
+    val strided = AviFrames.videoFrames(avi, stride = 2,
+      decoders = Seq(FakeH264))
+    assert(strided.map(_._1) === Seq(0, 2))
+
+    // end-to-end: the whole frame→embedding leg works unchanged
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val media = Seq((9L, "video", avi)).toDF("doc_id", "media_type", "data")
+    assert(BinaryPipeline.embedVideoFrames(spark, media).count() === 0)
+    val rows = BinaryPipeline.embedVideoFrames(spark, media,
+        decoders = FrameDecoder.builtins :+ FakeH264)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    assert(rows.forall(_.getSeq[Float](2).nonEmpty))
+  }
 }
