@@ -194,14 +194,38 @@ final class JdbcConnection(val spark: SparkSession, url: String,
   }
   @volatile private var cachedTables: Seq[String] = null
 
+  /** The engine's identifier rules, read once from the driver itself
+    * (quote string, unquoted-identifier case folding) — the portable
+    * way to be correct on Derby/PostgreSQL (`"`, fold-to-upper/lower)
+    * and MySQL (`` ` ``) alike, instead of per-dialect SQL variants.
+    */
+  private lazy val identInfo: (String, Boolean, Boolean) = withJdbc { c =>
+    val md = c.getMetaData
+    (Option(md.getIdentifierQuoteString).map(_.trim).filter(_.nonEmpty)
+       .getOrElse("\""),
+     md.storesUpperCaseIdentifiers, md.storesLowerCaseIdentifiers)
+  }
+
   /** reference build_qualified_table_name (connections.py:32-35):
     * dot-join of (database, schema, table), skipping absent parts —
     * Athena/Snowflake-style catalogs address `db.schema.table`. A name
     * that already contains a dot is passed through untouched.
+    *
+    * Each part is quoted per [[JdbcConnection.quotePart]] when the
+    * engine's unquoted case folding would lose it: Spark's JDBC writer
+    * QUOTES identifiers on CREATE (case preserved), so a table CTAS'd
+    * as `region_counts` on a fold-to-upper engine (Derby) is only
+    * reachable quoted — unquoted SQL folds to `REGION_COUNTS` and
+    * misses. Names already in the engine's native case stay unquoted,
+    * byte-identical to the SQL this connector always sent.
     */
   private[graft] def qualify(name: String): String =
     if (name.contains(".")) name
-    else (database.toSeq ++ schema.toSeq :+ name).mkString(".")
+    else {
+      val (q, upper, lower) = identInfo
+      (database.toSeq ++ schema.toSeq :+ name)
+        .map(JdbcConnection.quotePart(_, q, upper, lower)).mkString(".")
+    }
 
   private def reader = {
     val base = spark.read.format("jdbc").option("url", url)
@@ -291,4 +315,29 @@ object JdbcConnection {
     * rather than scaling with local cores.
     */
   val MaxConcurrentCounts = 8
+
+  /** Dialect-aware identifier quoting, parameterized on what the
+    * engine reported about itself: `q` is its quote string
+    * (`"` Derby/PostgreSQL, `` ` `` MySQL), `storesUpper`/`storesLower`
+    * its unquoted case folding. A plain identifier already in the
+    * engine's native case passes through unquoted (identical SQL to
+    * the pre-quoting connector, and matches tables created unquoted);
+    * anything else — case the fold would destroy, or characters
+    * outside `[A-Za-z0-9_]` — is quoted with embedded quotes doubled.
+    * Pure function so each dialect's behavior is testable without the
+    * engine (ConnectionSpec covers the MySQL- and PostgreSQL-shaped
+    * parameters directly, and Derby live).
+    */
+  private[graft] def quotePart(part: String, q: String,
+                               storesUpper: Boolean,
+                               storesLower: Boolean): String = {
+    val plain = part.nonEmpty && !part.head.isDigit &&
+      part.forall(ch => ch.isLetterOrDigit && ch < 128 || ch == '_')
+    val caseSafe =
+      if (storesUpper) part == part.toUpperCase
+      else if (storesLower) part == part.toLowerCase
+      else true
+    if (plain && caseSafe) part
+    else q + part.replace(q, q + q) + q
+  }
 }

@@ -189,6 +189,43 @@ class ConnectionSpec extends AnyFunSuite {
     assert(jdbcConn.listTables().contains("REGION_COUNTS"))
   }
 
+  test("jdbc identifier quoting: lowercase CTAS name roundtrips on a fold-to-upper engine") {
+    // Spark's JDBC writer QUOTES identifiers on CREATE (case
+    // preserved), so this table is stored as lowercase 'region_counts2'
+    // on Derby — unquoted SQL would fold to REGION_COUNTS2 and miss
+    // (the exact migration papercut per-dialect qualify() closes)
+    jdbcConn.createTableFromQuery("region_counts2",
+      "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey")
+    assert(jdbcConn.countRows("region_counts2") == 5)
+    assert(jdbcConn.countRows("region_counts2", "n > 0") == 5)
+    assert(jdbcConn.table("region_counts2").count() == 5)
+    assert(jdbcConn.listTables().contains("region_counts2"))
+    assert(jdbcConn.tableMetadata("region_counts2").count() == 2)
+    // native-case names still go out unquoted — byte-identical SQL to
+    // the pre-quoting connector against unquoted-created tables
+    assert(jdbcConn.countRows("NATION") == 26)
+  }
+
+  test("quotePart: the engines' identifier rules, by their reported parameters") {
+    import graft.sources.JdbcConnection.quotePart
+    // Derby / PostgreSQL-with-uppercase-storage shape: " quote, fold-to-upper
+    assert(quotePart("NATION", "\"", true, false) == "NATION")
+    assert(quotePart("nation", "\"", true, false) == "\"nation\"")
+    assert(quotePart("Mixed_Case", "\"", true, false) == "\"Mixed_Case\"")
+    // PostgreSQL shape: " quote, fold-to-lower — lowercase passes bare
+    assert(quotePart("nation", "\"", false, true) == "nation")
+    assert(quotePart("NATION", "\"", false, true) == "\"NATION\"")
+    // MySQL shape: backtick quote, mixed-case storage (no folding)
+    assert(quotePart("Nation", "`", false, false) == "Nation")
+    assert(quotePart("order-items", "`", false, false) == "`order-items`")
+    // non-plain identifiers always quote, embedded quotes doubled
+    assert(quotePart("odd name", "\"", true, false) == "\"odd name\"")
+    assert(quotePart("x\"y", "\"", true, false) == "\"x\"\"y\"")
+    assert(quotePart("3col", "`", false, false) == "`3col`")
+    // leading underscore keeps the historical unquoted fold behavior
+    assert(quotePart("_TMP", "\"", true, false) == "_TMP")
+  }
+
   test("operators run end-to-end through the jdbc backend") {
     // fixture tables only — earlier tests may have CTAS'd extra tables
     val tables = Seq("NATION", "REGION").map(t => t -> jdbcConn.table(t)).toMap
