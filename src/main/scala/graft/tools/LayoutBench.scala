@@ -1,0 +1,155 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Flat-vs-optimized-layout bench (VERDICT r9 #1): connect the repo's
+  * OWN layout writers ([[graft.sources.PartitionedWrite.writeBucketed]])
+  * to the headline bench — "pay the shuffle once at write time" must
+  * show up as measured seconds on the queries that stayed above the
+  * 2× bar at sf100 (q3/q17/q18/q21), not just as a spec-asserted plan
+  * shape.
+  *
+  * Modes:
+  *
+  *  - `write <flatDir> <layoutRoot>` — build the optimized layouts:
+  *    lineitem+orders bucketed AND sorted by order key (serves the
+  *    q3 join and the q18/q21 per-order aggregates) under
+  *    `<layoutRoot>/by_orderkey`, plus lineitem bucketed by part key
+  *    (serves q17's window) under `<layoutRoot>/by_partkey`. 64
+  *    buckets: at sf100 that is ~110 MB of lineitem per bucket — read
+  *    parallelism stays healthy while a 1000-executor cluster would
+  *    simply use more buckets (the knob, not the design, changes with
+  *    cluster size).
+  *
+  *  - `bench <flatDir> <layoutRoot> <variant> <q1,q2,…>` — fresh
+  *    session, re-register the layout as EXTERNAL bucketed tables
+  *    (`CREATE TABLE … CLUSTERED BY … LOCATION …` over the written
+  *    files — the catalog metadata is what unlocks bucketed plans, and
+  *    re-attaching it per session is exactly what a metastore does),
+  *    every other table registered over its flat parquet path, then
+  *    run the named queries through `SparkEntry.queries` with
+  *    `dir = catalog:<db>` — the SAME query code as the flat bench,
+  *    layout choice flowing in through [[graft.sources.Tables]]'s
+  *    catalog scheme. Two passes per query, min, one JSON line.
+  *    `variant` ∈ `by_orderkey` | `by_partkey` | `flat` (flat = all
+  *    tables over paths, the control: catalog overhead is measured,
+  *    not assumed zero).
+  */
+object LayoutBench {
+
+  val Buckets = 64
+  val Db = "graft_layout"
+
+  private def session(warehouse: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = GraftSessionBuilder.build(cpus, warehouse)
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The bucketed tables per variant: table → (bucket col, location). */
+  private def bucketedTables(layoutRoot: String, variant: String)
+      : Map[String, (String, String)] = variant match {
+    case "by_orderkey" => Map(
+      "lineitem" -> ("l_orderkey", s"$layoutRoot/by_orderkey/lineitem"),
+      "orders" -> ("o_orderkey", s"$layoutRoot/by_orderkey/orders"))
+    case "by_partkey" => Map(
+      "lineitem" -> ("l_partkey", s"$layoutRoot/by_partkey/lineitem"))
+    case "flat" => Map.empty
+    case other => sys.error(s"unknown variant: $other")
+  }
+
+  def write(flatDir: String, layoutRoot: String): Unit = {
+    val spark = session(s"$layoutRoot/warehouse")
+    for (variant <- Seq("by_orderkey", "by_partkey");
+         (table, (bucketCol, loc)) <- bucketedTables(layoutRoot, variant)) {
+      val df = graft.sources.Tables(spark, flatDir, table)
+      df.write
+        .bucketBy(Buckets, bucketCol)
+        .sortBy(bucketCol)
+        .option("path", loc)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(s"w_${variant}_$table")
+      println(s"""{"wrote":"$loc","bucketBy":"$bucketCol","buckets":$Buckets}""")
+    }
+    spark.stop()
+  }
+
+  /** Register `<db>.<name>` for every table: external bucketed DDL
+    * where the variant has one, plain parquet-path tables otherwise.
+    */
+  def register(spark: SparkSession, flatDir: String, layoutRoot: String,
+               variant: String): String = {
+    val bucketed = bucketedTables(layoutRoot, variant)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $Db")
+    for (name <- graft.sources.Tables.all if name != "events") {
+      spark.sql(s"DROP TABLE IF EXISTS $Db.$name")
+      bucketed.get(name) match {
+        case Some((bucketCol, loc)) =>
+          val schema = spark.read.parquet(loc).schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $Db.$name ($schema) USING parquet
+               |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+               |INTO $Buckets BUCKETS
+               |LOCATION '$loc'""".stripMargin)
+        case None =>
+          val loc = graft.sources.Tables.path(flatDir, name)
+          val schema = spark.read.parquet(loc).schema.toDDL
+          spark.sql(
+            s"CREATE TABLE $Db.$name ($schema) USING parquet LOCATION '$loc'")
+      }
+    }
+    Db
+  }
+
+  def bench(flatDir: String, layoutRoot: String, variant: String,
+            queries: Seq[String]): Unit = {
+    val spark = session(s"$layoutRoot/warehouse_bench_$variant")
+    val db = register(spark, flatDir, layoutRoot, variant)
+    val dir = graft.sources.Tables.CatalogScheme + db
+    // same warmup as Bench: JVM/codegen/shuffle machinery
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val times = queries.map { q =>
+      val fn = graft.SparkEntry.queries.getOrElse(q,
+        sys.error(s"unknown query: $q"))
+      // .count(): the same action graft.Bench times, so flat-vs-layout
+      // deltas are comparable to the BENCH_SF100 numbers
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q -> secs.min
+    }
+    val qJson = times.map { case (q, s) =>
+      s""""$q":${math.round(s * 1000) / 1000.0}""" }.mkString(",")
+    println(s"""{"layout":"$variant","buckets":$Buckets,"queries":{$qJson}}""")
+    spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = args.toSeq match {
+    case Seq("write", flatDir, layoutRoot) => write(flatDir, layoutRoot)
+    case Seq("bench", flatDir, layoutRoot, variant, qs) =>
+      bench(flatDir, layoutRoot, variant, qs.split(",").toSeq)
+    case _ => sys.error(
+      "usage: LayoutBench write <flatDir> <layoutRoot> | " +
+      "bench <flatDir> <layoutRoot> <variant> <q1,q2,…>")
+  }
+}
+
+/** Session assembly shared by layout tooling — mirrors Bench's builder
+  * (GraftSession.tune, extensions, 32 shuffle partitions) plus an
+  * explicit warehouse dir so catalog-table files land under the layout
+  * root, not the repo cwd.
+  */
+private object GraftSessionBuilder {
+  def build(cpus: String, warehouse: String): SparkSession =
+    graft.GraftSession.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+}

@@ -1,0 +1,163 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming scale soak (VERDICT r9 #7): drive ≥10 M events through the
+  * stateful streaming twins and MEASURE that state stays bounded — the
+  * design claim ("state ∝ concurrently active keys / keys within the
+  * watermark, never history") turned into numbers from
+  * `StreamingQueryProgress.stateOperators`.
+  *
+  * Shape of the falsification: the generated key stream is built so a
+  * LEAKING store grows ~linearly with total input (every key ever seen
+  * retained) while a bounded store plateaus at the designed working
+  * set. We assert the plateau: max state rows stays within a small
+  * multiple of the designed working set AND the late-run maximum does
+  * not exceed ~1.1× the mid-run maximum (flatness) — a leak fails both
+  * long before 10 M rows.
+  *
+  *  - Sessionize: user ids rotate generations (1 000 users interleave
+  *    for 1 M events, then a fresh 1 000) — event-time timeouts must
+  *    evict finished generations, so bounded ≈ active ±1 generation,
+  *    leaking → all `10 × 1000` users.
+  *  - Curate dedup: 100 k distinct fingerprints recycle through a
+  *    1-simulated-hour watermark — `dropDuplicatesWithinWatermark`
+  *    must hold ≈ one watermark's worth, leaking → every arrival.
+  *
+  * Event time is ACCELERATED (10 ms of simulated time per event): the
+  * watermark/timeout machinery sees hours of stream life in a ~60 s
+  * wall-clock run — same technique as the spec suites, at 1000× their
+  * volume. Source is the built-in `rate` source (no files, no
+  * external services); sink is `noop` so the soak measures the
+  * operators, not a sink. Prints one JSON line per soak plus `"ok"`.
+  */
+object StreamSoak {
+
+  val TargetRows = 10L * 1000 * 1000
+
+  private final case class SoakResult(name: String, inputRows: Long,
+                                      outputRows: Long, maxState: Long,
+                                      midMaxState: Long, lateMaxState: Long,
+                                      batches: Int, wallSec: Double,
+                                      bound: Long, ok: Boolean)
+
+  /** Run `q` until ≥ `target` input rows have been processed, sampling
+    * state-operator rows from every retained progress event
+    * (`recentProgress`, retention raised to cover the whole run).
+    */
+  private def drive(spark: SparkSession, q: StreamingQuery, target: Long)
+      : (Long, Long, Vector[Long], Int) = {
+    var input = 0L; var output = 0L; var batches = 0
+    val states = Vector.newBuilder[Long]
+    var done = false
+    while (!done) {
+      Thread.sleep(500)
+      val progresses = q.recentProgress
+      input = progresses.map(_.numInputRows).sum
+      output = progresses.flatMap(p => Option(p.sink).map(_.numOutputRows))
+        .filter(_ >= 0).sum
+      batches = progresses.length
+      progresses.foreach { p =>
+        if (p.stateOperators.nonEmpty)
+          states += p.stateOperators.map(_.numRowsTotal).sum
+      }
+      done = input >= target || q.exception.isDefined
+    }
+    q.exception.foreach(throw _)
+    q.stop()
+    (input, output, states.result(), batches)
+  }
+
+  /** Accelerated event stream off the rate source: one row per `value`,
+    * event time = epoch + value×10 ms.
+    */
+  private def rateEvents(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", 8)
+      .load()
+      .withColumn("ts", timestamp_micros(col("value") * 10000L))
+
+  private def soak(name: String, spark: SparkSession, out: DataFrame,
+                   workingSet: Long, boundFactor: Double): SoakResult = {
+    val t0 = System.nanoTime()
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"soak_$name").toString)
+      .start()
+    val (input, output, states, batches) = drive(spark, q, TargetRows)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val bound = (workingSet * boundFactor).toLong
+    val maxState = if (states.isEmpty) 0L else states.max
+    // flatness: state in the last quarter of batches must not exceed
+    // ~1.1× the mid-run (2nd/3rd quarter) maximum
+    val n = states.length
+    val mid = states.slice(n / 4, 3 * n / 4)
+    val late = states.drop(3 * n / 4)
+    val midMax = if (mid.isEmpty) 0L else mid.max
+    val lateMax = if (late.isEmpty) 0L else late.max
+    // output must flow (a wrong filter/lang gate would pass the state
+    // bound vacuously), state must plateau under the bound
+    val ok = output > 0 && maxState <= bound &&
+      (midMax == 0 || lateMax <= 1.1 * midMax)
+    SoakResult(name, input, output, maxState, midMax, lateMax, batches,
+      math.round(wall * 10) / 10.0, bound, ok)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // keep every progress event for the whole run: the default 100
+      // would silently drop the ramp-up batches the flatness check
+      // compares against
+      .config("spark.sql.streaming.numRecentProgressUpdates", "5000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // --- sessionize: generations of 1 000 interleaved users ---------
+    // each generation spans 1 M events (=10 000 simulated seconds);
+    // within it a user's events arrive 10 sim-seconds apart — inside
+    // the 1-minute gap, so one open session per active user. Timeouts
+    // must evict a generation once it rotates out.
+    val sessionized = graft.streaming.SessionizeStream.sessions(
+      rateEvents(spark, 400000)
+        .select(
+          (col("value") % 1000 + floor(col("value") / 1000000L) * 1000)
+            .as("user_id"),
+          col("ts"), lit(1.0).as("value")),
+      gapMinutes = 1, watermark = "2 minutes").toDF()
+    val s1 = soak("sessionize", spark, sessionized,
+      workingSet = 2000, boundFactor = 3.0)
+
+    // --- curate dedup: 100 k fingerprints through a 1 h watermark ---
+    // fingerprints recycle every 100 k events (1 000 simulated
+    // seconds) — far inside the watermark, so steady-state the store
+    // holds ≈ the distinct set; a leak holds every arrival.
+    val curated = graft.streaming.CurateStream.run(
+      rateEvents(spark, 400000)
+        .select(col("value").as("doc_id"), col("ts"),
+          concat(lit("the quick brown fox jumps document number "),
+            (col("value") % 100000).cast("string")).as("text")),
+      minQuality = 0.0, keepLang = "en", watermark = "1 hour")
+    val s2 = soak("curate_dedup", spark, curated,
+      workingSet = 100000, boundFactor = 3.0)
+
+    Seq(s1, s2).foreach { r =>
+      println(
+        s"""{"soak":"${r.name}","input_rows":${r.inputRows},""" +
+        s""""output_rows":${r.outputRows},"max_state_rows":${r.maxState},""" +
+        s""""mid_max_state":${r.midMaxState},"late_max_state":${r.lateMaxState},""" +
+        s""""batches":${r.batches},"wall_sec":${r.wallSec},""" +
+        s""""bound":${r.bound},"bounded":${r.ok}}""")
+    }
+    val ok = Seq(s1, s2).forall(_.ok)
+    println(if (ok) "SOAK OK" else "SOAK FAILED")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
