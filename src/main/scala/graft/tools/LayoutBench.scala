@@ -120,11 +120,21 @@ object LayoutBench {
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      q -> secs.min
+      // shuffle count of the FINAL adaptive plan — the structural
+      // evidence the layout claim rests on (bucketed layouts must
+      // remove exchanges, not just happen to run faster)
+      val df = fn(spark, dir)
+      df.count()
+      val exchanges = df.queryExecution.executedPlan.toString
+        .linesIterator.count(l => l.contains("Exchange") &&
+          !l.contains("BroadcastExchange") && !l.contains("Reused"))
+      (q, secs.min, exchanges)
     }
-    val qJson = times.map { case (q, s) =>
+    val qJson = times.map { case (q, s, _) =>
       s""""$q":${math.round(s * 1000) / 1000.0}""" }.mkString(",")
-    println(s"""{"layout":"$variant","buckets":$Buckets,"queries":{$qJson}}""")
+    val exJson = times.map { case (q, _, e) => s""""$q":$e""" }.mkString(",")
+    println(s"""{"layout":"$variant","buckets":$Buckets,""" +
+      s""""queries":{$qJson},"shuffles":{$exJson}}""")
     spark.stop()
   }
 
