@@ -64,7 +64,15 @@ object LayoutBench {
     for (variant <- Seq("by_orderkey", "by_partkey");
          (table, (bucketCol, loc)) <- bucketedTables(layoutRoot, variant)) {
       val df = graft.sources.Tables(spark, flatDir, table)
-      df.write
+      // repartition on the bucket column FIRST, into exactly `Buckets`
+      // partitions: repartition's hash and the bucket-id hash are the
+      // same murmur3-mod, so each write task holds exactly one bucket
+      // → 64 fully-sorted files. Without it every input split writes
+      // up to 64 shards (thousands of ~MB files at sf100: footer
+      // overhead, lost compression, split-planning pressure — the
+      // exact small-file failure writeBalanced exists to prevent).
+      df.repartition(Buckets, org.apache.spark.sql.functions.col(bucketCol))
+        .write
         .bucketBy(Buckets, bucketCol)
         .sortBy(bucketCol)
         .option("path", loc)

@@ -78,6 +78,28 @@ class AggChoiceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS aggc_bucketed")
   }
 
+  test("value-skewed input picks map-side combine even when unclustered") {
+    import spark.implicits._
+    // hottest key owns 5% of rows, scattered (run length ~1): the
+    // zipf-sf100 q18 shape, where repartition-first built a
+    // one-reducer straggler (2.8x the uniform time, ROUND10_NOTES §7)
+    val n = 100000
+    val skewed = (0 until n)
+      .map(i => (if (i % 20 == 0) 7L else (i % 40000).toLong, i))
+      .toDF("k", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft_aggs")
+    val p = base.resolve("skewed").toString
+    skewed.orderBy(xxhash64(col("v"))).coalesce(2).write.parquet(p)
+    val df = spark.read.parquet(p)
+    val (runLength, topShare) = AggChoice.probe(df, "k")
+    assert(runLength < 1.5, s"fixture unexpectedly clustered: $runLength")
+    assert(topShare > 0.04 && topShare < 0.07, s"top share off: $topShare")
+    val plan = AggChoice.preAgg(df, "k").groupBy("k").count()
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("REPARTITION_BY_COL"),
+      s"skewed input wrongly repartitioned (one-reducer hot key):\n$plan")
+  }
+
   test("degenerate probes fall back to repartition-first") {
     import spark.implicits._
     val empty = spark.emptyDataset[(Int, Int)].toDF("k", "v")
