@@ -26,6 +26,14 @@ object Explain {
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // the FINAL adaptive plan — only after execution do AQE's
+      // runtime decisions (skew splits, coalesced readers, join
+      // demotions) appear, and `.count()` runs its OWN query
+      // execution, so this one must be driven to completion itself
+      // (cheap RDD count: no result rows cross to the driver)
+      df.queryExecution.executedPlan.execute().count()
+      println(s"---- $name final adaptive plan ----")
+      println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

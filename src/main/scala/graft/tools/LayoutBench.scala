@@ -59,26 +59,34 @@ object LayoutBench {
     case other => sys.error(s"unknown variant: $other")
   }
 
+  /** Write `df` as a bucketed+sorted layout with EXACTLY one
+    * fully-sorted file per bucket: repartition on the bucket column
+    * FIRST, into exactly `buckets` partitions — repartition's hash and
+    * the bucket-id hash are the same murmur3-mod, so each write task
+    * holds exactly one bucket. Without it every input split writes up
+    * to `buckets` shards (thousands of ~MB files at sf100: footer
+    * overhead, lost compression, split-planning pressure — the exact
+    * small-file failure writeBalanced exists to prevent).
+    */
+  def writeOneFilePerBucket(df: org.apache.spark.sql.DataFrame,
+                            bucketCol: String, loc: String,
+                            catalogName: String,
+                            buckets: Int = Buckets): Unit =
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", loc)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(catalogName)
+
   def write(flatDir: String, layoutRoot: String): Unit = {
     val spark = session(s"$layoutRoot/warehouse")
     for (variant <- Seq("by_orderkey", "by_partkey");
          (table, (bucketCol, loc)) <- bucketedTables(layoutRoot, variant)) {
       val df = graft.sources.Tables(spark, flatDir, table)
-      // repartition on the bucket column FIRST, into exactly `Buckets`
-      // partitions: repartition's hash and the bucket-id hash are the
-      // same murmur3-mod, so each write task holds exactly one bucket
-      // → 64 fully-sorted files. Without it every input split writes
-      // up to 64 shards (thousands of ~MB files at sf100: footer
-      // overhead, lost compression, split-planning pressure — the
-      // exact small-file failure writeBalanced exists to prevent).
-      df.repartition(Buckets, org.apache.spark.sql.functions.col(bucketCol))
-        .write
-        .bucketBy(Buckets, bucketCol)
-        .sortBy(bucketCol)
-        .option("path", loc)
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(s"w_${variant}_$table")
+      writeOneFilePerBucket(df, bucketCol, loc, s"w_${variant}_$table")
       println(s"""{"wrote":"$loc","bucketBy":"$bucketCol","buckets":$Buckets}""")
     }
     spark.stop()
