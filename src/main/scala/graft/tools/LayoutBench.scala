@@ -31,9 +31,12 @@ import org.apache.spark.sql.SparkSession
   *    `dir = catalog:<db>` — the SAME query code as the flat bench,
   *    layout choice flowing in through [[graft.sources.Tables]]'s
   *    catalog scheme. Two passes per query, min, one JSON line.
-  *    `variant` ∈ `by_orderkey` | `by_partkey` | `flat` (flat = all
-  *    tables over paths, the control: catalog overhead is measured,
-  *    not assumed zero).
+  *    `variant` ∈ `by_orderkey` | `by_partkey` | `by_shipdate` |
+  *    `flat` (flat = all tables over paths, the control: catalog
+  *    overhead is measured, not assumed zero). `by_shipdate` is the
+  *    range-predicate layout: lineitem globally range-sorted on
+  *    `l_shipdate` so selective date filters skip row groups on
+  *    min/max stats alone — no bucket metadata involved.
   */
 object LayoutBench {
 
@@ -55,9 +58,36 @@ object LayoutBench {
       "orders" -> ("o_orderkey", s"$layoutRoot/by_orderkey/orders"))
     case "by_partkey" => Map(
       "lineitem" -> ("l_partkey", s"$layoutRoot/by_partkey/lineitem"))
-    case "flat" => Map.empty
+    case "by_shipdate" | "flat" => Map.empty
     case other => sys.error(s"unknown variant: $other")
   }
+
+  /** Range-SORTED (not bucketed) tables per variant: table →
+    * (sort col, location). Bucketing co-locates equi-join/agg keys;
+    * sorting serves a different master — RANGE predicates. A globally
+    * range-partitioned, within-file-sorted layout gives every parquet
+    * row group a tight min/max on the sort column, so a selective
+    * range filter (q3's `l_shipdate > cutoff` touches ~2% of rows)
+    * skips whole row groups at scan time. No catalog metadata needed:
+    * min/max stats live in the files; the skipping is the parquet
+    * reader's own, on both engines.
+    */
+  private def sortedTables(layoutRoot: String, variant: String)
+      : Map[String, (String, String)] = variant match {
+    case "by_shipdate" => Map(
+      "lineitem" -> ("l_shipdate", s"$layoutRoot/by_shipdate/lineitem"))
+    case _ => Map.empty
+  }
+
+  /** Write `df` globally sorted on `sortCol`: range-partitioned into
+    * `files` pieces, sorted within each — file AND row-group min/max
+    * on the sort column are tight and non-overlapping.
+    */
+  def writeRangeSorted(df: org.apache.spark.sql.DataFrame, sortCol: String,
+                       loc: String, files: Int = Buckets): Unit =
+    df.repartitionByRange(files, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(loc)
 
   /** Write `df` as a bucketed+sorted layout with EXACTLY one
     * fully-sorted file per bucket: repartition on the bucket column
@@ -81,13 +111,22 @@ object LayoutBench {
       .format("parquet")
       .saveAsTable(catalogName)
 
-  def write(flatDir: String, layoutRoot: String): Unit = {
+  def write(flatDir: String, layoutRoot: String,
+            only: Option[String] = None): Unit = {
     val spark = session(s"$layoutRoot/warehouse")
-    for (variant <- Seq("by_orderkey", "by_partkey");
+    val variants = Seq("by_orderkey", "by_partkey", "by_shipdate")
+      .filter(v => only.forall(_ == v))
+    for (variant <- variants;
          (table, (bucketCol, loc)) <- bucketedTables(layoutRoot, variant)) {
       val df = graft.sources.Tables(spark, flatDir, table)
       writeOneFilePerBucket(df, bucketCol, loc, s"w_${variant}_$table")
       println(s"""{"wrote":"$loc","bucketBy":"$bucketCol","buckets":$Buckets}""")
+    }
+    for (variant <- variants;
+         (table, (sortCol, loc)) <- sortedTables(layoutRoot, variant)) {
+      val df = graft.sources.Tables(spark, flatDir, table)
+      writeRangeSorted(df, sortCol, loc)
+      println(s"""{"wrote":"$loc","sortBy":"$sortCol","files":$Buckets}""")
     }
     spark.stop()
   }
@@ -98,6 +137,7 @@ object LayoutBench {
   def register(spark: SparkSession, flatDir: String, layoutRoot: String,
                variant: String): String = {
     val bucketed = bucketedTables(layoutRoot, variant)
+    val sorted = sortedTables(layoutRoot, variant)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $Db")
     for (name <- graft.sources.Tables.all if name != "events") {
       spark.sql(s"DROP TABLE IF EXISTS $Db.$name")
@@ -110,7 +150,10 @@ object LayoutBench {
                |INTO $Buckets BUCKETS
                |LOCATION '$loc'""".stripMargin)
         case None =>
-          val loc = graft.sources.Tables.path(flatDir, name)
+          // sorted layouts register as PLAIN tables over the sorted
+          // files: row-group skipping needs no catalog metadata
+          val loc = sorted.get(name).map(_._2)
+            .getOrElse(graft.sources.Tables.path(flatDir, name))
           val schema = spark.read.parquet(loc).schema.toDDL
           spark.sql(
             s"CREATE TABLE $Db.$name ($schema) USING parquet LOCATION '$loc'")
@@ -156,10 +199,12 @@ object LayoutBench {
 
   def main(args: Array[String]): Unit = args.toSeq match {
     case Seq("write", flatDir, layoutRoot) => write(flatDir, layoutRoot)
+    case Seq("write", flatDir, layoutRoot, variant) =>
+      write(flatDir, layoutRoot, Some(variant))
     case Seq("bench", flatDir, layoutRoot, variant, qs) =>
       bench(flatDir, layoutRoot, variant, qs.split(",").toSeq)
     case _ => sys.error(
-      "usage: LayoutBench write <flatDir> <layoutRoot> | " +
+      "usage: LayoutBench write <flatDir> <layoutRoot> [variant] | " +
       "bench <flatDir> <layoutRoot> <variant> <q1,q2,…>")
   }
 }
