@@ -32,6 +32,18 @@ object GraftSession {
   val recommended: Map[String, String] = Map(
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> (128L * 1024 * 1024).toString,
     "spark.sql.files.openCostInBytes" -> (1L * 1024 * 1024).toString,
+    // AQE skew-join split thresholds, 256 MB/5× → 32 MB/2×: the
+    // upstream defaults only fire on catastrophic skew, but a hot
+    // join partition far below 256 MB is already a straggler when its
+    // siblings hold a few MB (zipf-sf100 q3: one ~72 MB partition vs
+    // a ~2 MB median = a 6× wall on one task; 16.3 → 12.1 s with the
+    // lower bars, q18/q21 −10–17% on the same data). Gated on runtime
+    // partition-size stats like every AQE decision: uniform loads
+    // measure no skew and take the default path (uniform-sf100 q3
+    // unchanged, 9.1 s — ROUND10_NOTES §7b).
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+      (32L * 1024 * 1024).toString,
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
     // TIMESTAMP(NANOS) parquet (one of the two layouts events.ts has
     // shipped in) is only readable as a raw long under this legacy
     // flag; Tables' schema probe then rebuilds proper micros. Set here
