@@ -134,6 +134,24 @@ object StreamSoak {
     val s1 = soak("sessionize", spark, sessionized,
       workingSet = 2000, boundFactor = 3.0)
 
+    // --- sessionize under key skew: one hot user takes 20% ----------
+    // same rotating generations, but every 5th event is redirected to
+    // user -1 — the zipf-sf100 shape, streaming edition. Per-key
+    // ordering is indivisible, so the hot group's events land on ONE
+    // task per microbatch; the soak measures that this is extra
+    // volume, not a stall: state stays ≈ active generation + 1 (the
+    // hot session never closes — its events never gap), output still
+    // flows from the rotating users, and the flatness check would
+    // catch a batch-duration death spiral as unprocessed input.
+    val hotUser = when(pmod(col("value"), lit(5)) === 0, lit(-1L))
+      .otherwise(col("value") % 1000 + floor(col("value") / 1000000L) * 1000)
+    val sessionizedSkew = graft.streaming.SessionizeStream.sessions(
+      rateEvents(spark, 400000)
+        .select(hotUser.as("user_id"), col("ts"), lit(1.0).as("value")),
+      gapMinutes = 1, watermark = "2 minutes").toDF()
+    val s1b = soak("sessionize_hotkey", spark, sessionizedSkew,
+      workingSet = 2001, boundFactor = 3.0)
+
     // --- curate dedup: 100 k fingerprints through a 1 h watermark ---
     // fingerprints recycle every 100 k events (1 000 simulated
     // seconds) — far inside the watermark, so steady-state the store
@@ -147,7 +165,7 @@ object StreamSoak {
     val s2 = soak("curate_dedup", spark, curated,
       workingSet = 100000, boundFactor = 3.0)
 
-    Seq(s1, s2).foreach { r =>
+    Seq(s1, s1b, s2).foreach { r =>
       println(
         s"""{"soak":"${r.name}","input_rows":${r.inputRows},""" +
         s""""output_rows":${r.outputRows},"max_state_rows":${r.maxState},""" +
@@ -155,7 +173,7 @@ object StreamSoak {
         s""""batches":${r.batches},"wall_sec":${r.wallSec},""" +
         s""""bound":${r.bound},"bounded":${r.ok}}""")
     }
-    val ok = Seq(s1, s2).forall(_.ok)
+    val ok = Seq(s1, s1b, s2).forall(_.ok)
     println(if (ok) "SOAK OK" else "SOAK FAILED")
     spark.stop()
     if (!ok) sys.exit(1)
