@@ -30,7 +30,22 @@ object GraftSession {
     *    `maxPartitionBytes`.
     */
   val recommended: Map[String, String] = Map(
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> (128L * 1024 * 1024).toString,
+    // 128 MB originally; lowered to 64 MB by the round-10 skewed-sf100
+    // survival run, which OOM'd the shared-suite JVM inside
+    // ShuffledHashJoinExec.buildHashedRelation: an SHJ build cannot
+    // spill, the conversion's gate is the build side's MAX partition
+    // bytes (compressed), and a skew-hot partition that slips under
+    // the gate hash-builds at ~6-8× its wire size on every concurrent
+    // task — 128 MB × 32 tasks was more than a pressured 48 g heap
+    // could hold, and on a typical 8-core/16 GB executor the same
+    // math (128 MB × 8 × ~7) already exceeds the unified region.
+    // 64 MB keeps every measured conversion win (uniform q3/q_window
+    // partitions sit well under it) while pushing the skew-hot builds
+    // back to sort-merge, which spills. AQE's skew split cannot help
+    // here: it splits the STREAM side; a hot BUILD partition is
+    // indivisible. Deployments with bigger per-core heaps can raise
+    // it via SPARK_GRAFT_CONF.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> (64L * 1024 * 1024).toString,
     "spark.sql.files.openCostInBytes" -> (1L * 1024 * 1024).toString,
     // AQE skew-join split thresholds, 256 MB/5× → 32 MB/2×: the
     // upstream defaults only fire on catastrophic skew, but a hot
