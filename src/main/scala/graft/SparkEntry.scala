@@ -7,10 +7,10 @@ import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.Dedup
 import graft.operators.multimodal.BinaryPipeline
 import graft.operators.similarity.Similarity
-import graft.operators.text.TextOps
+import graft.operators.text.{LineDedup, TextOps}
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, max, substring}
+import org.apache.spark.sql.functions.{col, concat, expr, lit, max, substring, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * entry maps to. Every key in [[queries]] either has a DuckDB oracle in
@@ -162,6 +162,17 @@ object SparkEntry {
     "text_domain_cap" -> ((s, d) =>
       TextOps.DomainCap.run(Tables(s, d, "documents"), cap = DomainCapN)),
     "text_curate" -> ((s, d) => graft.operators.text.Curate.run(Tables(s, d, "documents"))),
+    // corpus-level line dedup (#35h): the synthetic documents are
+    // single-line, so the demo corpus adds the boilerplate structure the
+    // operator exists to strip — a shared nav header, a blank structural
+    // line, and a footer on even doc ids (removal counts vary per doc);
+    // the oracle constructs the identical corpus in SQL
+    "text_line_dedup" -> ((s, d) =>
+      LineDedup.run(
+        Tables(s, d, "documents").withColumn("text",
+          concat(lit(LineDedupHeader + "\n\n"), col("text"),
+            when(col("doc_id") % 2 === 0, lit("\n" + LineDedupFooter))
+              .otherwise(lit("")))))),
     // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
     "sample_split" -> ((s, d) =>
       Sampling.hashSplit(Tables(s, d, "documents"), "doc_id", SplitWeights)
@@ -276,6 +287,10 @@ object SparkEntry {
   )
 
   private val SessionGapMinutes = 120
+  // line-dedup demo-corpus boilerplate (see the text_line_dedup entry);
+  // single-quote-free so the strings embed verbatim in the oracle SQL
+  private val LineDedupHeader = "NAV: HOME | ABOUT | CONTACT"
+  private val LineDedupFooter = "Subscribe to our newsletter today"
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val DomainCapN = 50
   private val StratFractions = Map("en" -> 0.5)
@@ -529,6 +544,10 @@ object SparkEntry {
     "text_repetition" -> TextOps.Repetition.oracleSql("documents"),
     "text_domain_cap" -> TextOps.DomainCap.oracleSql("documents", DomainCapN),
     "text_curate" -> graft.operators.text.Curate.oracleSql("documents"),
+    "text_line_dedup" -> LineDedup.oracleSql(
+      s"(SELECT doc_id, '$LineDedupHeader' || chr(10) || chr(10) || text" +
+        s" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '$LineDedupFooter'" +
+        " ELSE '' END AS text FROM documents)"),
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their
     // recall/precision vs the brute-force paths is asserted in DedupSpec

@@ -52,6 +52,8 @@ import org.apache.spark.sql.functions.expr
   *     --corpus-dir /data/corpus [--corpus-table documents] [--bloom-fpp 0.01]
   * GraftApp pack            --dir /data/sf1 --table docs_with_tokens \
   *     [--capacity 2048] [--tokens-col n_tokens] [--groups 256]
+  * GraftApp line-dedup      --dir /data/sf1 --table documents \
+  *     [--min-count 2] [--exact false] [--text-col text] [--id doc_id]
   * GraftApp decontaminate   --dir /data/sf1 --table documents \
   *     --probes-file benchmark_strings.txt
   * GraftApp mixture         --dir /data/sf1 --table docs_with_tokens \
@@ -94,7 +96,7 @@ object GraftApp {
     "completeness", "uniqueness", "format", "range", "stats", "stats-compare",
     "values", "referential", "suite", "skew", "asof", "range-join", "split",
     "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "mixture",
-    "pack", "sessionize")
+    "pack", "sessionize", "line-dedup")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -345,6 +347,18 @@ object GraftApp {
         Dedup.IncrementalDedup.report(
           table, Tables(spark, corpusDir, corpusTable),
           bloomFpp = f.getOrElse("bloom-fpp", "0.01").toDouble)
+      case "line-dedup" =>
+        // corpus-level boilerplate-line removal; --exact true forces the
+        // string-keyed path (oracle-exact), default is the hashed scale
+        // path (text never shuffles)
+        val t = table
+        val minCount = f.getOrElse("min-count", "2").toInt
+        val textCol = f.getOrElse("text-col", "text")
+        val idCol = f.getOrElse("id", "doc_id")
+        if (f.getOrElse("exact", "false").toBoolean)
+          graft.operators.text.LineDedup.run(t, minCount, textCol, idCol)
+        else
+          graft.operators.text.LineDedup.runHashed(t, minCount, textCol, idCol)
       case "decontaminate" =>
         // --probes-file: one benchmark/test-set string per line
         val probes = java.nio.file.Files
