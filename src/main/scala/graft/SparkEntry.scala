@@ -166,13 +166,13 @@ object SparkEntry {
     // single-line, so the demo corpus adds the boilerplate structure the
     // operator exists to strip — a shared nav header, a blank structural
     // line, and a footer on even doc ids (removal counts vary per doc);
-    // the oracle constructs the identical corpus in SQL
-    "text_line_dedup" -> ((s, d) =>
-      LineDedup.run(
-        Tables(s, d, "documents").withColumn("text",
-          concat(lit(LineDedupHeader + "\n\n"), col("text"),
-            when(col("doc_id") % 2 === 0, lit("\n" + LineDedupFooter))
-              .otherwise(lit("")))))),
+    // the oracle constructs the identical corpus in SQL. Both paths are
+    // registered against the SAME oracle: runHashed is exactly
+    // equivalent by design (LineDedupSpec), so the hash compare proves
+    // the scale path, not just the string path.
+    "text_line_dedup" -> ((s, d) => LineDedup.run(lineDedupCorpus(s, d))),
+    "text_line_dedup_hashed" -> ((s, d) =>
+      LineDedup.runHashed(lineDedupCorpus(s, d))),
     // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
     "sample_split" -> ((s, d) =>
       Sampling.hashSplit(Tables(s, d, "documents"), "doc_id", SplitWeights)
@@ -291,6 +291,15 @@ object SparkEntry {
   // single-quote-free so the strings embed verbatim in the oracle SQL
   private val LineDedupHeader = "NAV: HOME | ABOUT | CONTACT"
   private val LineDedupFooter = "Subscribe to our newsletter today"
+  private def lineDedupCorpus(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").withColumn("text",
+      concat(lit(LineDedupHeader + "\n\n"), col("text"),
+        when(col("doc_id") % 2 === 0, lit("\n" + LineDedupFooter))
+          .otherwise(lit(""))))
+  private lazy val LineDedupOracle = LineDedup.oracleSql(
+    s"(SELECT doc_id, '$LineDedupHeader' || chr(10) || chr(10) || text" +
+      s" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '$LineDedupFooter'" +
+      " ELSE '' END AS text FROM documents)")
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val DomainCapN = 50
   private val StratFractions = Map("en" -> 0.5)
@@ -544,10 +553,9 @@ object SparkEntry {
     "text_repetition" -> TextOps.Repetition.oracleSql("documents"),
     "text_domain_cap" -> TextOps.DomainCap.oracleSql("documents", DomainCapN),
     "text_curate" -> graft.operators.text.Curate.oracleSql("documents"),
-    "text_line_dedup" -> LineDedup.oracleSql(
-      s"(SELECT doc_id, '$LineDedupHeader' || chr(10) || chr(10) || text" +
-        s" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '$LineDedupFooter'" +
-        " ELSE '' END AS text FROM documents)"),
+    "text_line_dedup" -> LineDedupOracle,
+    // same oracle by design: runHashed must agree exactly with run
+    "text_line_dedup_hashed" -> LineDedupOracle,
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their
     // recall/precision vs the brute-force paths is asserted in DedupSpec

@@ -23,6 +23,17 @@ object Explain {
       val df = graft.SparkEntry.queries(name)(spark, args.head)
       println(s"==== $name ====")
       df.explain("formatted")
+      // Catalyst sizeInBytes estimates per logical node — these drive
+      // the STATIC broadcast/SHJ choices (AQE only re-decides at stage
+      // boundaries), so an underpriced unbounded leg shows up here
+      // before it becomes an 8 GiB broadcast failure at scale
+      println(s"---- $name optimized-plan sizeInBytes estimates ----")
+      def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+               d: Int): Unit = {
+        println("  " * d + p.nodeName + "  sizeInBytes=" + p.stats.sizeInBytes)
+        p.children.foreach(walk(_, d + 1))
+      }
+      walk(df.queryExecution.optimizedPlan, 0)
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")

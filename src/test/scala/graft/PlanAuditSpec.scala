@@ -326,6 +326,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("text_line_dedup_hashed: line text never crosses an exchange") {
+    // the scale path's core claim: frequency counting and the removal
+    // join shuffle 8-byte xxhash64 keys and (doc, pos) triples — the
+    // raw `line` string must be dropped BEFORE every exchange. (The
+    // final range partition for the orderBy carries the rebuilt
+    // text_clean, which is row-per-document output, not exploded lines.)
+    val p = plan(q("text_line_dedup_hashed"))
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.trim.matches("""\(\d+\) (Exchange|BroadcastExchange).*""")) {
+        val inp = lines.slice(i + 1, i + 3).mkString(" ")
+        assert(!inp.matches(""".*\bline#.*"""),
+          s"exploded line text crosses an exchange at '$l': $inp\n$p")
+      }
+    }
+  }
+
   test("text ops stay in one codegen'd projection over the scan (no agg shuffle)") {
     val p = plan(q("text_quality"))
     // the only exchange allowed is the final orderBy's range partition
