@@ -7,7 +7,7 @@ import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.Dedup
 import graft.operators.multimodal.BinaryPipeline
 import graft.operators.similarity.Similarity
-import graft.operators.text.{LineDedup, TextOps}
+import graft.operators.text.{LineDedup, SpanDedup, TextOps}
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, expr, lit, max, substring, when}
@@ -173,6 +173,16 @@ object SparkEntry {
     "text_line_dedup" -> ((s, d) => LineDedup.run(lineDedupCorpus(s, d))),
     "text_line_dedup_hashed" -> ((s, d) =>
       LineDedup.runHashed(lineDedupCorpus(s, d))),
+    // corpus-level exact-substring dedup (ExactSubstr, Lee et al. 2022;
+    // SURVEY §2 #35i): the demo corpus appends shared boilerplate
+    // sentences to a third/a fifth of docs (both on multiples of 15, so
+    // boundary-straddling windows are duplicated too); w=8 because the
+    // synthetic docs are 10-99 tokens. Both paths share one oracle:
+    // runHashed agrees exactly with run by design (SpanDedupSpec).
+    "text_span_dedup" -> ((s, d) =>
+      SpanDedup.run(spanDedupCorpus(s, d), w = SpanDedupW)),
+    "text_span_dedup_hashed" -> ((s, d) =>
+      SpanDedup.runHashed(spanDedupCorpus(s, d), w = SpanDedupW)),
     // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
     "sample_split" -> ((s, d) =>
       Sampling.hashSplit(Tables(s, d, "documents"), "doc_id", SplitWeights)
@@ -300,6 +310,23 @@ object SparkEntry {
     s"(SELECT doc_id, '$LineDedupHeader' || chr(10) || chr(10) || text" +
       s" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '$LineDedupFooter'" +
       " ELSE '' END AS text FROM documents)")
+  // span-dedup demo-corpus boilerplate (see the text_span_dedup entry);
+  // single-quote-free so the strings embed verbatim in the oracle SQL
+  private val SpanDedupW = 8
+  private val SpanDedupB1 =
+    "this content is provided as is without warranty of any kind either express or implied"
+  private val SpanDedupB2 =
+    "subscribe now for unlimited access to premium articles and an ad free reading experience"
+  private def spanDedupCorpus(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" " + SpanDedupB1)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" " + SpanDedupB2)).otherwise(lit(""))))
+  private lazy val SpanDedupOracle = SpanDedup.oracleSql(
+    s"(SELECT doc_id, text" +
+      s" || CASE WHEN doc_id % 3 = 0 THEN ' ' || '$SpanDedupB1' ELSE '' END" +
+      s" || CASE WHEN doc_id % 5 = 0 THEN ' ' || '$SpanDedupB2' ELSE '' END" +
+      " AS text FROM documents)", w = SpanDedupW)
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val DomainCapN = 50
   private val StratFractions = Map("en" -> 0.5)
@@ -556,6 +583,9 @@ object SparkEntry {
     "text_line_dedup" -> LineDedupOracle,
     // same oracle by design: runHashed must agree exactly with run
     "text_line_dedup_hashed" -> LineDedupOracle,
+    "text_span_dedup" -> SpanDedupOracle,
+    // same oracle by design: runHashed must agree exactly with run
+    "text_span_dedup_hashed" -> SpanDedupOracle,
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their
     // recall/precision vs the brute-force paths is asserted in DedupSpec

@@ -54,6 +54,8 @@ import org.apache.spark.sql.functions.expr
   *     [--capacity 2048] [--tokens-col n_tokens] [--groups 256]
   * GraftApp line-dedup      --dir /data/sf1 --table documents \
   *     [--min-count 2] [--exact false] [--text-col text] [--id doc_id]
+  * GraftApp span-dedup      --dir /data/sf1 --table documents \
+  *     [--window 50] [--min-count 2] [--exact false] [--text-col text] [--id doc_id]
   * GraftApp decontaminate   --dir /data/sf1 --table documents \
   *     --probes-file benchmark_strings.txt
   * GraftApp mixture         --dir /data/sf1 --table docs_with_tokens \
@@ -96,7 +98,7 @@ object GraftApp {
     "completeness", "uniqueness", "format", "range", "stats", "stats-compare",
     "values", "referential", "suite", "skew", "asof", "range-join", "split",
     "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "mixture",
-    "pack", "sessionize", "line-dedup")
+    "pack", "sessionize", "line-dedup", "span-dedup")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -359,6 +361,19 @@ object GraftApp {
           graft.operators.text.LineDedup.run(t, minCount, textCol, idCol)
         else
           graft.operators.text.LineDedup.runHashed(t, minCount, textCol, idCol)
+      case "span-dedup" =>
+        // corpus-level duplicated-span removal (ExactSubstr, Lee et al.
+        // 2022); --exact true forces the string-keyed path
+        // (oracle-exact), default is the hashed scale path
+        val t = table
+        val w = f.getOrElse("window", "50").toInt
+        val minCount = f.getOrElse("min-count", "2").toInt
+        val textCol = f.getOrElse("text-col", "text")
+        val idCol = f.getOrElse("id", "doc_id")
+        if (f.getOrElse("exact", "false").toBoolean)
+          graft.operators.text.SpanDedup.run(t, w, minCount, textCol, idCol)
+        else
+          graft.operators.text.SpanDedup.runHashed(t, w, minCount, textCol, idCol)
       case "decontaminate" =>
         // --probes-file: one benchmark/test-set string per line
         val probes = java.nio.file.Files

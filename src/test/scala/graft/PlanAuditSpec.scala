@@ -343,6 +343,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("text_span_dedup_hashed: window/token text never crosses an exchange") {
+    // the scale path's core claim: windows are hashed row-locally over
+    // token-array slices, so the frequency count and hot-set join move
+    // only (doc, start, wh) triples; whole-document text may cross ONLY
+    // the doc-keyed removal join and the final orderBy range partition —
+    // never an exchange keyed on the window hash
+    val p = plan(q("text_span_dedup_hashed"))
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.trim.matches("""\(\d+\) (Exchange|BroadcastExchange).*""")) {
+        val inp = lines.slice(i + 1, i + 3).mkString(" ")
+        assert(!inp.matches(""".*\b(win|tok)#.*"""),
+          s"window/token text crosses an exchange at '$l': $inp\n$p")
+        if (l.contains("hashpartitioning(wh#"))
+          assert(!inp.matches(""".*\btext#.*"""),
+            s"document text crosses the window-hash exchange at '$l': $inp\n$p")
+      }
+    }
+  }
+
   test("text ops stay in one codegen'd projection over the scan (no agg shuffle)") {
     val p = plan(q("text_quality"))
     // the only exchange allowed is the final orderBy's range partition

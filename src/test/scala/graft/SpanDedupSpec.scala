@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.text.SpanDedup
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-level exact-substring dedup (SURVEY §2 #35i): exact-path
+  * semantics of the ExactSubstr rule (Lee et al. 2022) and exact
+  * agreement of the hashed 100 TB path.
+  */
+class SpanDedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // w=4 windows; "the quick brown fox jumps" is a shared 5-token span
+  // (docs 1+2) → 2 hot windows that overlap-merge into 5 covered tokens
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over a lazy dog"),
+    (2L, "intro words the quick brown fox jumps tail"),
+    (3L, "repeat me now ok repeat me now ok"),
+    (4L, "all tokens here are one of a kind"),
+    (5L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  private def rows(df: DataFrame): Map[Long, (String, Int, Int)] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+
+  test("a cross-document span is removed from every document, coverage merges overlaps") {
+    val out = rows(SpanDedup.run(docs, w = 4))
+    // docs 1+2 share the 5-token span → windows [the..fox] and
+    // [quick..jumps] are both hot; union covers exactly those 5 tokens
+    assert(out(1L) === (("over a lazy dog", 9, 5)))
+    assert(out(2L) === (("intro words tail", 8, 5)))
+  }
+
+  test("a span repeated WITHIN one document is duplicated evidence too") {
+    // doc 3: "repeat me now ok" occurs twice → whole doc is covered
+    val out = rows(SpanDedup.run(docs, w = 4))
+    assert(out(3L) === (("", 8, 8)))
+    assert(out.size === 5)
+  }
+
+  test("unique docs and docs shorter than w survive verbatim") {
+    val out = rows(SpanDedup.run(docs, w = 4))
+    assert(out(4L) === (("all tokens here are one of a kind", 8, 0)))
+    assert(out(5L) === (("tiny doc", 2, 0)))
+  }
+
+  test("minCount above the max frequency is a lossless roundtrip") {
+    val out = SpanDedup.run(docs, w = 4, minCount = 10)
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.collect().foreach { r =>
+      assert(r.getString(1) === orig(r.getLong(0)))
+      assert(r.getInt(3) === 0)
+    }
+  }
+
+  test("hashed scale path agrees exactly with the string path") {
+    // deterministic mixed corpus: a shared boilerplate sentence in a
+    // third of docs, a second one in a fifth (both on the same doc for
+    // multiples of 15 → straddle windows), unique filler elsewhere
+    val b1 = "this content is provided as is without any warranty"
+    val b2 = "subscribe now for unlimited access to premium articles"
+    val mixed = (0 until 150).map { id =>
+      val base = (0 until 6).map(j => s"w${(id * 7 + j * 3) % 97}").mkString(" ")
+      val parts = Seq(base) ++
+        (if (id % 3 == 0) Seq(b1) else Nil) ++
+        (if (id % 5 == 0) Seq(b2) else Nil)
+      (id.toLong, parts.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (corpus <- Seq(docs, mixed); k <- Seq(2, 3); w <- Seq(4, 6)) {
+      val exact = SpanDedup.run(corpus, w = w, minCount = k).collect().toSeq
+      val hashed = SpanDedup.runHashed(corpus, w = w, minCount = k).collect().toSeq
+      assert(hashed === exact, s"w=$w minCount=$k")
+    }
+  }
+}
