@@ -4,10 +4,10 @@ import graft.operators._
 import graft.operators.checks.{Checks, Suite}
 import graft.operators.checks.Checks.{FormatRule, RangeRule}
 import graft.operators.checks.Checks.Referential.FkRule
-import graft.operators.dedup.Dedup
+import graft.operators.dedup.{Dedup, SemanticDedup}
 import graft.operators.multimodal.BinaryPipeline
 import graft.operators.similarity.Similarity
-import graft.operators.text.{LineDedup, SpanDedup, TextOps}
+import graft.operators.text.{KeywordSearch, LineDedup, SpanDedup, TextOps}
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, expr, lit, max, substring, when}
@@ -183,6 +183,10 @@ object SparkEntry {
       SpanDedup.run(spanDedupCorpus(s, d), w = SpanDedupW)),
     "text_span_dedup_hashed" -> ((s, d) =>
       SpanDedup.runHashed(spanDedupCorpus(s, d), w = SpanDedupW)),
+    // BM25 keyword search (SURVEY §2 #39): three fixed queries over the
+    // documents vocabulary, top-10 each
+    "text_bm25" -> ((s, d) =>
+      KeywordSearch.bm25(Tables(s, d, "documents"), Bm25Queries, k = 10)),
     // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
     "sample_split" -> ((s, d) =>
       Sampling.hashSplit(Tables(s, d, "documents"), "doc_id", SplitWeights)
@@ -265,6 +269,12 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.EmbeddingDedup.lshPairs(Tables(s, d, "embeddings"), EmbeddingDedupThreshold,
         dim = 64, bits = 4, tables = 16)),
+    // SemDeDup (SURVEY §2 #29e), seeded audit variant — deterministic
+    // quantizer so the DuckDB oracle reproduces cells bit-for-bit; the
+    // trained IVF variant is SemanticDedupSpec's subject
+    "dedup_semantic" -> ((s, d) =>
+      SemanticDedup.seeded(Tables(s, d, "embeddings"), EmbeddingDedupThreshold,
+        nSeeds = 16)),
     // --- similarity search (SURVEY §2 #30-31) ---
     "ann_cosine_topk" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
@@ -322,6 +332,12 @@ object SparkEntry {
       concat(col("text"),
         when(col("doc_id") % 3 === 0, lit(" " + SpanDedupB1)).otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit(" " + SpanDedupB2)).otherwise(lit(""))))
+  // BM25 demo queries — single-quote-free, terms from the synthetic
+  // document vocabulary (plus one unseen term to exercise df=0)
+  private val Bm25Queries = Seq(
+    0 -> "spark window merge",
+    1 -> "customer order line batch",
+    2 -> "hash join filter unseenterm")
   private lazy val SpanDedupOracle = SpanDedup.oracleSql(
     s"(SELECT doc_id, text" +
       s" || CASE WHEN doc_id % 3 = 0 THEN ' ' || '$SpanDedupB1' ELSE '' END" +
@@ -586,6 +602,7 @@ object SparkEntry {
     "text_span_dedup" -> SpanDedupOracle,
     // same oracle by design: runHashed must agree exactly with run
     "text_span_dedup_hashed" -> SpanDedupOracle,
+    "text_bm25" -> KeywordSearch.oracleSql("documents", Bm25Queries, k = 10),
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their
     // recall/precision vs the brute-force paths is asserted in DedupSpec
@@ -607,6 +624,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
     "dedup_clusters" -> Dedup.Components.oracleSql("documents", NgramJaccardThreshold),
     "dedup_embedding" -> Dedup.EmbeddingDedup.oracleSql("embeddings", EmbeddingDedupThreshold),
+    "dedup_semantic" -> SemanticDedup.oracleSql("embeddings", EmbeddingDedupThreshold, 16),
     "ann_cosine_topk" -> Similarity.CosineTopK.oracleSql("embeddings", AnnK, AnnNumQueries),
     "multimodal_meta" -> BinaryPipeline.oracleSql("documents"),
     "multimodal_frames" -> BinaryPipeline.framesOracleSql("documents", FrameStride)

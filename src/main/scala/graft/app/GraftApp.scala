@@ -56,6 +56,10 @@ import org.apache.spark.sql.functions.expr
   *     [--min-count 2] [--exact false] [--text-col text] [--id doc_id]
   * GraftApp span-dedup      --dir /data/sf1 --table documents \
   *     [--window 50] [--min-count 2] [--exact false] [--text-col text] [--id doc_id]
+  * GraftApp search           --dir /data/sf1 --table documents \
+  *     --query "terms to search" [--k 10] [--text-col text] [--id doc_id]
+  * GraftApp semantic-dedup   --dir /data/sf1 --table embeddings \
+  *     [--threshold 0.9] [--cells 32] [--vec-col embedding] [--id vec_id]
   * GraftApp decontaminate   --dir /data/sf1 --table documents \
   *     --probes-file benchmark_strings.txt
   * GraftApp mixture         --dir /data/sf1 --table docs_with_tokens \
@@ -98,7 +102,8 @@ object GraftApp {
     "completeness", "uniqueness", "format", "range", "stats", "stats-compare",
     "values", "referential", "suite", "skew", "asof", "range-join", "split",
     "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "mixture",
-    "pack", "sessionize", "line-dedup", "span-dedup")
+    "pack", "sessionize", "line-dedup", "span-dedup", "search",
+    "semantic-dedup")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -374,6 +379,19 @@ object GraftApp {
           graft.operators.text.SpanDedup.run(t, w, minCount, textCol, idCol)
         else
           graft.operators.text.SpanDedup.runHashed(t, w, minCount, textCol, idCol)
+      case "search" =>
+        // BM25 keyword search, top-k documents for one query string
+        graft.operators.text.KeywordSearch.search(table, flag("query"),
+          k = f.getOrElse("k", "10").toInt,
+          textCol = f.getOrElse("text-col", "text"),
+          idCol = f.getOrElse("id", "doc_id"))
+      case "semantic-dedup" =>
+        // SemDeDup over an embedding column (trained IVF cells)
+        graft.operators.dedup.SemanticDedup.run(table,
+          threshold = f.getOrElse("threshold", "0.9").toDouble,
+          nCells = f.getOrElse("cells", "32").toInt,
+          vecCol = f.getOrElse("vec-col", "embedding"),
+          idCol = f.getOrElse("id", "vec_id"))
       case "decontaminate" =>
         // --probes-file: one benchmark/test-set string per line
         val probes = java.nio.file.Files

@@ -164,10 +164,14 @@ object Similarity {
       ctrs
     }
 
-    def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-             nCells: Int = DefaultCells, nProbe: Int = DefaultProbe,
-             vecCol: String = "embedding", idCol: String = "vec_id",
-             maxTrain: Long = MaxTrainRows): DataFrame = {
+    /** Train-and-assign (the corpus half of [[topK]], reusable by
+      * [[graft.operators.dedup.SemanticDedup]]): driver-local Lloyd on a
+      * value-selected bounded sample, then one map-side assignment pass.
+      * Returns `(corpus_id, corpus_v, cell)` plus the trained centroids.
+      */
+    private[graft] def assignCells(corpus: DataFrame, nCells: Int,
+                                   vecCol: String, idCol: String,
+                                   maxTrain: Long): (DataFrame, Array[Array[Double]]) = {
       val spark = corpus.sparkSession
       import spark.implicits._
       // accept any numeric array (array<double> from upstream UDFs or
@@ -198,6 +202,15 @@ object Similarity {
       val assigned = c.mapPartitions { it =>
         it.map { case (id, v) => (id, v, nearest(normalized(v), ctrs)) }
       }.toDF("corpus_id", "corpus_v", "cell")
+      (assigned, ctrs)
+    }
+
+    def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+             nCells: Int = DefaultCells, nProbe: Int = DefaultProbe,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             maxTrain: Long = MaxTrainRows): DataFrame = {
+      val spark = corpus.sparkSession
+      val (assigned, ctrs) = assignCells(corpus, nCells, vecCol, idCol, maxTrain)
 
       // centroid table: tiny, broadcast into the query-side scoring
       val centroids = spark.createDataFrame(

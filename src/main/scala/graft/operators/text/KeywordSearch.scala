@@ -1,0 +1,133 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword search over a document corpus (Robertson/Sparck Jones
+  * probabilistic ranking, the Okapi BM25 form used by Lucene/ES and by
+  * training-data curation pipelines for query-targeted subset mining).
+  * For query q and document D:
+  *
+  *   score(q, D) = Σ_{t ∈ q} idf(t) · tf(t,D)·(k1+1) /
+  *                             (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+  *   idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+  *
+  * Tokens are the single-space split of `lower(text)`; |D| counts all
+  * tokens, avgdl is the corpus mean.
+  *
+  * Scale shape (the part that matters at 100 TB): the query term set is
+  * tiny and known up-front, so an `isin` filter sits directly on the
+  * explode output — the per-(doc, term) aggregate only ever sees
+  * occurrences of query terms, never the full corpus vocabulary;
+  * document length comes row-locally from the same frame (no second
+  * pass, no corpus-wide window); df(t) aggregates the already-filtered
+  * term rows; N and avgdl ride one 1-row crossJoin.
+  * The final top-k is a rank window per query — Spark executes the
+  * `rank <= k` filter as a WindowGroupLimit partial limit per input
+  * partition, so only ~k·partitions rows reach the single-query-key
+  * shuffle.
+  *
+  * Determinism across engines: a BM25 score is a sum of per-term
+  * doubles and aggregation order differs between Spark and DuckDB, so
+  * ranking over the raw double could flip exact-real-value ties whose
+  * float results differ in the last bit. The rank therefore orders by
+  * `round(score, 4)` with `doc_id` as the unique tie-break — identical
+  * on both engines (unlike [[graft.operators.similarity.Similarity]]'s
+  * cosine, which is a deterministic left-to-right fold on both sides
+  * and can rank the raw value).
+  *
+  * Output: `(query_id, doc_id, score, rank)`, `rank <= k` per query.
+  */
+object KeywordSearch {
+
+  def bm25(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
+           k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
+    }
+    val qterms = pairs.toDF("query_id", "term")
+    val allTerms = pairs.map(_._2).distinct
+
+    // row-local doc length; the corpus scalar rides one 1-row crossJoin
+    val withDl = docs.select(col(idCol).as("doc_id"),
+      split(lower(col(textCol)), " ").as("t"))
+      .withColumn("dl", size(col("t")))
+    val stats = withDl.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+    // only query-term occurrences survive the explode — the aggregate
+    // below is sized by query-term hits, not the corpus vocabulary
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(stats)
+      .select(col("term"), col("n_docs"), col("avgdl"),
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          .as("idf"))
+
+    val scored = tf
+      .join(broadcast(idf), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id").agg(sum(col("contrib")).as("score_raw"))
+      .withColumn("score", round(col("score_raw"), 4))
+
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", rank().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Convenience for the CLI: one ad-hoc query string. */
+  def search(docs: DataFrame, query: String, k: Int,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bm25(docs, Seq(0 -> query), k, textCol = textCol, idCol = idCol)
+      .drop("query_id")
+
+  /** DuckDB twin. Query strings must be single-quote-free. */
+  def oracleSql(table: String, queries: Seq[(Int, String)], k: Int,
+                k1: Double = 1.2, b: Double = 0.75): String = {
+    val qvalues = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.split(" ").filter(_.nonEmpty).distinct
+        .map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH qterms(query_id, term) AS (VALUES $qvalues),
+       |docs AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t,
+       |         len(string_split(lower(text), ' ')) AS dl
+       |  FROM $table),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(t) AS term FROM docs)
+       |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+       |  GROUP BY doc_id, dl, term),
+       |idf AS (
+       |  SELECT term, ln(1 + (n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf,
+       |         min(avgdl) AS avgdl
+       |  FROM tf, stats GROUP BY term, n_docs),
+       |scored AS (
+       |  SELECT q.query_id, f.doc_id,
+       |    round(sum(i.idf * (f.tf * ($k1 + 1)) /
+       |              (f.tf + $k1 * ((1 - $b) + $b * f.dl / i.avgdl))), 4) AS score
+       |  FROM tf f JOIN idf i USING (term) JOIN qterms q USING (term)
+       |  GROUP BY q.query_id, f.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(rank() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, doc_id, score, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.dedup.SemanticDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemDeDup-style semantic dedup (SURVEY §2 #29e): seeded audit-variant
+  * semantics (cells, keep rule, NaN handling) and the trained
+  * production variant on separable clusters.
+  */
+class SemanticDedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Array[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("seeded: cells by max-cosine seed, duplicate groups keep lowest id") {
+    val df = vecs(
+      0L -> Array(1f, 0f, 0f, 0f),     // seed 0
+      1L -> Array(0f, 1f, 0f, 0f),     // seed 1
+      2L -> Array(1f, 0f, 0f, 0f),     // exact dup of 0 → cell 0, dropped
+      3L -> Array(0f, 0.99f, 0.01f, 0f), // near-dup of 1 → cell 1, dropped
+      4L -> Array(0.6f, 0.58f, 0f, 0f),  // cell 0, no near-dup → kept
+      5L -> Array(0f, 0f, 0f, 0f),     // zero vector: NaN scores → cell 0, kept
+      6L -> Array(0f, 0f, 1f, 0f))     // 0-cosine tie → seed 0 wins → cell 0, kept
+    val out = SemanticDedup.seeded(df, threshold = 0.95, nSeeds = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(
+      0L -> ((0L, true)), 1L -> ((1L, true)),
+      2L -> ((0L, false)), 3L -> ((1L, false)),
+      4L -> ((0L, true)), 5L -> ((0L, true)), 6L -> ((0L, true))))
+  }
+
+  test("seeded: pruning never crosses cell boundaries") {
+    // vec 2 is an exact dup of vec 3 but they sit in different cells by
+    // construction (each is a seed's copy) — neither is dropped
+    val df = vecs(
+      0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(1f, 0.001f), 3L -> Array(0.001f, 1f))
+    val out = SemanticDedup.seeded(df, threshold = 0.999999, nSeeds = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(0L -> true, 1L -> true, 2L -> true, 3L -> true))
+  }
+
+  test("trained: one representative survives per tight cluster") {
+    // three well-separated tight clusters of 5 (intra-cosine ≈ 1,
+    // cross-cosine ≈ 0): each cell keeps exactly its lowest id
+    val df = vecs((0 until 15).map { i =>
+      val base = Array.fill(6)(0f)
+      base(i / 5) = 10f
+      base(3 + i / 5) = 0.01f * (i % 5) // tiny within-cluster jitter
+      i.toLong -> base
+    }: _*)
+    val out = SemanticDedup.run(df, threshold = 0.99, nCells = 3).collect()
+    assert(out.length === 15)
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(0L, 5L, 10L))
+    // determinism: trained centroids are seeded and value-sampled
+    val again = SemanticDedup.run(df, threshold = 0.99, nCells = 3).collect()
+    assert(again.map(_.toString).sorted.toSeq === out.map(_.toString).sorted.toSeq)
+  }
+}
