@@ -7,7 +7,7 @@ import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.{Dedup, SemanticDedup}
 import graft.operators.multimodal.BinaryPipeline
 import graft.operators.similarity.Similarity
-import graft.operators.text.{KeywordSearch, LineDedup, SpanDedup, TextOps}
+import graft.operators.text.{KeywordSearch, LineDedup, Perplexity, SpanDedup, TextOps}
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, expr, lit, max, substring, when}
@@ -187,6 +187,13 @@ object SparkEntry {
     // documents vocabulary, top-10 each
     "text_bm25" -> ((s, d) =>
       KeywordSearch.bm25(Tables(s, d, "documents"), Bm25Queries, k = 10)),
+    // corpus-trained bigram-LM perplexity (CCNet-style quality filter,
+    // SURVEY §2 #35j). Both paths share one oracle: runHashed agrees
+    // exactly with run by design (PerplexitySpec), so the driver's hash
+    // compare proves the scale path where text never shuffles.
+    "text_perplexity" -> ((s, d) => Perplexity.run(Tables(s, d, "documents"))),
+    "text_perplexity_hashed" -> ((s, d) =>
+      Perplexity.runHashed(Tables(s, d, "documents"))),
     // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
     "sample_split" -> ((s, d) =>
       Sampling.hashSplit(Tables(s, d, "documents"), "doc_id", SplitWeights)
@@ -603,6 +610,9 @@ object SparkEntry {
     // same oracle by design: runHashed must agree exactly with run
     "text_span_dedup_hashed" -> SpanDedupOracle,
     "text_bm25" -> KeywordSearch.oracleSql("documents", Bm25Queries, k = 10),
+    "text_perplexity" -> Perplexity.oracleSql("documents"),
+    // same oracle by design: runHashed must agree exactly with run
+    "text_perplexity_hashed" -> Perplexity.oracleSql("documents"),
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their
     // recall/precision vs the brute-force paths is asserted in DedupSpec

@@ -1,0 +1,125 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language-model scoring — the CCNet-style
+  * "perplexity filter" quality signal (Wenzek et al. 2020 train a 5-gram
+  * KenLM on Wikipedia and keep low-perplexity web documents; the same
+  * pipeline shape works with any n-gram order). The model here is
+  * trained on the corpus itself in the same job: bigram and
+  * first-token counts with Laplace (add-1) smoothing,
+  *
+  *   p(w2 | w1) = (c(w1,w2) + 1) / (c1(w1) + V)
+  *
+  * where `c1(w1)` counts bigram occurrences starting with `w1` and `V`
+  * is the corpus vocabulary size, so the distribution sums to exactly 1
+  * over the vocabulary. Per-document score = mean cross-entropy over
+  * its bigrams (nats) and the derived perplexity `exp(xent)`.
+  *
+  * Two paths, same math (the [[LineDedup]] pattern):
+  *
+  *   - [[run]] — exact, oracle-checkable: bigrams are built row-locally
+  *     (no self-join), model keys are the token strings. The shuffles
+  *     carry exploded token text; right for audits and modest corpora.
+  *   - [[runHashed]] — the 100 TB path: document text NEVER shuffles.
+  *     Bigrams become 8-byte `xxhash64` keys in the same row-local
+  *     projection (`xxhash64(w1, w2)` for the pair, `xxhash64(w1)` for
+  *     the first token), counts and joins run over hashes only, and the
+  *     final aggregate is keyed by doc id. Counts are identical to the
+  *     exact path unless xxhash64 collides (P ≈ V²/2⁶⁴ — negligible
+  *     below ~10⁹ distinct tokens), so both paths register against ONE
+  *     oracle and the driver's hash compare proves the scale path too.
+  *
+  * Scale notes: bigram/first counts are map-side combined and bounded
+  * by observed-vocabulary size, not corpus size; the model-side joins
+  * are left to AQE (vocabulary tables are small relative to the
+  * exploded bigram stream, so it broadcasts them when measured small
+  * and shuffles otherwise — both sides of those joins are bounded by
+  * vocab², never O(corpus·text)).
+  *
+  * Output, one row per input document:
+  * `(doc_id, n_bigrams, xent_nats, ppl)` — documents with fewer than
+  * two tokens carry `n_bigrams = 0` and null scores.
+  */
+object Perplexity {
+
+  /** Whitespace tokens with empties dropped (leading/double spaces). */
+  private def toks(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      filter(split(col(textCol), " "), w => w =!= "").as("ws"))
+
+  /** Row-local bigram explode; extra = per-bigram key columns. */
+  private def bigrams(t: DataFrame, idCol: String): DataFrame =
+    t.where(size(col("ws")) >= 2)
+      .select(col(idCol),
+        explode(expr(
+          "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+        )).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  private def score(df: DataFrame, bi: DataFrame, vocab: DataFrame,
+                    pairKey: Seq[String], firstKey: String,
+                    idCol: String): DataFrame = {
+    val cb = bi.groupBy(pairKey.map(col): _*).agg(count(lit(1)).as("cb"))
+    val c1 = bi.groupBy(firstKey).agg(count(lit(1)).as("c1"))
+    val scored = bi
+      .join(cb, pairKey).join(c1, Seq(firstKey)).crossJoin(vocab)
+      .groupBy(idCol).agg(
+        count(lit(1)).as("nb"),
+        avg(log(col("c1") + col("v")) - log(col("cb") + 1)).as("xent"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        round(col("xent"), 3).as("xent_nats"),
+        round(exp(col("xent")), 2).as("ppl"))
+      .orderBy(idCol)
+  }
+
+  /** Exact path: token strings are the model keys. */
+  def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = toks(df, textCol, idCol)
+    val bi = bigrams(t, idCol)
+    val vocab = t.select(explode(col("ws")).as("w")).agg(countDistinct("w").as("v"))
+    score(df, bi, vocab, Seq("w1", "w2"), "w1", idCol)
+  }
+
+  /** Scale path: 8-byte hashes shuffle, text does not. See class doc. */
+  def runHashed(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = toks(df, textCol, idCol)
+    val bi = bigrams(t, idCol)
+      .select(col(idCol), xxhash64(col("w1"), col("w2")).as("hb"), xxhash64(col("w1")).as("h1"))
+    val vocab = t.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(xxhash64(col("w"))).as("v"))
+    score(df, bi, vocab, Seq("hb"), "h1", idCol)
+  }
+
+  /** DuckDB twin of [[run]] (and, by exact agreement, [[runHashed]]). */
+  def oracleSql(table: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM $table),
+       |bi AS (
+       |  SELECT doc_id,
+       |    unnest(list_slice(ws, 1, len(ws) - 1)) AS w1,
+       |    unnest(list_slice(ws, 2, len(ws))) AS w2
+       |  FROM toks WHERE len(ws) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS v
+       |      FROM (SELECT unnest(ws) AS w FROM toks)),
+       |scored AS (
+       |  SELECT b.doc_id, count(*) AS nb,
+       |    avg(ln(c1.c1 + v.v) - ln(cb.cb + 1)) AS xent
+       |  FROM bi b
+       |  JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+       |  JOIN c1 ON b.w1 = c1.w1
+       |  CROSS JOIN v
+       |  GROUP BY b.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(s.nb, 0) AS n_bigrams,
+       |  round(s.xent, 3) AS xent_nats,
+       |  round(exp(s.xent), 2) AS ppl
+       |FROM $table d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+}

@@ -48,14 +48,18 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(got === want)
   }
 
-  test("rank orders by score desc with doc_id tie-break; k cuts per query") {
-    // docs 2 and a clone score identically for "window" when lengths match
+  test("rank is unique: score desc, doc_id tie-break; k cuts per query") {
+    // docs 2 and a clone score identically for "window" when lengths
+    // match — doc_id inside the rank ORDER BY makes ranks unique (the
+    // documented engine-portable tie-break, mirrored by the oracle), so
+    // the tied pair lands at ranks 2 and 3 in doc_id order and
+    // `rank <= k` always returns exactly min(k, matches) rows
     val withClone = (corpus :+ (6L, "spark window")).toDF("doc_id", "text")
     val out = KeywordSearch.bm25(withClone, Seq(0 -> "window"), k = 3).collect()
     assert(out.length === 3)
-    // doc 4 (tf=3) first, then the tied pair (2, 6) in doc_id order
     assert(out.map(r => (r.getLong(1), r.getInt(3))).toSeq ===
-      Seq((4L, 1), (2L, 2), (6L, 2)))
+      Seq((4L, 1), (2L, 2), (6L, 3)))
+    assert(out(1).getDouble(2) === out(2).getDouble(2))
   }
 
   test("unseen terms contribute nothing; an all-unseen query returns no rows") {
