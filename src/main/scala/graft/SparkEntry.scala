@@ -7,7 +7,7 @@ import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.{Dedup, SemanticDedup}
 import graft.operators.multimodal.BinaryPipeline
 import graft.operators.similarity.Similarity
-import graft.operators.text.{KeywordSearch, LineDedup, Perplexity, SpanDedup, TextOps}
+import graft.operators.text.{KeywordSearch, LineDedup, Perplexity, SpanDedup, TextOps, UrlDedup}
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, expr, lit, max, substring, when}
@@ -194,6 +194,15 @@ object SparkEntry {
     "text_perplexity" -> ((s, d) => Perplexity.run(Tables(s, d, "documents"))),
     "text_perplexity_hashed" -> ((s, d) =>
       Perplexity.runHashed(Tables(s, d, "documents"))),
+    // URL-level dedup (C4/RefinedWeb first-stage rule, SURVEY §2 #35k):
+    // the synthetic documents carry no URL, so the demo corpus
+    // synthesizes one per doc with deliberate cosmetic variation —
+    // scheme/host case, www., default ports, tracking params, fragments,
+    // trailing slashes. Variants 0-2 of each (source, doc_id%97) slot
+    // normalize to the SAME canonical URL (dup groups); variant 3 keeps
+    // its non-tracking `id=5` param and stays distinct. The oracle
+    // builds the identical corpus in SQL.
+    "text_url_dedup" -> ((s, d) => UrlDedup.run(urlCorpus(s, d))),
     // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
     "sample_split" -> ((s, d) =>
       Sampling.hashSplit(Tables(s, d, "documents"), "doc_id", SplitWeights)
@@ -339,6 +348,33 @@ object SparkEntry {
       concat(col("text"),
         when(col("doc_id") % 3 === 0, lit(" " + SpanDedupB1)).otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit(" " + SpanDedupB2)).otherwise(lit(""))))
+  // url-dedup demo corpus (see the text_url_dedup entry); the CASE arms
+  // are mirrored verbatim in UrlCorpusSql below
+  private def urlCorpus(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").withColumn("url", expr(
+      """CASE CAST(doc_id % 4 AS INT)
+        | WHEN 0 THEN concat('https://www.', source, '.example.com/Doc/',
+        |   doc_id % 97, '/?utm_source=feed&ref=rss#top')
+        | WHEN 1 THEN concat('HTTP://', upper(source), '.Example.COM/Doc/',
+        |   doc_id % 97)
+        | WHEN 2 THEN concat('https://', source, '.example.com:443/Doc/',
+        |   doc_id % 97, '/')
+        | ELSE concat('http://', source, '.example.com:80/Doc/',
+        |   doc_id % 97, '?id=5&utm_campaign=x')
+        |END""".stripMargin))
+  private val UrlCorpusSql =
+    """(SELECT doc_id,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |   WHEN 0 THEN concat('https://www.', source, '.example.com/Doc/',
+      |     doc_id % 97, '/?utm_source=feed&ref=rss#top')
+      |   WHEN 1 THEN concat('HTTP://', upper(source), '.Example.COM/Doc/',
+      |     doc_id % 97)
+      |   WHEN 2 THEN concat('https://', source, '.example.com:443/Doc/',
+      |     doc_id % 97, '/')
+      |   ELSE concat('http://', source, '.example.com:80/Doc/',
+      |     doc_id % 97, '?id=5&utm_campaign=x')
+      |  END AS url
+      | FROM documents)""".stripMargin
   // BM25 demo queries — single-quote-free, terms from the synthetic
   // document vocabulary (plus one unseen term to exercise df=0)
   private val Bm25Queries = Seq(
@@ -613,6 +649,7 @@ object SparkEntry {
     "text_perplexity" -> Perplexity.oracleSql("documents"),
     // same oracle by design: runHashed must agree exactly with run
     "text_perplexity_hashed" -> Perplexity.oracleSql("documents"),
+    "text_url_dedup" -> UrlDedup.oracleSql(UrlCorpusSql),
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their
     // recall/precision vs the brute-force paths is asserted in DedupSpec
