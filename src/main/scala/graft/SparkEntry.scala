@@ -7,7 +7,7 @@ import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.{Dedup, SemanticDedup}
 import graft.operators.multimodal.BinaryPipeline
 import graft.operators.similarity.Similarity
-import graft.operators.text.{KeywordSearch, LineDedup, Perplexity, SpanDedup, TextOps, UrlDedup}
+import graft.operators.text.{Bpe, KeywordSearch, LineDedup, Perplexity, SpanDedup, TextOps, UrlDedup}
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, expr, lit, max, substring, when}
@@ -203,6 +203,15 @@ object SparkEntry {
     // its non-tracking `id=5` param and stays distinct. The oracle
     // builds the identical corpus in SQL.
     "text_url_dedup" -> ((s, d) => UrlDedup.run(urlCorpus(s, d))),
+    // BPE tokenizer (SURVEY §2 #34b): learn BpeMerges merges from the
+    // corpus word-frequency table, then the shuffle-free map-side
+    // apply. Rows-only — iterative data-dependent merges are not
+    // SQL-expressible; BpeSpec pins the semantics (hand-computed merge
+    // sequence, roundtrip, monotonicity, memo-path agreement)
+    "text_bpe" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Bpe.tokenStats(docs, Bpe.learnFromCorpus(docs, BpeMerges))
+    }),
     // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
     "sample_split" -> ((s, d) =>
       Sampling.hashSplit(Tables(s, d, "documents"), "doc_id", SplitWeights)
@@ -304,6 +313,12 @@ object SparkEntry {
       val emb = Tables(s, d, "embeddings")
       Similarity.IvfAnn.topK(emb, emb.where(col("vec_id") < AnnNumQueries), AnnK)
     }),
+    // product-quantization ANN (SURVEY §2 #31c): byte-coded index + ADC
+    // candidate scan + exact re-rank; recall tracked in ann_recall
+    "ann_pq" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.PqAnn.topK(emb, emb.where(col("vec_id") < AnnNumQueries), AnnK)
+    }),
     // recall@k of the approximate indexes vs exact top-k, tracked
     // round-over-round like a perf number (rows-only: the indexes it
     // measures are not SQL-expressible; floor asserted in SimilaritySpec)
@@ -404,6 +419,7 @@ object SparkEntry {
   private val DecontLen = 40
   private val AnnK = 10
   private val AnnNumQueries = 5
+  private val BpeMerges = 60
 
   private val NullcheckAllTables = Seq("region", "nation", "supplier", "customer")
   private val NullcheckAllCols = Map(

@@ -103,7 +103,7 @@ object GraftApp {
     "values", "referential", "suite", "skew", "asof", "range-join", "split",
     "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "mixture",
     "pack", "sessionize", "line-dedup", "span-dedup", "search",
-    "semantic-dedup")
+    "semantic-dedup", "perplexity", "url-dedup", "bpe")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -385,6 +385,31 @@ object GraftApp {
           k = f.getOrElse("k", "10").toInt,
           textCol = f.getOrElse("text-col", "text"),
           idCol = f.getOrElse("id", "doc_id"))
+      case "perplexity" =>
+        // corpus-trained bigram-LM scoring; --exact true forces the
+        // string-keyed path (oracle-exact), default is the hashed scale
+        // path (text never shuffles)
+        val textCol = f.getOrElse("text-col", "text")
+        val idCol = f.getOrElse("id", "doc_id")
+        if (f.getOrElse("exact", "false").toBoolean)
+          graft.operators.text.Perplexity.run(table, textCol, idCol)
+        else
+          graft.operators.text.Perplexity.runHashed(table, textCol, idCol)
+      case "url-dedup" =>
+        // URL-level dedup: canonical URL + lowest-id keep decision
+        graft.operators.text.UrlDedup.run(table,
+          urlCol = f.getOrElse("url-col", "url"),
+          idCol = f.getOrElse("id", "doc_id"))
+      case "bpe" =>
+        // learn merges from the corpus word-frequency table, emit
+        // per-doc whitespace vs BPE token counts
+        val textCol = f.getOrElse("text-col", "text")
+        val merges = graft.operators.text.Bpe.learnFromCorpus(table,
+          numMerges = f.getOrElse("merges", "1000").toInt,
+          maxWords = f.getOrElse("max-words", "200000").toInt,
+          textCol = textCol)
+        graft.operators.text.Bpe.tokenStats(table, merges, textCol,
+          f.getOrElse("id", "doc_id"))
       case "semantic-dedup" =>
         // SemDeDup over an embedding column (trained IVF cells)
         graft.operators.dedup.SemanticDedup.run(table,

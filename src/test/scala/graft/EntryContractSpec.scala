@@ -16,7 +16,8 @@ class EntryContractSpec extends AnyFunSuite {
     */
   private val RowsOnly = Set("dedup_minhash", "dedup_simhash", "dedup_candidates",
     "dedup_clusters_minhash", "dedup_embedding_lsh", "nullcheck_approx",
-    "events_hourly_approx", "ann_lsh", "ann_ivf", "ann_recall")
+    "events_hourly_approx", "ann_lsh", "ann_ivf", "ann_pq", "ann_recall",
+    "text_bpe")
 
   test("every oracle key has a query; rows-only set is exactly as documented") {
     val q = SparkEntry.queries.keySet

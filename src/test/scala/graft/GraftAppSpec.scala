@@ -222,6 +222,19 @@ class GraftAppSpec extends AnyFunSuite {
       "--gap-minutes", "240") > 0)
   }
 
+  test("perplexity, url-dedup, and bpe tools run end-to-end") {
+    assert(runToParquet("perplexity", "--dir", TestSpark.sf0001,
+      "--table", "documents") > 0)
+    assert(runToParquet("perplexity", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--exact", "true") > 0)
+    // documents carry no url column — exercise the tool through an
+    // existing string column (any column works; normalization is total)
+    assert(runToParquet("url-dedup", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--url-col", "source") > 0)
+    assert(runToParquet("bpe", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--merges", "20") > 0)
+  }
+
   test("generate-config writes a loadable default colcompare YAML") {
     val path = java.nio.file.Files.createTempDirectory("graft_gen")
       .resolve("cc.yaml").toString
