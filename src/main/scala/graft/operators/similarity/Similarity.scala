@@ -327,6 +327,180 @@ object Similarity {
     }
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product quantization
+    * for nearest neighbor search"): split each L2-normalized vector
+    * into `m` subspaces, k-means each subspace to `ksub` centroids
+    * (driver-local on the same bounded value-hash sample as [[IvfAnn]]),
+    * and store each corpus vector as `m` byte codes — at dim=64/m=8
+    * that is 8 bytes instead of 256, the 32× compression that lets a
+    * 100 TB embedding corpus's index live in executor memory where the
+    * raw vectors cannot.
+    *
+    * Query path: asymmetric distance computation (ADC) — per query, one
+    * `m × ksub` lookup table of subspace dots; scoring a corpus code is
+    * `m` table lookups instead of `dim` multiply-adds. The ADC pass
+    * ranks codes only (the original vectors are NOT carried through
+    * scoring — that would defeat the compression), keeps the top
+    * `refine × k` per query (WindowGroupLimit partial top-k), then ONE
+    * broadcast join of that bounded candidate set back to the corpus
+    * re-ranks with exact cosine. Returned scores are always exact;
+    * `m`/`ksub`/`refine` govern recall only.
+    *
+    * QUERY-SIDE SIZE CONTRACT: same as [[IvfAnn]] — `queries` is a
+    * bounded probe set; it rides the ADC task closure and the candidate
+    * set is broadcast by construction.
+    */
+  object PqAnn {
+    val Seed = 4242L
+    val DefaultM = 8
+    val DefaultKsub = 16
+    val DefaultRefine = 4
+    val MaxTrainRows = 100000L
+
+    /** Subspace slice boundaries: m near-equal spans of `dim`. */
+    private def bounds(dim: Int, m: Int): Array[(Int, Int)] = {
+      val mm = math.min(m, dim)
+      Array.tabulate(mm) { j =>
+        (j * dim / mm, (j + 1) * dim / mm)
+      }
+    }
+
+    /** Train per-subspace codebooks on a bounded, value-selected,
+      * id-sorted sample (layout-independent — same discipline as
+      * [[IvfAnn.assignCells]]). Returns `codebooks(j)(code)` = centroid
+      * of subspace j, plus the slice bounds.
+      */
+    private[graft] def train(corpus: DataFrame, m: Int, ksub: Int,
+                             vecCol: String, idCol: String,
+                             maxTrain: Long): (Array[Array[Array[Double]]], Array[(Int, Int)]) = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val c = corpus.select(col(idCol), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+      val n = c.count()
+      val sampleDs =
+        if (n <= maxTrain) c
+        else c.where(pmod(xxhash64(col(idCol)),
+          lit((n + maxTrain - 1) / maxTrain)) === 0)
+      val sample = sampleDs.collect().sortBy(_._1).map(t => normalize01(t._2))
+      require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+      val dim = sample.head.length
+      val bs = bounds(dim, m)
+      val books = bs.zipWithIndex.map { case ((from, until), j) =>
+        val sub = sample.map(v => java.util.Arrays.copyOfRange(v, from, until))
+        IvfAnn.lloyd(sub, ksub, iters = 8, seed = Seed + j)
+      }
+      (books, bs)
+    }
+
+    /** L2-normalize to double (cosine ⇒ plain dot after this). */
+    private def normalize01(v: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      val out = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+      out
+    }
+
+    /** Map-side encode: `(vec_id, codes)` — the compressed index. */
+    private[graft] def encode(corpus: DataFrame,
+                              books: Array[Array[Array[Double]]],
+                              bs: Array[(Int, Int)],
+                              vecCol: String, idCol: String): DataFrame = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      corpus.select(col(idCol), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          it.map { case (id, v) =>
+            val x = normalize01(v)
+            val codes = new Array[Byte](bs.length)
+            var j = 0
+            while (j < bs.length) {
+              val (from, until) = bs(j)
+              val book = books(j)
+              var best = 0; var bestD = Double.MaxValue; var cIdx = 0
+              while (cIdx < book.length) {
+                val ctr = book(cIdx)
+                var d = 0.0; var i = from
+                while (i < until && i < x.length) {
+                  val diff = x(i) - ctr(i - from); d += diff * diff; i += 1
+                }
+                if (d < bestD) { bestD = d; best = cIdx }
+                cIdx += 1
+              }
+              codes(j) = best.toByte
+              j += 1
+            }
+            (id, codes)
+          }
+        }.toDF("vec_id", "codes")
+    }
+
+    def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = DefaultM, ksub: Int = DefaultKsub,
+             refine: Int = DefaultRefine,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             maxTrain: Long = MaxTrainRows): DataFrame = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val (books, bs) = train(corpus, m, ksub, vecCol, idCol, maxTrain)
+      val coded = encode(corpus, books, bs, vecCol, idCol)
+
+      // bounded probe set rides the closure; per partition, each query
+      // precomputes its m × ksub LUT once, then every corpus code costs
+      // m lookups — the ADC inner loop never touches a raw vector
+      val qArr = queries.select(col(idCol), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+        .map { case (id, v) => (id, normalize01(v)) }
+      val adc = coded.as[(Long, Array[Byte])].mapPartitions { it =>
+        val luts = qArr.map { case (qid, q) =>
+          val lut = Array.ofDim[Double](bs.length, books(0).length)
+          var j = 0
+          while (j < bs.length) {
+            val (from, until) = bs(j)
+            var cIdx = 0
+            while (cIdx < books(j).length) {
+              var dot = 0.0; var i = from
+              val ctr = books(j)(cIdx)
+              while (i < until && i < q.length) { dot += q(i) * ctr(i - from); i += 1 }
+              lut(j)(cIdx) = dot
+              cIdx += 1
+            }
+            j += 1
+          }
+          (qid, lut)
+        }
+        it.flatMap { case (id, codes) =>
+          luts.iterator.collect { case (qid, lut) if qid != id =>
+            var s = 0.0; var j = 0
+            while (j < codes.length) { s += lut(j)(codes(j) & 0xff); j += 1 }
+            (qid, id, s)
+          }
+        }
+      }.toDF("query_id", "vec_id", "adc")
+
+      // partial top-(refine·k) per query — WindowGroupLimit keeps it
+      // map-side; this is the ONLY shuffle over corpus-derived rows
+      val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+      val cands = adc.withColumn("r", rank().over(wAdc))
+        .where(col("r") <= refine * k).select("query_id", "vec_id")
+
+      // exact re-rank: the bounded candidate set broadcast against the
+      // corpus (explicit — the planner sees defaultSize-priced arrays on
+      // the corpus leg, the IvfAnn rationale)
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+      val scored = broadcast(cands).join(
+          corpus.select(col(idCol).as("vec_id"), col(vecCol).as("corpus_v")),
+          Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos_raw", EmbeddingDedup.cosine(col("query_v"), col("corpus_v")))
+      CosineTopK.rankTopK(scored, k)
+    }
+  }
+
   /** Recall@k report for the approximate indexes vs the exact
     * [[CosineTopK]] ground truth on the SAME corpus and queries — one
     * row per method, so index quality is tracked round-over-round in
@@ -359,6 +533,9 @@ object Similarity {
           IvfAnn.topK(corpus, queries, k, nCells = nCells, nProbe = nProbe,
               vecCol = vecCol, idCol = idCol)
             .select(lit("ivf").as("method"), col("query_id"), col("vec_id")))
+        .unionAll(
+          PqAnn.topK(corpus, queries, k, vecCol = vecCol, idCol = idCol)
+            .select(lit("pq").as("method"), col("query_id"), col("vec_id")))
       // anchored on a STATIC method list with left joins, NOT an inner
       // join + groupBy: a method whose recall collapses to zero — or
       // whose index returns no rows at all — must still report its row
@@ -370,7 +547,7 @@ object Similarity {
         .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       val spark = corpus.sparkSession
       import spark.implicits._
-      Seq("ivf", "lsh").toDF("method")
+      Seq("ivf", "lsh", "pq").toDF("method")
         .join(hitCounts, Seq("method"), "left")
         .select(col("method"), lit(k).as("k"), lit(nTrue).as("n_true"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),

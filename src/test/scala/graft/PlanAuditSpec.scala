@@ -363,6 +363,49 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("text_perplexity_hashed: token text never crosses an exchange") {
+    // the scale path's core claim: bigram hashing happens in the same
+    // row-local projection as the explode, so model counting and the
+    // score joins shuffle only 8-byte hashes and doc ids — the token
+    // strings w1/w2 must be dropped BEFORE every exchange
+    val p = plan(q("text_perplexity_hashed"))
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.trim.matches("""\(\d+\) (Exchange|BroadcastExchange).*""")) {
+        // an attribute named `xxhash64(w#20, 42)#95L` is the 8-byte
+        // hash — only a BARE token attribute is a violation
+        val inp = lines.slice(i + 1, i + 3).mkString(" ")
+          .replaceAll("""xxhash64\([^)]*\)#\d+L?""", "HASHED")
+        assert(!inp.matches(""".*\b(w1|w2|ws|w)#.*"""),
+          s"token text crosses an exchange at '$l': $inp\n$p")
+      }
+    }
+  }
+
+  test("text_url_dedup: one hash exchange on norm_url plus the orderBy range") {
+    // normalization is a pure projection; the dedup window is the only
+    // hash shuffle (keyed on the canonical URL), plus the final orderBy
+    val p = plan(q("text_url_dedup"))
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning(")).toVector
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("norm_url")),
+      s"unexpected hash exchange in:\n$p")
+  }
+
+  test("ann_pq: corpus-derived legs are never the broadcast build") {
+    // ADC candidates (bounded refine·k per query) and queries broadcast;
+    // the corpus scan must stream — a corpus-side broadcast is the 8 GiB
+    // failure mode at 1000× (same contract as ann_lsh/ann_ivf)
+    val p = plan(q("ann_pq"))
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.trim.matches("""\(\d+\) BroadcastExchange.*""")) {
+        val inp = lines.slice(i + 1, i + 3).mkString(" ")
+        assert(!inp.matches(""".*\b(corpus_v|codes)#.*"""),
+          s"corpus leg broadcast at '$l': $inp\n$p")
+      }
+    }
+  }
+
   test("text ops stay in one codegen'd projection over the scan (no agg shuffle)") {
     val p = plan(q("text_quality"))
     // the only exchange allowed is the final orderBy's range partition

@@ -95,6 +95,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall7 >= 0.9, s"IVF recall $recall7 below floor after repartition(7)")
   }
 
+  test("PQ ANN: exact scores after re-rank, high recall on clustered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val dim = 64
+    val clustered = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(rng.nextGaussian())
+      (0 until 12).map { m =>
+        val v = center.map(x => (x + 0.07 * rng.nextGaussian()).toFloat)
+        ((c * 12 + m).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.where(col("vec_id") % 12 === 0 && col("vec_id") < 60)
+
+    val brute = asMap(Similarity.CosineTopK.run(clustered, queries, K).collect())
+    val pq = asMap(Similarity.PqAnn.topK(clustered, queries, K).collect())
+    // the ADC approximation ranks candidates only; every returned score
+    // comes from the exact re-rank
+    pq.keys.filter(brute.contains).foreach { p =>
+      assert(pq(p)._1 == brute(p)._1, s"score mismatch on $p")
+    }
+    val recall = brute.keySet.count(pq.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"PQ recall $recall below floor")
+
+    // codes really are the compressed index: m bytes per vector
+    val (books, bs) = Similarity.PqAnn.train(clustered, 8, 16, "embedding",
+      "vec_id", 100000L)
+    val coded = Similarity.PqAnn.encode(clustered, books, bs, "embedding", "vec_id")
+      .collect()
+    assert(coded.length === 480)
+    coded.foreach(r => assert(r.getAs[Array[Byte]](1).length === 8))
+    // layout-independence: training is value-sampled and id-sorted, so a
+    // different partitioning yields identical codebooks and codes
+    val coded7 = Similarity.PqAnn.encode(clustered.repartition(7),
+      Similarity.PqAnn.train(clustered.repartition(7), 8, 16, "embedding",
+        "vec_id", 100000L)._1, bs, "embedding", "vec_id").collect()
+    assert(coded7.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap ===
+      coded.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap)
+  }
+
   test("recall report: one row per method, hits consistent, floors hold on clustered data") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
@@ -111,7 +150,7 @@ class SimilaritySpec extends AnyFunSuite {
       .run(clustered, queries, K, dim, nCells = 16, nProbe = 4)
       .collect().map(r => r.getString(0) ->
         (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
-    assert(report.keySet == Set("ivf", "lsh"))
+    assert(report.keySet == Set("ivf", "lsh", "pq"))
     report.foreach { case (m, (k, nTrue, nHit, recall)) =>
       assert(k == K && nTrue > 0 && nHit <= nTrue, s"$m inconsistent")
       assert(math.abs(recall - nHit.toDouble / nTrue) < 1e-3)
@@ -119,6 +158,7 @@ class SimilaritySpec extends AnyFunSuite {
     // same floors the per-index specs assert, now tracked as a query
     assert(report("lsh")._4 >= 0.8, s"lsh recall ${report("lsh")._4}")
     assert(report("ivf")._4 >= 0.9, s"ivf recall ${report("ivf")._4}")
+    assert(report("pq")._4 >= 0.8, s"pq recall ${report("pq")._4}")
   }
 
   test("IVF ANN accepts array<double> embeddings (cast, not reject)") {
