@@ -194,6 +194,16 @@ object SparkEntry {
     "text_perplexity" -> ((s, d) => Perplexity.run(Tables(s, d, "documents"))),
     "text_perplexity_hashed" -> ((s, d) =>
       Perplexity.runHashed(Tables(s, d, "documents"))),
+    // the CCNet shape proper: model trained on one half of the corpus,
+    // the other half scored against it — unseen bigrams exercise the
+    // smoothed left-join mass end-to-end (hashed scale path; the exact
+    // twin backs the same oracle via PerplexitySpec's agreement test)
+    "text_perplexity_cross" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Perplexity.runCrossHashed(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    }),
     // URL-level dedup (C4/RefinedWeb first-stage rule, SURVEY §2 #35k):
     // the synthetic documents carry no URL, so the demo corpus
     // synthesizes one per doc with deliberate cosmetic variation —
@@ -263,6 +273,16 @@ object SparkEntry {
       Dedup.IncrementalDedup.report(
         docs.where(col("doc_id") >= IncrementalSplitId),
         docs.where(col("doc_id") < IncrementalSplitId))
+    }),
+    // minhash twin of dedup_incremental: NEAR-dup membership of the
+    // batch against the corpus (rows-only — LSH banding; exactness of
+    // the verdicts vs brute force asserted in DedupSpec)
+    "dedup_incremental_minhash" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.MinHashDedup.againstCorpus(
+        docs.where(col("doc_id") >= IncrementalSplitId),
+        docs.where(col("doc_id") < IncrementalSplitId),
+        NgramJaccardThreshold)
     }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.NgramJaccard.allPairs(Tables(s, d, "documents"), NgramJaccardThreshold)),
@@ -665,6 +685,9 @@ object SparkEntry {
     "text_perplexity" -> Perplexity.oracleSql("documents"),
     // same oracle by design: runHashed must agree exactly with run
     "text_perplexity_hashed" -> Perplexity.oracleSql("documents"),
+    "text_perplexity_cross" -> Perplexity.crossOracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+      "(SELECT * FROM documents WHERE doc_id % 2 = 1)"),
     "text_url_dedup" -> UrlDedup.oracleSql(UrlCorpusSql),
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their

@@ -348,12 +348,19 @@ object GraftApp {
         // new batch vs existing corpus: --table is the batch, the
         // corpus is --corpus-table in --corpus-dir (defaults: same
         // table name, same --dir — the split-one-table case then needs
-        // only --corpus-where/--where filters upstream)
+        // only --corpus-where/--where filters upstream).
+        // --near <threshold> switches from exact membership to minhash
+        // NEAR-dup membership (MinHashDedup.againstCorpus)
         val corpusDir = f.getOrElse("corpus-dir", dir)
         val corpusTable = f.getOrElse("corpus-table", tableName)
-        Dedup.IncrementalDedup.report(
-          table, Tables(spark, corpusDir, corpusTable),
-          bloomFpp = f.getOrElse("bloom-fpp", "0.01").toDouble)
+        val corpusDf = Tables(spark, corpusDir, corpusTable)
+        f.get("near") match {
+          case Some(t) =>
+            Dedup.MinHashDedup.againstCorpus(table, corpusDf, t.toDouble)
+          case None =>
+            Dedup.IncrementalDedup.report(table, corpusDf,
+              bloomFpp = f.getOrElse("bloom-fpp", "0.01").toDouble)
+        }
       case "line-dedup" =>
         // corpus-level boilerplate-line removal; --exact true forces the
         // string-keyed path (oracle-exact), default is the hashed scale

@@ -675,6 +675,109 @@ object Dedup {
           round(col("jaccard_raw"), 4).as("jaccard"))
     }
 
+    /** Incremental NEAR-dup: for each batch document, does the corpus
+      * already contain a ≥-threshold near-duplicate? The minhash twin
+      * of [[IncrementalDedup]] (exact membership) — the "dedupe the new
+      * crawl against the existing corpus" step every growing training
+      * set runs (RefinedWeb/Dolma do exactly this batch-vs-index shape).
+      *
+      * Scale shape — the reason this is NOT `nearDuplicates(batch ∪
+      * corpus)` with the cross pairs filtered out: the corpus side is
+      * only ever collapsed, banded, and probed — corpus×corpus pairs
+      * are never formed, so adding a small batch to a 100 TB corpus
+      * costs O(corpus banding) + O(cross candidates), and in a
+      * maintained pipeline the corpus signature/band table persists and
+      * the marginal cost is the batch side alone. The funnel is the
+      * [[membersAndVerified]] one, cross-sided: per-side exact-content
+      * collapse → per-side hot-bucket cap → cross-ONLY band join →
+      * signature-estimate prefilter → exact gram-set verification
+      * (shuffle_hash, build = the narrow pair list — the ghash legs are
+      * O(corpus) and can never be the build side).
+      *
+      * Exact batch/corpus copies need no special case: identical gram
+      * sets give identical signatures, collide in every band, and
+      * verify at exactly 1.0. Empty/short docs (no grams) are
+      * similarity 0.0 by convention and never match.
+      *
+      * Output, one row per batch document, ordered by id:
+      * `(doc_id, near_dup, best_corpus_id, jaccard)` — best = highest
+      * verified jaccard, ties to the smallest corpus id; non-matching
+      * docs carry `(false, null, null)`.
+      */
+    def againstCorpus(batch: DataFrame, corpus: DataFrame, threshold: Double,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      shingler: Shingler = CharNgrams(),
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      require(threshold > 0.0 && threshold <= 1.0,
+        s"threshold must be in (0, 1], got $threshold")
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val bsigs = signatures(batch, textCol, idCol, shingler).localCheckpoint(false)
+      val csigs = signatures(corpus, textCol, idCol, shingler).localCheckpoint(false)
+      val bm = contentMembers(bsigs).localCheckpoint(false)
+      val cm = contentMembers(csigs)
+      val estCutoff =
+        threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / NumHashes)
+
+      val l = bandedReps(bsigs, bm, maxBucket)
+        .select(col("band"), col("band_hash"),
+          col("gid").as("b_rep"), col("sig").as("s1"))
+      val r = bandedReps(csigs, cm, maxBucket)
+        .select(col("band"), col("band_hash"),
+          col("gid").as("c_rep"), col("sig").as("s2"))
+      val survivors = l.join(r, Seq("band", "band_hash"))
+        .select(col("b_rep"), col("c_rep"), col("s1"), col("s2"))
+        .as[(Long, Long, Array[Long], Array[Long])]
+        .mapPartitions { it =>
+          it.flatMap { case (a, b, s1, s2) =>
+            var eq = 0; var i = 0
+            while (i < s1.length) { if (s1(i) == s2(i)) eq += 1; i += 1 }
+            if (eq.toDouble / s1.length >= estCutoff) Iterator.single((a, b))
+            else Iterator.empty
+          }
+        }.toDF("b_rep", "c_rep")
+        .dropDuplicates("b_rep", "c_rep")
+
+      val verified = survivors.hint("shuffle_hash")
+        .join(bsigs.select(col("gid").as("b_rep"), col("ghash").as("h1")), Seq("b_rep"))
+        .hint("shuffle_hash")
+        .join(csigs.select(col("gid").as("c_rep"), col("ghash").as("h2")), Seq("c_rep"))
+        .select(col("b_rep"), col("c_rep"), col("h1"), col("h2"))
+        .as[(Long, Long, Array[Long], Array[Long])]
+        .mapPartitions { it =>
+          it.flatMap { case (a, b, h1, h2) =>
+            var i = 0; var j = 0; var inter = 0
+            while (i < h1.length && j < h2.length) {
+              if (h1(i) == h2(j)) { inter += 1; i += 1; j += 1 }
+              else if (h1(i) < h2(j)) i += 1
+              else j += 1
+            }
+            val union = h1.length + h2.length - inter
+            val jac = if (union == 0) 0.0 else inter.toDouble / union
+            if (jac >= threshold) Iterator.single((a, b, jac)) else Iterator.empty
+          }
+        }.toDF("b_rep", "c_rep", "jaccard_raw")
+
+      // best corpus match per batch content group: lexicographic
+      // struct max = highest jaccard, then smallest corpus id (the
+      // corpus rep IS its content group's minimum id). The corpus-side
+      // collapse makes this the best over every corpus DOC: a
+      // non-representative corpus doc has its rep's identical gram set.
+      val best = verified
+        .groupBy("b_rep")
+        .agg(max(struct(col("jaccard_raw"), (-col("c_rep")).as("neg"))).as("b"))
+        .select(col("b_rep"), col("b.jaccard_raw").as("jaccard_raw"),
+          (-col("b.neg")).as("best_corpus_id"))
+
+      bm.select(col("gid").as(idCol), col("rep").as("b_rep"))
+        .join(best, Seq("b_rep"), "left")
+        .select(col(idCol),
+          col("jaccard_raw").isNotNull.as("near_dup"),
+          col("best_corpus_id"),
+          round(col("jaccard_raw"), 4).as("jaccard"))
+        .orderBy(idCol)
+    }
+
     /** Connectivity-only edge list for CLUSTERING consumers: one star
       * per duplicate content group (rep → member, g−1 edges) plus ONE
       * edge per verified rep pair — O(docs + rep pairs) edges with the

@@ -58,17 +58,22 @@ object Perplexity {
         )).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
 
-  private def score(df: DataFrame, bi: DataFrame, vocab: DataFrame,
-                    pairKey: Seq[String], firstKey: String,
+  /** Model counts come from `modelBi`; scored rows from `targetBi`. A
+    * target bigram/first-token unseen in the model contributes its
+    * smoothed mass ((0+1)/(0+V) in the worst case) via the left joins.
+    */
+  private def score(target: DataFrame, targetBi: DataFrame, modelBi: DataFrame,
+                    vocab: DataFrame, pairKey: Seq[String], firstKey: String,
                     idCol: String): DataFrame = {
-    val cb = bi.groupBy(pairKey.map(col): _*).agg(count(lit(1)).as("cb"))
-    val c1 = bi.groupBy(firstKey).agg(count(lit(1)).as("c1"))
-    val scored = bi
-      .join(cb, pairKey).join(c1, Seq(firstKey)).crossJoin(vocab)
+    val cb = modelBi.groupBy(pairKey.map(col): _*).agg(count(lit(1)).as("cb"))
+    val c1 = modelBi.groupBy(firstKey).agg(count(lit(1)).as("c1"))
+    val scored = targetBi
+      .join(cb, pairKey, "left").join(c1, Seq(firstKey), "left").crossJoin(vocab)
       .groupBy(idCol).agg(
         count(lit(1)).as("nb"),
-        avg(log(col("c1") + col("v")) - log(col("cb") + 1)).as("xent"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+        avg(log(coalesce(col("c1"), lit(0L)) + col("v")) -
+          log(coalesce(col("cb"), lit(0L)) + 1)).as("xent"))
+    target.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("nb"), lit(0L)).as("n_bigrams"),
         round(col("xent"), 3).as("xent_nats"),
@@ -76,50 +81,80 @@ object Perplexity {
       .orderBy(idCol)
   }
 
-  /** Exact path: token strings are the model keys. */
-  def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val t = toks(df, textCol, idCol)
-    val bi = bigrams(t, idCol)
-    val vocab = t.select(explode(col("ws")).as("w")).agg(countDistinct("w").as("v"))
-    score(df, bi, vocab, Seq("w1", "w2"), "w1", idCol)
+  /** Exact path, self-trained: model corpus = scored corpus. */
+  def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    runCross(df, df, textCol, idCol)
+
+  /** Exact path, CCNet shape: train the bigram model on `model` (e.g.
+    * a clean reference corpus), score every `target` document against
+    * it. Token strings are the model keys — the oracle twin.
+    */
+  def runCross(model: DataFrame, target: DataFrame,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val mt = toks(model, textCol, idCol)
+    val bi = bigrams(toks(target, textCol, idCol), idCol)
+    val vocab = mt.select(explode(col("ws")).as("w")).agg(countDistinct("w").as("v"))
+    score(target, bi, bigrams(mt, idCol), vocab, Seq("w1", "w2"), "w1", idCol)
   }
 
-  /** Scale path: 8-byte hashes shuffle, text does not. See class doc. */
-  def runHashed(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val t = toks(df, textCol, idCol)
-    val bi = bigrams(t, idCol)
-      .select(col(idCol), xxhash64(col("w1"), col("w2")).as("hb"), xxhash64(col("w1")).as("h1"))
-    val vocab = t.select(explode(col("ws")).as("w"))
+  /** Scale path, self-trained. See class doc. */
+  def runHashed(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    runCrossHashed(df, df, textCol, idCol)
+
+  /** Scale path, CCNet shape: 8-byte hashes shuffle, text does not. */
+  def runCrossHashed(model: DataFrame, target: DataFrame,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def hashed(df: DataFrame) = bigrams(toks(df, textCol, idCol), idCol)
+      .select(col(idCol), xxhash64(col("w1"), col("w2")).as("hb"),
+        xxhash64(col("w1")).as("h1"))
+    val vocab = toks(model, textCol, idCol)
+      .select(explode(col("ws")).as("w"))
       .agg(countDistinct(xxhash64(col("w"))).as("v"))
-    score(df, bi, vocab, Seq("hb"), "h1", idCol)
+    score(target, hashed(target), hashed(model), vocab, Seq("hb"), "h1", idCol)
   }
 
   /** DuckDB twin of [[run]] (and, by exact agreement, [[runHashed]]). */
-  def oracleSql(table: String): String =
-    s"""WITH toks AS (
+  def oracleSql(table: String): String = crossOracleSql(table, table)
+
+  /** DuckDB twin of [[runCross]] / [[runCrossHashed]]: model counts
+    * from `modelTable`, scored rows from `targetTable` (either may be a
+    * parenthesized subquery). Unseen bigrams take their smoothed mass
+    * through the LEFT JOINs, exactly like the Spark side.
+    */
+  def crossOracleSql(modelTable: String, targetTable: String): String =
+    s"""WITH mtoks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-       |  FROM $table),
-       |bi AS (
+       |  FROM $modelTable),
+       |ttoks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM $targetTable),
+       |mbi AS (
        |  SELECT doc_id,
        |    unnest(list_slice(ws, 1, len(ws) - 1)) AS w1,
        |    unnest(list_slice(ws, 2, len(ws))) AS w2
-       |  FROM toks WHERE len(ws) >= 2),
-       |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
-       |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+       |  FROM mtoks WHERE len(ws) >= 2),
+       |tbi AS (
+       |  SELECT doc_id,
+       |    unnest(list_slice(ws, 1, len(ws) - 1)) AS w1,
+       |    unnest(list_slice(ws, 2, len(ws))) AS w2
+       |  FROM ttoks WHERE len(ws) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM mbi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM mbi GROUP BY 1),
        |v AS (SELECT count(DISTINCT w) AS v
-       |      FROM (SELECT unnest(ws) AS w FROM toks)),
+       |      FROM (SELECT unnest(ws) AS w FROM mtoks)),
        |scored AS (
        |  SELECT b.doc_id, count(*) AS nb,
-       |    avg(ln(c1.c1 + v.v) - ln(cb.cb + 1)) AS xent
-       |  FROM bi b
-       |  JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
-       |  JOIN c1 ON b.w1 = c1.w1
+       |    avg(ln(coalesce(c1.c1, 0) + v.v) - ln(coalesce(cb.cb, 0) + 1)) AS xent
+       |  FROM tbi b
+       |  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+       |  LEFT JOIN c1 ON b.w1 = c1.w1
        |  CROSS JOIN v
        |  GROUP BY b.doc_id)
        |SELECT d.doc_id,
        |  coalesce(s.nb, 0) AS n_bigrams,
        |  round(s.xent, 3) AS xent_nats,
        |  round(exp(s.xent), 2) AS ppl
-       |FROM $table d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |FROM (SELECT doc_id FROM $targetTable) d
+       |LEFT JOIN scored s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 }

@@ -122,6 +122,48 @@ class DedupSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 200L + i)), s"missing exact pair $i"))
   }
 
+  test("incremental minhash: batch near-dup membership vs corpus, verdicts match brute force") {
+    // corpus = the 20 base docs; batch = 10 near-dups of 0..9 (ids
+    // 100+), 5 exact copies of 0..4 (ids 200+), 2 unrelated new docs
+    val corpus = docs.where(col("doc_id") < 100)
+    val fresh = Seq(
+      (300L, "entirely new content that matches nothing in the corpus at all"),
+      (301L, "")).toDF("doc_id", "text")
+    val batch = docs.where(col("doc_id") >= 100).unionAll(fresh)
+    val out = Dedup.MinHashDedup.againstCorpus(batch, corpus, threshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size === 17)
+    // brute-force best corpus match per batch doc via the exact shingle
+    // sets (the same trigram normalization the operator uses)
+    val sh = Dedup.MinHashDedup.CharNgrams()
+    def grams(t: String): Set[Long] =
+      sh.shingleHashes(Dedup.MinHashDedup.normalizeKernel(t)).toSet
+    val corpusSets = corpus.collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1))).toMap
+    batch.collect().foreach { r =>
+      val id = r.getLong(0)
+      val g = grams(r.getString(1))
+      val best = corpusSets.map { case (cid, cg) =>
+        val inter = (g & cg).size
+        val union = g.size + cg.size - inter
+        (cid, if (union == 0) 0.0 else inter.toDouble / union)
+      }.filter(_._2 >= 0.8)
+      if (best.isEmpty) assert(out(id) === ((false, None, None)), s"doc $id")
+      else {
+        val (wantId, wantJ) = best.maxBy { case (cid, j) => (j, -cid) }
+        val (nd, gotId, gotJ) = out(id)
+        assert(nd && gotId.contains(wantId), s"doc $id: got $gotId want $wantId")
+        assert(gotJ.contains(math.rint(wantJ * 10000) / 10000), s"doc $id score")
+      }
+    }
+    // exact copies report jaccard exactly 1.0 against their original
+    (0 until 5).foreach(i => assert(out(200L + i)._3.contains(1.0)))
+    // empty batch doc: similarity 0.0 by convention, never a match
+    assert(out(301L) === ((false, None, None)))
+  }
+
   test("minhash LSH recovers all high-jaccard pairs with exact scores (recall at 0.8 ≈ 1)") {
     val brute = Dedup.NgramJaccard.allPairs(docs, 0.8).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -100,6 +100,9 @@ class GraftAppSpec extends AnyFunSuite {
     val n = runToParquet("dedup-incremental", "--dir", TestSpark.sf0001,
       "--table", "documents")
     assert(n == 500)
+    // --near switches to minhash near-dup membership, same row contract
+    assert(runToParquet("dedup-incremental", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--near", "0.7") == 500)
     // pack over a derived token column: documents lacks n_tokens, so
     // point --tokens-col at the integral n_chars (valid budget units)
     assert(runToParquet("pack", "--dir", TestSpark.sf0001,

@@ -66,6 +66,30 @@ class PerplexitySpec extends AnyFunSuite {
     assert(math.abs(mass - 1.0) < 1e-12)
   }
 
+  test("cross-corpus: unseen bigrams take the smoothed left-join mass") {
+    // model: "a b" ×2 → V={a,b}=2, c(a,b)=2, c1(a)=2
+    // target doc 10: "a b" seen → p=(2+1)/(2+2)=3/4
+    // target doc 11: "b a" — bigram AND first-token b unseen →
+    //   p=(0+1)/(0+2)=1/2; "a z": first a seen, pair unseen →
+    //   p=(0+1)/(2+2)=1/4
+    val model = Seq((0L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b"), (11L, "b a z")).toDF("doc_id", "text")
+    val out = byId(Perplexity.runCross(model, target))
+    assert(out(10L).getDouble(2) ===
+      math.rint(-math.log(0.75) * 1000) / 1000)
+    val xent11 = -(math.log(0.5) + math.log(0.25)) / 2
+    assert(out(11L).getLong(1) === 2)
+    assert(out(11L).getDouble(2) === math.rint(xent11 * 1000) / 1000)
+    // hashed cross path agrees exactly
+    assert(Perplexity.runCrossHashed(model, target).collect().toSeq ===
+      Perplexity.runCross(model, target).collect().toSeq)
+  }
+
+  test("self-trained run is exactly runCross with itself") {
+    assert(Perplexity.run(docs).collect().toSeq ===
+      Perplexity.runCross(docs, docs).collect().toSeq)
+  }
+
   test("hashed scale path agrees exactly with the string path") {
     val vocab = Vector("spark", "join", "window", "merge", "scan", "batch",
       "row", "filter", "agg", "sort")
