@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions.expr
   * GraftApp dedup           --dir /data/sf1 --table documents [--threshold 0.8]
   * GraftApp dedup-audit     --dir /data/sf1 --table documents [--max-bucket 1024]
   * GraftApp dedup-incremental --dir /data/batch --table documents \
-  *     --corpus-dir /data/corpus [--corpus-table documents] [--bloom-fpp 0.01]
+  *     --corpus-dir /data/corpus [--corpus-table documents] [--bloom-fpp 0.01] \
+  *     [--near 0.8]   (minhash NEAR-dup membership instead of exact)
   * GraftApp pack            --dir /data/sf1 --table docs_with_tokens \
   *     [--capacity 2048] [--tokens-col n_tokens] [--groups 256]
   * GraftApp line-dedup      --dir /data/sf1 --table documents \
@@ -65,6 +66,12 @@ import org.apache.spark.sql.functions.expr
   * GraftApp mixture         --dir /data/sf1 --table docs_with_tokens \
   *     --budgets web:50000000,code:20000000 [--tokens-col n_tokens]
   * GraftApp sessionize      --dir /data/sf1 [--gap-minutes 120]
+  * GraftApp perplexity      --dir /data/sf1 --table documents \
+  *     [--exact false] [--text-col text] [--id doc_id]
+  * GraftApp url-dedup       --dir /data/sf1 --table documents \
+  *     [--url-col url] [--id doc_id]
+  * GraftApp bpe             --dir /data/sf1 --table documents \
+  *     [--merges 1000] [--max-words 200000] [--text-col text] [--id doc_id]
   * }}}
   */
 object GraftApp {

@@ -578,50 +578,57 @@ object Dedup {
       * lineage still computes correctly, just re-running its kernel per
       * consuming branch).
       */
-    private def membersAndVerified(sigs: DataFrame, threshold: Double,
-                                   maxBucket: Int): (DataFrame, DataFrame) = {
-      require(threshold > 0.0 && threshold <= 1.0,
-        s"threshold must be in (0, 1], got $threshold (at 0 every pair matches — " +
-          "that output is quadratic by definition; use allPairs on a blocked domain)")
-      val spark = sigs.sparkSession
-      import spark.implicits._
-      val members = contentMembers(sigs).localCheckpoint(false)
-      val estCutoff =
-        threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / NumHashes)
+    /** Estimate cutoff for the signature prefilter: a pair at the true
+      * threshold survives with p ≈ 1−2e-4 (3.5σ over the 128-component
+      * agreement fraction). ONE definition — the self-join and cross
+      * funnels must never drift apart on it.
+      */
+    private def estCutoffFor(threshold: Double): Double =
+      threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / NumHashes)
 
-      val capped = bandedReps(sigs, members, maxBucket)
-      val l = capped.select(col("band"), col("band_hash"),
-        col("gid").as("rep_1"), col("sig").as("s1"))
-      val r = capped.select(col("band"), col("band_hash"),
-        col("gid").as("rep_2"), col("sig").as("s2"))
-      val survivors = l.join(r, Seq("band", "band_hash"))
-        .where(col("rep_1") < col("rep_2"))
-        .select(col("rep_1"), col("rep_2"), col("s1"), col("s2"))
+    /** Signature-estimate prefilter kernel over band-join output
+      * carrying (aCol, bCol, s1, s2): keeps pairs whose signature
+      * agreement clears `cutoff`, deduped across bands.
+      */
+    private def estimateSurvivors(joined: DataFrame, aCol: String,
+                                  bCol: String, cutoff: Double): DataFrame = {
+      val spark = joined.sparkSession
+      import spark.implicits._
+      joined.select(col(aCol), col(bCol), col("s1"), col("s2"))
         .as[(Long, Long, Array[Long], Array[Long])]
         .mapPartitions { it =>
           it.flatMap { case (a, b, s1, s2) =>
             var eq = 0; var i = 0
             while (i < s1.length) { if (s1(i) == s2(i)) eq += 1; i += 1 }
-            val est = eq.toDouble / s1.length
-            if (est >= estCutoff) Iterator.single((a, b)) else Iterator.empty
+            if (eq.toDouble / s1.length >= cutoff) Iterator.single((a, b))
+            else Iterator.empty
           }
-        }.toDF("rep_1", "rep_2")
-        .dropDuplicates("rep_1", "rep_2")
+        }.toDF(aCol, bCol)
+        .dropDuplicates(aCol, bCol)
+    }
 
-      val g = sigs.select(col("gid"), col("ghash"))
-      // shuffle_hash hints, build side = the pair list: a checkpointed
-      // frame's copied Catalyst stats price array columns at their
-      // tiny defaultSize, so the static planner would BROADCAST the
-      // gram-hash legs — measured 8.3 GiB at 1000× sf0.1, over Spark's
-      // 8 GiB hard broadcast cap (the run fails outright, found by the
-      // sf100 full-suite survival run). The ghash side is O(corpus) at
-      // any scale and can never be the build side; the surviving rep
-      // pairs are the post-prefilter narrow side a cluster wants hashed.
-      val verified = survivors.hint("shuffle_hash")
-        .join(g.select(col("gid").as("rep_1"), col("ghash").as("h1")), Seq("rep_1"))
+    /** Exact-Jaccard verification of a narrow pair list against the
+      * sorted gram-hash legs (merge-walk intersection).
+      *
+      * shuffle_hash hints, build side = the pair list: a checkpointed
+      * frame's copied Catalyst stats price array columns at their
+      * tiny defaultSize, so the static planner would BROADCAST the
+      * gram-hash legs — measured 8.3 GiB at 1000× sf0.1, over Spark's
+      * 8 GiB hard broadcast cap (the run fails outright, found by the
+      * sf100 full-suite survival run). The ghash side is O(corpus) at
+      * any scale and can never be the build side; the post-prefilter
+      * pairs are the narrow side a cluster wants hashed.
+      */
+    private def verifyPairs(pairs: DataFrame, aSigs: DataFrame, bSigs: DataFrame,
+                            aCol: String, bCol: String,
+                            threshold: Double): DataFrame = {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      pairs.hint("shuffle_hash")
+        .join(aSigs.select(col("gid").as(aCol), col("ghash").as("h1")), Seq(aCol))
         .hint("shuffle_hash")
-        .join(g.select(col("gid").as("rep_2"), col("ghash").as("h2")), Seq("rep_2"))
-        .select(col("rep_1"), col("rep_2"), col("h1"), col("h2"))
+        .join(bSigs.select(col("gid").as(bCol), col("ghash").as("h2")), Seq(bCol))
+        .select(col(aCol), col(bCol), col("h1"), col("h2"))
         .as[(Long, Long, Array[Long], Array[Long])]
         .mapPartitions { it =>
           it.flatMap { case (a, b, h1, h2) =>
@@ -635,8 +642,24 @@ object Dedup {
             val jac = if (union == 0) 0.0 else inter.toDouble / union
             if (jac >= threshold) Iterator.single((a, b, jac)) else Iterator.empty
           }
-        }.toDF("rep_1", "rep_2", "jaccard_raw")
-      (members, verified)
+        }.toDF(aCol, bCol, "jaccard_raw")
+    }
+
+    private def membersAndVerified(sigs: DataFrame, threshold: Double,
+                                   maxBucket: Int): (DataFrame, DataFrame) = {
+      require(threshold > 0.0 && threshold <= 1.0,
+        s"threshold must be in (0, 1], got $threshold (at 0 every pair matches — " +
+          "that output is quadratic by definition; use allPairs on a blocked domain)")
+      val members = contentMembers(sigs).localCheckpoint(false)
+      val capped = bandedReps(sigs, members, maxBucket)
+      val l = capped.select(col("band"), col("band_hash"),
+        col("gid").as("rep_1"), col("sig").as("s1"))
+      val r = capped.select(col("band"), col("band_hash"),
+        col("gid").as("rep_2"), col("sig").as("s2"))
+      val survivors = estimateSurvivors(
+        l.join(r, Seq("band", "band_hash")).where(col("rep_1") < col("rep_2")),
+        "rep_1", "rep_2", estCutoffFor(threshold))
+      (members, verifyPairs(survivors, sigs, sigs, "rep_1", "rep_2", threshold))
     }
 
     /** Pair-expansion output of [[nearDuplicates]]/[[nearDuplicatesOf]]:
@@ -710,14 +733,10 @@ object Dedup {
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
       require(threshold > 0.0 && threshold <= 1.0,
         s"threshold must be in (0, 1], got $threshold")
-      val spark = batch.sparkSession
-      import spark.implicits._
       val bsigs = signatures(batch, textCol, idCol, shingler).localCheckpoint(false)
       val csigs = signatures(corpus, textCol, idCol, shingler).localCheckpoint(false)
       val bm = contentMembers(bsigs).localCheckpoint(false)
       val cm = contentMembers(csigs)
-      val estCutoff =
-        threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / NumHashes)
 
       val l = bandedReps(bsigs, bm, maxBucket)
         .select(col("band"), col("band_hash"),
@@ -725,38 +744,10 @@ object Dedup {
       val r = bandedReps(csigs, cm, maxBucket)
         .select(col("band"), col("band_hash"),
           col("gid").as("c_rep"), col("sig").as("s2"))
-      val survivors = l.join(r, Seq("band", "band_hash"))
-        .select(col("b_rep"), col("c_rep"), col("s1"), col("s2"))
-        .as[(Long, Long, Array[Long], Array[Long])]
-        .mapPartitions { it =>
-          it.flatMap { case (a, b, s1, s2) =>
-            var eq = 0; var i = 0
-            while (i < s1.length) { if (s1(i) == s2(i)) eq += 1; i += 1 }
-            if (eq.toDouble / s1.length >= estCutoff) Iterator.single((a, b))
-            else Iterator.empty
-          }
-        }.toDF("b_rep", "c_rep")
-        .dropDuplicates("b_rep", "c_rep")
-
-      val verified = survivors.hint("shuffle_hash")
-        .join(bsigs.select(col("gid").as("b_rep"), col("ghash").as("h1")), Seq("b_rep"))
-        .hint("shuffle_hash")
-        .join(csigs.select(col("gid").as("c_rep"), col("ghash").as("h2")), Seq("c_rep"))
-        .select(col("b_rep"), col("c_rep"), col("h1"), col("h2"))
-        .as[(Long, Long, Array[Long], Array[Long])]
-        .mapPartitions { it =>
-          it.flatMap { case (a, b, h1, h2) =>
-            var i = 0; var j = 0; var inter = 0
-            while (i < h1.length && j < h2.length) {
-              if (h1(i) == h2(j)) { inter += 1; i += 1; j += 1 }
-              else if (h1(i) < h2(j)) i += 1
-              else j += 1
-            }
-            val union = h1.length + h2.length - inter
-            val jac = if (union == 0) 0.0 else inter.toDouble / union
-            if (jac >= threshold) Iterator.single((a, b, jac)) else Iterator.empty
-          }
-        }.toDF("b_rep", "c_rep", "jaccard_raw")
+      val survivors = estimateSurvivors(l.join(r, Seq("band", "band_hash")),
+        "b_rep", "c_rep", estCutoffFor(threshold))
+      val verified = verifyPairs(survivors, bsigs, csigs,
+        "b_rep", "c_rep", threshold)
 
       // best corpus match per batch content group: lexicographic
       // struct max = highest jaccard, then smallest corpus id (the

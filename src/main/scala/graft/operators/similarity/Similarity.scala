@@ -373,6 +373,11 @@ object Similarity {
     private[graft] def train(corpus: DataFrame, m: Int, ksub: Int,
                              vecCol: String, idCol: String,
                              maxTrain: Long): (Array[Array[Array[Double]]], Array[(Int, Int)]) = {
+      // codes are stored as bytes and read back with `& 0xff` — a ksub
+      // above 256 would silently alias distinct centroids onto the same
+      // code (garbage ADC ranking the exact re-rank then hides)
+      require(m >= 1 && ksub >= 2 && ksub <= 256,
+        s"PQ needs 1 <= m and 2 <= ksub <= 256 (byte codes), got m=$m ksub=$ksub")
       val spark = corpus.sparkSession
       import spark.implicits._
       val c = corpus.select(col(idCol), col(vecCol).cast("array<float>"))

@@ -70,18 +70,43 @@ object Bpe {
   /** Greedy merge learning over a word-frequency table. Returns the
     * merge list in rank order; stops early when no pair reaches
     * `minPairCount`.
+    *
+    * Incremental: pair counts and a pair→words index are built once;
+    * each merge touches ONLY the words containing the merged pair
+    * (remove their old adjacent-pair contributions, merge, re-add) —
+    * the standard BPE-training shape, O(affected symbols) per merge
+    * instead of a full corpus recount. Selection is by the total order
+    * (count desc, pair asc), so hash-map iteration order never leaks
+    * into the result.
     */
   def learn(wordFreq: Seq[(String, Long)], numMerges: Int,
             minPairCount: Long = 2L): Seq[Pair] = {
-    var words = wordFreq.collect { case (w, c) if w.nonEmpty => (symbols(w), c) }.toArray
+    val entries = wordFreq.collect { case (w, c) if w.nonEmpty => (symbols(w), c) }
+    val words = entries.map(_._1).toArray
+    val freq = entries.map(_._2).toArray
+    val counts = mutable.HashMap.empty[Pair, Long]
+    val index = mutable.HashMap.empty[Pair, mutable.Set[Int]]
+
+    def eachPair(syms: Vector[String])(f: Pair => Unit): Unit = {
+      var i = 0
+      while (i < syms.length - 1) { f((syms(i), syms(i + 1))); i += 1 }
+    }
+    def add(i: Int): Unit = eachPair(words(i)) { p =>
+      counts.updateWith(p)(v => Some(v.getOrElse(0L) + freq(i)))
+      index.getOrElseUpdate(p, mutable.Set.empty) += i
+    }
+    def remove(i: Int): Unit = eachPair(words(i)) { p =>
+      counts.updateWith(p) { v =>
+        val n = v.getOrElse(0L) - freq(i)
+        if (n <= 0) None else Some(n)
+      }
+      index.get(p).foreach { s => s -= i; if (s.isEmpty) index.remove(p) }
+    }
+
+    words.indices.foreach(add)
     val merges = mutable.ArrayBuffer.empty[Pair]
     var done = false
     while (merges.size < numMerges && !done) {
-      val counts = mutable.HashMap.empty[Pair, Long]
-      for ((syms, c) <- words; i <- 0 until syms.length - 1)
-        counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
-      // deterministic best: max count, then lexicographically smallest
-      // pair — independent of hash-map iteration order
       val best = counts.foldLeft(Option.empty[(Pair, Long)]) {
         case (acc, (p, c)) =>
           if (acc.forall { case (bp, bc) =>
@@ -91,7 +116,12 @@ object Bpe {
       best match {
         case Some((p, c)) if c >= minPairCount =>
           merges += p
-          words = words.map { case (syms, cnt) => (mergePair(syms, p), cnt) }
+          // snapshot: remove()/add() mutate the index sets under us
+          index.get(p).map(_.toArray).getOrElse(Array.empty).foreach { i =>
+            remove(i)
+            words(i) = mergePair(words(i), p)
+            add(i)
+          }
         case _ => done = true
       }
     }

@@ -38,6 +38,17 @@ import org.apache.spark.sql.functions._
   * and shuffles otherwise — both sides of those joins are bounded by
   * vocab², never O(corpus·text)).
   *
+  * Determinism caveat (shared by every rounded-double oracle in this
+  * repo): `avg` over a document's per-bigram log terms is a
+  * non-associative double sum whose accumulation order differs between
+  * the exact plan, the hashed plan, and DuckDB. Each ln term is
+  * identical across engines (same integer counts), so plans disagree
+  * only by ~1 ulp × n_bigrams ≈ 1e-13 relative — `round(·, 3)` flips
+  * only when a score lands within that distance of a rounding
+  * boundary, P ≈ 1e-10 per document. Accepted, not prevented: a
+  * fixed-order sum would force a per-document sort that the score
+  * semantics don't need.
+  *
   * Output, one row per input document:
   * `(doc_id, n_bigrams, xent_nats, ppl)` — documents with fewer than
   * two tokens carry `n_bigrams = 0` and null scores.
@@ -88,29 +99,47 @@ object Perplexity {
   /** Exact path, CCNet shape: train the bigram model on `model` (e.g.
     * a clean reference corpus), score every `target` document against
     * it. Token strings are the model keys — the oracle twin.
+    *
+    * The model subtree feeds three consumers (cb, c1, vocab — all
+    * different grouping keys), so the corpus is scanned and exploded
+    * once per consumer. Checkpointing the tokenized/bigram frames to
+    * share one pass was MEASURED AND REJECTED at sf100: the
+    * checkpointed blocks of a corpus-scale exploded frame (~250 M
+    * bigram rows) are pinned storage the unified memory manager cannot
+    * evict, and the model-count hash aggregates then die with
+    * AGGREGATE_OUT_OF_MEMORY — while the recompute-from-parquet plan
+    * runs the whole query in 29 s. Re-scanning columnar parquet is the
+    * cheap, memory-safe side of that trade at every scale.
     */
   def runCross(model: DataFrame, target: DataFrame,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val mt = toks(model, textCol, idCol)
-    val bi = bigrams(toks(target, textCol, idCol), idCol)
+    val modelBi = bigrams(mt, idCol)
+    val targetBi =
+      if (target eq model) modelBi else bigrams(toks(target, textCol, idCol), idCol)
     val vocab = mt.select(explode(col("ws")).as("w")).agg(countDistinct("w").as("v"))
-    score(target, bi, bigrams(mt, idCol), vocab, Seq("w1", "w2"), "w1", idCol)
+    score(target, targetBi, modelBi, vocab, Seq("w1", "w2"), "w1", idCol)
   }
 
   /** Scale path, self-trained. See class doc. */
   def runHashed(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     runCrossHashed(df, df, textCol, idCol)
 
-  /** Scale path, CCNet shape: 8-byte hashes shuffle, text does not. */
+  /** Scale path, CCNet shape: 8-byte hashes shuffle, text does not.
+    * Same recompute-over-checkpoint trade as [[runCross]].
+    */
   def runCrossHashed(model: DataFrame, target: DataFrame,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def hashed(df: DataFrame) = bigrams(toks(df, textCol, idCol), idCol)
+    val mt = toks(model, textCol, idCol)
+    def hashed(t: DataFrame) = bigrams(t, idCol)
       .select(col(idCol), xxhash64(col("w1"), col("w2")).as("hb"),
         xxhash64(col("w1")).as("h1"))
-    val vocab = toks(model, textCol, idCol)
-      .select(explode(col("ws")).as("w"))
+    val modelBi = hashed(mt)
+    val targetBi =
+      if (target eq model) modelBi else hashed(toks(target, textCol, idCol))
+    val vocab = mt.select(explode(col("ws")).as("w"))
       .agg(countDistinct(xxhash64(col("w"))).as("v"))
-    score(target, hashed(target), hashed(model), vocab, Seq("hb"), "h1", idCol)
+    score(target, targetBi, modelBi, vocab, Seq("hb"), "h1", idCol)
   }
 
   /** DuckDB twin of [[run]] (and, by exact agreement, [[runHashed]]). */

@@ -42,7 +42,9 @@ object UrlDedup {
 
   /** Canonical form of a URL column. See class doc for the rules. */
   def normalize(url: Column): Column = {
-    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    // optional scheme so protocol-relative '//host/path' URLs
+    // canonicalize with their absolute twins
+    val noScheme = regexp_replace(url, "^([A-Za-z][A-Za-z0-9+.-]*:)?//", "")
     val hostport = regexp_extract(noScheme, "^[^/?#]*", 0)
     val host = regexp_replace(
       regexp_replace(lower(hostport), "^www\\.", ""), ":(80|443)$", "")
@@ -76,7 +78,7 @@ object UrlDedup {
   def oracleSql(table: String): String =
     s"""WITH parts AS (
        |  SELECT doc_id,
-       |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS ns
+       |    regexp_replace(url, '^([A-Za-z][A-Za-z0-9+.-]*:)?//', '') AS ns
        |  FROM $table),
        |split1 AS (
        |  SELECT doc_id, regexp_extract(ns, '^[^/?#]*') AS hostport,

@@ -25,6 +25,10 @@ class UrlDedupSpec extends AnyFunSuite {
     assert(norm("https://example.com:443/A/b") === want)
     // non-default port survives
     assert(norm("http://example.com:8080/A/b") === "example.com:8080/A/b")
+    // protocol-relative URLs collapse with their absolute twins
+    assert(norm("//www.Example.com/A/b") === want)
+    // scheme-less input: the whole prefix up to / is already the host
+    assert(norm("Example.com/A/b") === want)
   }
 
   test("path case is preserved; trailing slashes and fragments are not") {
