@@ -7,7 +7,7 @@ import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.{Dedup, SemanticDedup}
 import graft.operators.multimodal.BinaryPipeline
 import graft.operators.similarity.Similarity
-import graft.operators.text.{Bpe, KeywordSearch, LineDedup, Perplexity, SpanDedup, TextOps, UrlDedup}
+import graft.operators.text.{Bpe, Chunker, HtmlExtract, KeywordSearch, LineDedup, Perplexity, SpanDedup, TextOps, UrlDedup}
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, expr, lit, max, substring, when}
@@ -222,6 +222,19 @@ object SparkEntry {
       val docs = Tables(s, d, "documents")
       Bpe.tokenStats(docs, Bpe.learnFromCorpus(docs, BpeMerges))
     }),
+    // sliding-window passage chunking (SURVEY §2 #35l): window/stride
+    // sized so the 10-99-token synthetic docs yield 1-4 chunks each,
+    // with 8 tokens of overlap exercising every arm of the walk
+    "text_chunk" -> ((s, d) =>
+      Chunker.run(Tables(s, d, "documents"), ChunkWindow, ChunkStride)),
+    // HTML main-text extraction (SURVEY §2 #35m): the synthetic docs are
+    // plain text, so the demo corpus wraps each in a full page — head
+    // with title/style/script (whose `1 < 2` content must NOT leak),
+    // comment, 3-word nav, 2-word h1 and footer (all under the 4-word
+    // line rule), the document text in a <p>, and on even ids an
+    // entity-bearing paragraph exercising every decode. The oracle
+    // builds the identical corpus in SQL.
+    "text_html_extract" -> ((s, d) => HtmlExtract.run(htmlCorpus(s, d))),
     // --- deterministic sampling / dataset splits (SURVEY §2 #38) ---
     "sample_split" -> ((s, d) =>
       Sampling.hashSplit(Tables(s, d, "documents"), "doc_id", SplitWeights)
@@ -410,6 +423,26 @@ object SparkEntry {
       |     doc_id % 97, '?id=5&utm_campaign=x')
       |  END AS url
       | FROM documents)""".stripMargin
+  // html-extract demo corpus (see the text_html_extract entry): one
+  // page per doc, single-quote-free so the fragments embed verbatim in
+  // the oracle SQL; the CASE arm is mirrored in HtmlCorpusSql below
+  private val HtmlHead =
+    "<html><head><title>Synthetic Doc</title><style>body { color: red; }</style>" +
+      "<script>if (1 < 2) { alert(\"x & y\"); }</script></head><body>" +
+      "<!-- generated page --><div class=\"nav\">Home About Contact</div><h1>Doc "
+  private val HtmlEntityPara =
+    "<p>Q &amp; A: tips &lt;fast&gt; &quot;quoted&quot; &#39;single&#39;&nbsp;done</p>"
+  private val HtmlFoot = "<div class=\"footer\">Copyright 2026</div></body></html>"
+  private def htmlCorpus(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").withColumn("html", concat(
+      lit(HtmlHead), col("doc_id") % 97,
+      lit("</h1><p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 2 === 0, lit(HtmlEntityPara)).otherwise(lit("")),
+      lit(HtmlFoot)))
+  private lazy val HtmlCorpusSql =
+    s"""(SELECT doc_id, concat('$HtmlHead', doc_id % 97, '</h1><p>', text,
+       | '</p>', CASE WHEN doc_id % 2 = 0 THEN '$HtmlEntityPara'
+       | ELSE '' END, '$HtmlFoot') AS html FROM documents)""".stripMargin
   // BM25 demo queries — single-quote-free, terms from the synthetic
   // document vocabulary (plus one unseen term to exercise df=0)
   private val Bm25Queries = Seq(
@@ -440,6 +473,8 @@ object SparkEntry {
   private val AnnK = 10
   private val AnnNumQueries = 5
   private val BpeMerges = 60
+  private val ChunkWindow = 32
+  private val ChunkStride = 24
 
   private val NullcheckAllTables = Seq("region", "nation", "supplier", "customer")
   private val NullcheckAllCols = Map(
@@ -689,6 +724,8 @@ object SparkEntry {
       "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
       "(SELECT * FROM documents WHERE doc_id % 2 = 1)"),
     "text_url_dedup" -> UrlDedup.oracleSql(UrlCorpusSql),
+    "text_chunk" -> Chunker.oracleSql("documents", ChunkWindow, ChunkStride),
+    "text_html_extract" -> HtmlExtract.oracleSql(HtmlCorpusSql),
     // dedup_minhash / dedup_simhash / ann_lsh are approximate candidate
     // generators (not SQL-expressible) → rows-only check here; their
     // recall/precision vs the brute-force paths is asserted in DedupSpec

@@ -72,6 +72,10 @@ import org.apache.spark.sql.functions.expr
   *     [--url-col url] [--id doc_id]
   * GraftApp bpe             --dir /data/sf1 --table documents \
   *     [--merges 1000] [--max-words 200000] [--text-col text] [--id doc_id]
+  * GraftApp chunk           --dir /data/sf1 --table documents \
+  *     [--window 512] [--stride 384] [--text-col text] [--id doc_id]
+  * GraftApp html-extract    --dir /data/sf1 --table pages \
+  *     [--min-line-words 4] [--html-col html] [--id doc_id]
   * }}}
   */
 object GraftApp {
@@ -110,7 +114,7 @@ object GraftApp {
     "values", "referential", "suite", "skew", "asof", "range-join", "split",
     "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "mixture",
     "pack", "sessionize", "line-dedup", "span-dedup", "search",
-    "semantic-dedup", "perplexity", "url-dedup", "bpe")
+    "semantic-dedup", "perplexity", "url-dedup", "bpe", "chunk", "html-extract")
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
@@ -424,6 +428,19 @@ object GraftApp {
           textCol = textCol)
         graft.operators.text.Bpe.tokenStats(table, merges, textCol,
           f.getOrElse("id", "doc_id"))
+      case "chunk" =>
+        // sliding-window passage chunking (window tokens every stride)
+        graft.operators.text.Chunker.run(table,
+          window = f.getOrElse("window", "512").toInt,
+          stride = f.getOrElse("stride", "384").toInt,
+          textCol = f.getOrElse("text-col", "text"),
+          idCol = f.getOrElse("id", "doc_id"))
+      case "html-extract" =>
+        // HTML → main text (tag strip + entity decode + short-line rule)
+        graft.operators.text.HtmlExtract.run(table,
+          minLineWords = f.getOrElse("min-line-words", "4").toInt,
+          htmlCol = f.getOrElse("html-col", "html"),
+          idCol = f.getOrElse("id", "doc_id"))
       case "semantic-dedup" =>
         // SemDeDup over an embedding column (trained IVF cells)
         graft.operators.dedup.SemanticDedup.run(table,

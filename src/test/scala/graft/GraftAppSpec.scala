@@ -238,6 +238,16 @@ class GraftAppSpec extends AnyFunSuite {
       "--table", "documents", "--merges", "20") > 0)
   }
 
+  test("chunk and html-extract tools run end-to-end") {
+    // docs are 10-99 tokens → window 16 guarantees multi-chunk output
+    assert(runToParquet("chunk", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--window", "16", "--stride", "12") > 50)
+    // documents carry no html column — text works (extraction is total
+    // on tag-free input: it just applies the line rule)
+    assert(runToParquet("html-extract", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--html-col", "text") > 0)
+  }
+
   test("generate-config writes a loadable default colcompare YAML") {
     val path = java.nio.file.Files.createTempDirectory("graft_gen")
       .resolve("cc.yaml").toString

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.text.HtmlExtract
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML main-text extraction (SURVEY §2 #35m): each pipeline stage in
+  * isolation — script/style/comment removal, block-tag line structure,
+  * inline-tag joining, entity decode order, and the short-line rule.
+  */
+class HtmlExtractSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def extract(html: String, minLineWords: Int = 4): String =
+    Seq(html).toDF("h")
+      .select(HtmlExtract.extract(col("h"), minLineWords).as("t"))
+      .collect().head.getString(0)
+
+  test("script and style content never leaks, including < and & inside it") {
+    val html = "<p>keep these four words</p>" +
+      "<script>if (1 < 2) { alert(\"x & y\"); }</script>" +
+      "<style>body { color: red; }</style>" +
+      "<SCRIPT type=\"text/javascript\">more < hidden</SCRIPT>"
+    assert(extract(html) === "keep these four words")
+  }
+
+  test("comments are removed before tag handling") {
+    assert(extract("<p>real text stays here</p><!-- <p>ghost words gone</p> -->")
+      === "real text stays here")
+  }
+
+  test("block tags make lines; inline tags join words") {
+    val html = "<p>first paragraph has words</p><p>second paragraph has words</p>" +
+      "<div>a <b>bolded</b> run of words</div>"
+    assert(extract(html) ===
+      "first paragraph has words\nsecond paragraph has words\na bolded run of words")
+    // inline markup must not glue adjacent words together
+    assert(extract("<p>alpha<span>beta</span>gamma delta</p>", 2) ===
+      "alpha beta gamma delta")
+  }
+
+  test("entities decode, &amp; last so double-encoding stays literal") {
+    assert(extract("<p>Tom &amp; Jerry &lt;3 forever&#39;s</p>", 2) ===
+      "Tom & Jerry <3 forever's")
+    assert(extract("<p>literal &amp;lt; stays encoded here</p>", 2) ===
+      "literal &lt; stays encoded here")
+    assert(extract("<p>a&nbsp;b c d</p>", 2) === "a b c d")
+    assert(extract("<p>say &quot;hi&quot; to them</p>", 2) === "say \"hi\" to them")
+  }
+
+  test("short lines (nav, headers, footers) drop under the word rule") {
+    val html = "<div>Home About Contact</div><h1>Page Title</h1>" +
+      "<p>this sentence is long enough to keep</p>" +
+      "<div>Copyright 2026</div>"
+    assert(extract(html, 4) === "this sentence is long enough to keep")
+    // at minLineWords=2 the nav and footer survive; shows the knob works
+    assert(extract(html, 3).linesIterator.size === 2)
+  }
+
+  test("whitespace collapses inside lines; empty output is the empty string") {
+    assert(extract("<p>spaced   out    words here</p>") === "spaced out words here")
+    assert(extract("<div>a b</div>") === "")
+    assert(extract("") === "")
+  }
+
+  test("run emits line and char counts with layout-independent results") {
+    val df = Seq(
+      (1L, "<p>first doc with enough words</p><p>and a second good line</p>"),
+      (2L, "<h1>Tiny</h1>"),
+      (3L, "<p>third doc also has words</p>")
+    ).toDF("doc_id", "html").repartition(5)
+    val out = HtmlExtract.run(df).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSeq
+    assert(out === Seq((1L, 2, 50), (2L, 0, 0), (3L, 1, 24)))
+  }
+}

@@ -391,6 +391,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected hash exchange in:\n$p")
   }
 
+  test("text_chunk and text_html_extract: pure map-side — no hash shuffle") {
+    // both are single-projection operators (chunking adds an explode);
+    // the only exchange either plan may carry is the presentation
+    // orderBy's range partitioning — a hash shuffle means a refactor
+    // introduced a join or aggregation that doesn't belong here
+    for (name <- Seq("text_chunk", "text_html_extract")) {
+      val p = plan(q(name))
+      assert(!p.contains("hashpartitioning("),
+        s"unexpected hash exchange in $name:\n$p")
+    }
+  }
+
   test("ann_pq: corpus-derived legs are never the broadcast build") {
     // ADC candidates (bounded refine·k per query) and queries broadcast;
     // the corpus scan must stream — a corpus-side broadcast is the 8 GiB
