@@ -426,12 +426,21 @@ object SparkEntry {
   // html-extract demo corpus (see the text_html_extract entry): one
   // page per doc, single-quote-free so the fragments embed verbatim in
   // the oracle SQL; the CASE arm is mirrored in HtmlCorpusSql below
+  // the head carries a 5-word title: if the <head> strip ever regressed,
+  // the title would survive the 4-word line rule and flip the hash
   private val HtmlHead =
-    "<html><head><title>Synthetic Doc</title><style>body { color: red; }</style>" +
+    "<html><head><title>Synthetic Doc Page Title Here</title>" +
+      "<style>body { color: red; }</style>" +
       "<script>if (1 < 2) { alert(\"x & y\"); }</script></head><body>" +
       "<!-- generated page --><div class=\"nav\">Home About Contact</div><h1>Doc "
+  // numeric refs exercise every decoder arm: decimal in-range (233),
+  // hex both cases + 1-digit (&#x9; = tab, collapsed), out-of-range
+  // (&#999;), zero, and too-long (&#1234;) stay literal; <pre> is
+  // anchored-regex bait — its content must join inline, not split lines
   private val HtmlEntityPara =
-    "<p>Q &amp; A: tips &lt;fast&gt; &quot;quoted&quot; &#39;single&#39;&nbsp;done</p>"
+    "<p>Q &amp; A: tips &lt;fast&gt; &quot;quoted&quot; &#39;single&#39;&nbsp;done</p>" +
+      "<p>caf&#233; r&#xe9;sum&#xE9; A&#x41;B tab&#x9;sep stays &#999; &#0; &#1234; here</p>" +
+      "<pre>preformatted block kept inline</pre>"
   private val HtmlFoot = "<div class=\"footer\">Copyright 2026</div></body></html>"
   private def htmlCorpus(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents").withColumn("html", concat(

@@ -44,9 +44,12 @@ object Bpe {
   /** Per-partition memo bound — Zipf makes hits dominate far below it. */
   private val MemoCap = 262144
 
-  /** Corpus word-frequency table: `(w, cnt)`, vocabulary-bounded. */
+  /** Corpus word-frequency table: `(w, cnt)`, vocabulary-bounded.
+    * Words are [[TextOps.wsTokens]] — the corpus-wide tokenizer
+    * contract — with the `['']` empty-document convention filtered out.
+    */
   def wordCounts(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.select(explode(filter(split(col(textCol), " "), w => w =!= "")).as("w"))
+    df.select(explode(filter(TextOps.wsTokens(col(textCol)), w => w =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
   /** Initial symbol sequence of a word: chars, `</w>` on the last. */
@@ -174,7 +177,7 @@ object Bpe {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
     df.select(col(idCol).cast("long"),
-        filter(split(col(textCol), " "), w => w =!= "").as("ws"))
+        filter(TextOps.wsTokens(col(textCol)), w => w =!= "").as("ws"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val ranks = bc.value

@@ -5,16 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Sliding-window passage chunking — the retrieval/embedding prep step
   * of a training-data pipeline (split long documents into fixed
-  * token-budget windows with overlap, the convention of HF tokenizers'
-  * `return_overflowing_tokens`/`stride` and every RAG chunker).
+  * token-budget windows with overlap, like HF tokenizers'
+  * `return_overflowing_tokens` and every RAG chunker). NOTE on naming:
+  * `stride` here is the STEP between window starts; HF tokenizers call
+  * the overlap (`window - stride` here) the "stride" — invert when
+  * porting HF parameters.
   *
-  * Contract (whitespace tokens, the [[TextOps.TokenCount]] convention):
-  * a document with `n` tokens yields
+  * Contract (whitespace tokens via [[TextOps.wsTokens]], the
+  * [[TextOps.TokenCount]] convention): a document with `n` tokens yields
   * `numChunks = if (n <= window) 1 else ceil((n - window) / stride) + 1`
   * chunks; chunk `k` covers tokens `[k*stride, min(k*stride + window, n))`.
   * Every token is covered, consecutive chunks overlap by
   * `window - stride` tokens, and only the last chunk may be short — the
   * last start is always < `n`, so no empty chunk is ever emitted.
+  * Empty / whitespace-only / NULL documents have no tokens and yield NO
+  * chunks (they are filtered before the walk — without the filter the
+  * `['']` convention `split` shares with [[TextOps.TokenCount]] would
+  * emit one empty chunk with a claimed n_tok of 1).
   * All-integer arithmetic → bit-identical on any engine (the DuckDB
   * twin replays it verbatim).
   *
@@ -39,7 +46,7 @@ object Chunker {
           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = TextOps.wsTokens(col(textCol))
     // ceil((n - window) / stride) as floor division (dividend is
     // non-negative under the guard, and token counts are far inside
     // double's exact-integer range, so floor(a / b) IS a div b); the
@@ -47,7 +54,10 @@ object Chunker {
     val n = col("n_doc")
     val lastK: Column = when(n <= window, lit(0))
       .otherwise(floor((n - window + (stride - 1)) / lit(stride)))
-    df.select(col(idCol), toks.as("toks"), size(toks).as("n_doc"))
+    // same normalize-then-trim as wsTokens: plain trim only strips
+    // spaces and would let a tab-only document through as ['','']
+    df.where(trim(regexp_replace(col(textCol), "\\s+", " ")) =!= "")
+      .select(col(idCol), toks.as("toks"), size(toks).as("n_doc"))
       .select(col(idCol), col("toks"), col("n_doc"),
         explode(sequence(lit(0), lastK.cast("int"))).as("chunk_id"))
       .select(
@@ -70,9 +80,9 @@ object Chunker {
     */
   def oracleSql(table: String, window: Int, stride: Int): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
-       |    len(string_split_regex(trim(text), '\\s+')) AS n
-       |  FROM $table),
+       |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t,
+       |    len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n
+       |  FROM $table WHERE trim(regexp_replace(text, '\\s+', ' ', 'g')) <> ''),
        |ks AS (
        |  SELECT doc_id, t, n,
        |    unnest(generate_series(0,

@@ -11,20 +11,35 @@ import org.apache.spark.sql.functions._
   * Pipeline, one codegen'd projection (order matters and is mirrored
   * verbatim in the DuckDB twin):
   *
-  *   1. comments / `<script>` / `<style>` blocks removed wholesale
-  *      (their CONTENT is not text — `var x = 1 < 2` must not leak);
-  *      RE2-compatible: dot-all non-greedy, no backreferences, so the
-  *      same pattern runs on DuckDB
+  *   1. comments, the whole `<head>` block (titles/meta are chrome,
+  *      not prose), stray `<title>`, `<script>` and `<style>` blocks
+  *      removed wholesale (their CONTENT is not text — `var x = 1 < 2`
+  *      must not leak); RE2-compatible: dot-all non-greedy, no
+  *      backreferences, so the same pattern runs on DuckDB
   *   2. block-level tags (`p`, `div`, `br`, `h1-6`, `li`, `tr`,
   *      `ul`/`ol`, `table`) become newlines — they are the line
-  *      structure boilerplate filtering needs
-  *   3. every remaining tag becomes a space (inline markup joins words)
-  *   4. the five named entities + `&#39;`/`&nbsp;` decode via literal
-  *      `replace` — `&amp;` LAST, so `&amp;lt;` decodes to the literal
-  *      text `&lt;` the author wrote, not to `<`
+  *      structure boilerplate filtering needs. Tag names are ANCHORED
+  *      (`(\s[^>]*)?/?>` after the name), so `<pre>`, `<param>`,
+  *      `<progress>`, `<picture>`, `<link>`, `<track>` do NOT
+  *      prefix-match and fall through to the inline rule
+  *   3. every remaining tag becomes a space (inline markup joins
+  *      words). Only `<` followed by a letter, `/` or `!` counts as a
+  *      tag — literal body text like `x < y > z` survives. A bare `<`
+  *      directly abutting a word (`x <y> z`) still reads as a tag:
+  *      that ambiguity is unresolvable without a real parser and is
+  *      the documented limit of this naive extractor
+  *   4. named entities (`&nbsp;` `&lt;` `&gt;` `&quot;`) decode via
+  *      literal `replace`; then NUMERIC character references —
+  *      `&#NNN;` (value ≤ 255) and `&#xHH;` (≤ 2 hex digits, the
+  *      ASCII/Latin-1 range) — decode via mark → split → transform
+  *      ([[decodeNumericEntities]]); `&amp;` decodes LAST, so
+  *      `&amp;lt;`/`&amp;#233;` stay the literal text the author
+  *      wrote, not `<`/`é`. (A doubly-numeric `&#38;amp;` decodes all
+  *      the way to `&` — the naive-extractor trade for running the
+  *      passes in fixed order.)
   *   5. lines are trimmed, inner whitespace collapsed, and lines with
   *      fewer than `minLineWords` words dropped (the C4 short-line
-  *      rule; nav/footer/title lines die here)
+  *      rule; nav/footer lines die here)
   *
   * Scale shape: pure per-row projection — no shuffle, no UDF, rides
   * WholeStageCodegen next to the scan like the rest of
@@ -35,17 +50,70 @@ import org.apache.spark.sql.functions._
   */
 object HtmlExtract {
 
+  /** Anchored block-tag pattern: name, then end of tag or whitespace +
+    * attributes — never a longer name sharing the prefix.
+    */
+  private val BlockTagPattern =
+    "(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table)(\\s[^>]*)?/?>"
+
+  // mark/separator sentinels for the numeric-entity decoder; U+0001/02
+  // never occur in crawlable text (and a page that DID carry them
+  // would merely mis-decode its own numeric entities)
+  private val Mark = "\u0001"
+  private val Sep = "\u0002"
+  private val HexDigits = "0123456789abcdef"
+
+  /** Decode numeric character references in the ASCII/Latin-1 range:
+    * `&#NNN;` for 1 ≤ NNN ≤ 255 and `&#xHH;`/`&#XHH;` with 1-2 hex
+    * digits. Out-of-range or longer references pass through as the
+    * literal text (Latin-1 is where Spark's byte-masking `char()` and
+    * DuckDB's code-point `chr()` agree, so the guard is the parity
+    * contract, not laziness).
+    *
+    * Engine-portable shape (RE2 has no lookaround, neither engine can
+    * compute a char from a number inside `regexp_replace`): mark each
+    * reference with sentinel delimiters keeping the digits
+    * (`\u0001<code>\u0002`), split on the mark, and `transform` each
+    * segment — code before the separator, decoded via `char()` (hex
+    * digits folded to an integer with `instr` arithmetic), tail after
+    * it — then re-join. Stays one codegen'd projection.
+    */
+  def decodeNumericEntities(c: Column): Column = {
+    val marked = regexp_replace(
+      regexp_replace(c, "&#[xX]([0-9A-Fa-f]{1,2});", Mark + "x$1" + Sep),
+      "&#([0-9]{1,3});", Mark + "$1" + Sep)
+    val segs = split(marked, Mark)
+    // functions.instr only takes a literal needle; the SQL instr
+    // resolves column-column
+    def hexVal(digit: Column): Column =
+      call_function("instr", lit(HexDigits), digit) - 1
+    val decoded = transform(segs, s => {
+      val code = substring_index(s, Sep, 1)
+      val tail = s.substr(length(code) + lit(2), length(s))
+      val hex2 = lpad(lower(code.substr(lit(2), length(code))), 2, "0")
+      val value = when(code.startsWith("x"),
+        hexVal(substring(hex2, 1, 1)) * 16 + hexVal(substring(hex2, 2, 1)))
+        .otherwise(code.cast("int"))
+      val ch = when(value.between(1, 255), call_function("char", value))
+        .otherwise(concat(lit("&#"), code, lit(";")))
+      when(instr(s, Sep) === 0, s).otherwise(concat(ch, tail))
+    })
+    array_join(decoded, "")
+  }
+
   /** Extracted main text of an HTML column. */
   def extract(html: Column, minLineWords: Int = 4): Column = {
     val noComment = regexp_replace(html, "(?s)<!--.*?-->", "")
-    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", "")
+    val noHead = regexp_replace(noComment, "(?is)<head(\\s[^>]*)?>.*?</head\\s*>", "")
+    val noTitle = regexp_replace(noHead, "(?is)<title(\\s[^>]*)?>.*?</title\\s*>", "")
+    val noScript = regexp_replace(noTitle, "(?is)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
-    val blocks = regexp_replace(noStyle,
-      "(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table)[^>]*>", "\n")
-    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val blocks = regexp_replace(noStyle, BlockTagPattern, "\n")
+    val noTags = regexp_replace(blocks, "<[A-Za-z/!][^>]*>", " ")
+    val named = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"")
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val decoded = replace(decodeNumericEntities(named), lit("&amp;"), lit("&"))
     val lines = transform(split(decoded, "\n"),
       l => trim(regexp_replace(l, "\\s+", " ")))
     val kept = filter(lines,
@@ -66,9 +134,12 @@ object HtmlExtract {
 
   /** DuckDB twin of [[run]] over `table(doc_id, html)`. DuckDB's
     * `regexp_replace` is first-match-only without the `'g'` flag
-    * (Spark's is always global), and `list_aggregate`'s `string_agg`
-    * of an empty list is NULL where Spark's `array_join` is `''` —
-    * both differences are papered over here, not in the operator.
+    * (Spark's is always global), its backreference syntax is `\1`
+    * (Spark: `$1`), and `list_aggregate`'s `string_agg` of an empty
+    * list is NULL where Spark's `array_join` is `''` — the differences
+    * are papered over here, not in the operator. The numeric-entity
+    * decode mirrors [[decodeNumericEntities]] step for step (mark with
+    * chr(1)/chr(2), split, list_transform, re-join).
     */
   def oracleSql(table: String, minLineWords: Int = 4): String =
     s"""WITH stripped AS (
@@ -77,18 +148,46 @@ object HtmlExtract {
        |      regexp_replace(
        |        regexp_replace(
        |          regexp_replace(
-       |            regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+       |            regexp_replace(
+       |              regexp_replace(
+       |                regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+       |                '(?is)<head(\\s[^>]*)?>.*?</head\\s*>', '', 'g'),
+       |              '(?is)<title(\\s[^>]*)?>.*?</title\\s*>', '', 'g'),
        |            '(?is)<script[^>]*>.*?</script>', '', 'g'),
        |          '(?is)<style[^>]*>.*?</style>', '', 'g'),
-       |        '(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table)[^>]*>', chr(10), 'g'),
-       |      '<[^>]*>', ' ', 'g') AS t
+       |        '(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table)(\\s[^>]*)?/?>', chr(10), 'g'),
+       |      '<[A-Za-z/!][^>]*>', ' ', 'g') AS t
        |  FROM $table),
+       |named AS (
+       |  SELECT doc_id,
+       |    replace(replace(replace(replace(t,
+       |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |      '&quot;', '"') AS t
+       |  FROM stripped),
+       |marked AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(t, '&#[xX]([0-9A-Fa-f]{1,2});',
+       |        chr(1) || 'x\\1' || chr(2), 'g'),
+       |      '&#([0-9]{1,3});', chr(1) || '\\1' || chr(2), 'g') AS t
+       |  FROM named),
        |decoded AS (
        |  SELECT doc_id,
-       |    replace(replace(replace(replace(replace(replace(t,
-       |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-       |      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
-       |  FROM stripped),
+       |    replace(array_to_string(list_transform(string_split(t, chr(1)), s ->
+       |      CASE WHEN strpos(s, chr(2)) = 0 THEN s
+       |        ELSE
+       |          CASE WHEN (CASE WHEN split_part(s, chr(2), 1) LIKE 'x%'
+       |              THEN (strpos('0123456789abcdef', substring(lpad(lower(substring(split_part(s, chr(2), 1), 2)), 2, '0'), 1, 1)) - 1) * 16
+       |                 + (strpos('0123456789abcdef', substring(lpad(lower(substring(split_part(s, chr(2), 1), 2)), 2, '0'), 2, 1)) - 1)
+       |              ELSE CAST(split_part(s, chr(2), 1) AS INTEGER) END) BETWEEN 1 AND 255
+       |          THEN chr(CAST(CASE WHEN split_part(s, chr(2), 1) LIKE 'x%'
+       |              THEN (strpos('0123456789abcdef', substring(lpad(lower(substring(split_part(s, chr(2), 1), 2)), 2, '0'), 1, 1)) - 1) * 16
+       |                 + (strpos('0123456789abcdef', substring(lpad(lower(substring(split_part(s, chr(2), 1), 2)), 2, '0'), 2, 1)) - 1)
+       |              ELSE CAST(split_part(s, chr(2), 1) AS INTEGER) END AS INTEGER))
+       |          ELSE '&#' || split_part(s, chr(2), 1) || ';' END
+       |          || substring(s, length(split_part(s, chr(2), 1)) + 2)
+       |      END), ''), '&amp;', '&') AS t
+       |  FROM marked),
        |joined AS (
        |  SELECT doc_id,
        |    coalesce(array_to_string(

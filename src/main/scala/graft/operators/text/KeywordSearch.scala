@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *                             (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
   *   idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
   *
-  * Tokens are the single-space split of `lower(text)`; |D| counts all
-  * tokens, avgdl is the corpus mean.
+  * Tokens are [[TextOps.wsTokens]] of `lower(text)` — the corpus-wide
+  * tokenizer contract, so |D| here equals [[TextOps.TokenCount]]'s
+  * `ws_tokens` for the same document; avgdl is the corpus mean.
   *
   * Scale shape (the part that matters at 100 TB): the query term set is
   * tiny and known up-front, so an `isin` filter sits directly on the
@@ -47,14 +48,14 @@ object KeywordSearch {
     val spark = docs.sparkSession
     import spark.implicits._
     val pairs = queries.flatMap { case (qid, text) =>
-      text.toLowerCase.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _)
     }
     val qterms = pairs.toDF("query_id", "term")
     val allTerms = pairs.map(_._2).distinct
 
     // row-local doc length; the corpus scalar rides one 1-row crossJoin
     val withDl = docs.select(col(idCol).as("doc_id"),
-      split(lower(col(textCol)), " ").as("t"))
+      TextOps.wsTokens(lower(col(textCol))).as("t"))
       .withColumn("dl", size(col("t")))
     val stats = withDl.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
@@ -98,13 +99,13 @@ object KeywordSearch {
   def oracleSql(table: String, queries: Seq[(Int, String)], k: Int,
                 k1: Double = 1.2, b: Double = 0.75): String = {
     val qvalues = queries.flatMap { case (qid, text) =>
-      text.toLowerCase.split(" ").filter(_.nonEmpty).distinct
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
         .map(t => s"($qid, '$t')")
     }.mkString(", ")
     s"""WITH qterms(query_id, term) AS (VALUES $qvalues),
        |docs AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS t,
-       |         len(string_split(lower(text), ' ')) AS dl
+       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t,
+       |         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS dl
        |  FROM $table),
        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
        |tf AS (

@@ -55,10 +55,12 @@ import org.apache.spark.sql.functions._
   */
 object Perplexity {
 
-  /** Whitespace tokens with empties dropped (leading/double spaces). */
+  /** [[TextOps.wsTokens]] (the corpus-wide tokenizer contract) with the
+    * empty-document `['']` convention dropped.
+    */
   private def toks(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol),
-      filter(split(col(textCol), " "), w => w =!= "").as("ws"))
+      filter(TextOps.wsTokens(col(textCol)), w => w =!= "").as("ws"))
 
   /** Row-local bigram explode; extra = per-bigram key columns. */
   private def bigrams(t: DataFrame, idCol: String): DataFrame =
@@ -152,10 +154,10 @@ object Perplexity {
     */
   def crossOracleSql(modelTable: String, targetTable: String): String =
     s"""WITH mtoks AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
        |  FROM $modelTable),
        |ttoks AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
        |  FROM $targetTable),
        |mbi AS (
        |  SELECT doc_id,

@@ -21,9 +21,32 @@ object TextOps {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** THE whitespace tokenizer — every token-consuming operator
+    * ([[TokenCount]], [[Chunker]], [[graft.operators.text.Bpe]],
+    * [[graft.operators.text.KeywordSearch]], the lang/quality scorers
+    * via [[tokens]]) must build its token stream through here, so a
+    * document with tabs or newlines yields ONE token stream corpus-wide
+    * (a single-space split would count/fingerprint/score different
+    * tokens per operator — TextOpsSpec pins the agreement).
+    *
+    * Shape: collapse every whitespace run to one space, trim, split on
+    * the single space — NOT `split(trim(x), '\s+')`, because Spark and
+    * DuckDB `trim` strip only the space character, so a tab-padded
+    * document would keep edge-empty tokens. DuckDB mirror:
+    * `string_split(trim(regexp_replace(x, '\s+', ' ', 'g')), ' ')`.
+    *
+    * Convention: splitting an empty/whitespace-only document yields
+    * `['']` — one empty token. Operators that must not see it filter
+    * explicitly ([[graft.operators.text.Bpe.wordCounts]],
+    * [[graft.operators.text.Perplexity]]) or drop empty documents
+    * ([[Chunker]]).
+    */
+  def wsTokens(text: Column): Column =
+    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+
   /** Whitespace tokens of `text`, lowercased. */
   private def tokens(text: Column): Column =
-    split(trim(lower(text)), "\\s+")
+    wsTokens(lower(text))
 
   private def stopwordHits(toks: Column): Column = {
     val stops = array(EnStopwords.map(lit): _*)
@@ -42,13 +65,13 @@ object TextOps {
       df.select(
         col(idCol),
         length(col(textCol)).as("n_chars"),
-        size(split(trim(col(textCol)), "\\s+")).as("ws_tokens"),
+        size(wsTokens(col(textCol))).as("ws_tokens"),
         size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0))).as("bpe_tokens"))
         .orderBy(idCol)
 
     def oracleSql(table: String): String =
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+         |  CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS INTEGER) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens
          |FROM $table ORDER BY doc_id""".stripMargin
   }
@@ -92,16 +115,16 @@ object TextOps {
     def oracleSql(table: String): String = {
       val stops = EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""SELECT doc_id, lang AS declared_lang,
-         |  round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |  round(CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
          |      x -> list_contains($stops, x))) AS DOUBLE)
-         |    / len(string_split_regex(trim(lower(text)), '\\s+')), 4) AS stopword_ratio,
-         |  CASE WHEN round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |    / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 4) AS stopword_ratio,
+         |  CASE WHEN round(CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
          |      x -> list_contains($stops, x))) AS DOUBLE)
-         |    / len(string_split_regex(trim(lower(text)), '\\s+')), 4) >= $EnThreshold
+         |    / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 4) >= $EnThreshold
          |    THEN 'en' ELSE 'und' END AS predicted_lang,
-         |  CAST((CASE WHEN round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |  CAST((CASE WHEN round(CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
          |      x -> list_contains($stops, x))) AS DOUBLE)
-         |    / len(string_split_regex(trim(lower(text)), '\\s+')), 4) >= $EnThreshold
+         |    / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 4) >= $EnThreshold
          |    THEN 'en' ELSE 'und' END) = lang AS INTEGER) AS agrees
          |FROM $table ORDER BY doc_id""".stripMargin
     }
@@ -146,12 +169,12 @@ object TextOps {
       val stops = EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH base AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
+         |    CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens,
          |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
          |      / length(text) AS punct_ratio_raw,
-         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |    CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
          |        x -> list_contains($stops, x))) AS DOUBLE)
-         |      / len(string_split_regex(trim(lower(text)), '\\s+')) AS stop_ratio_raw
+         |      / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS stop_ratio_raw
          |  FROM $table)
          |SELECT doc_id, n_chars, n_tokens,
          |  round(punct_ratio_raw, 4) AS punct_ratio,
@@ -241,8 +264,8 @@ object TextOps {
       s"""SELECT doc_id,
          |  round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
          |    / len(string_split(text, chr(10))), 4) AS dup_line_fraction,
-         |  round(1.0 - CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS DOUBLE)
-         |    / len(string_split_regex(trim(lower(text)), '\\s+')), 4) AS dup_word_fraction
+         |  round(1.0 - CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS DOUBLE)
+         |    / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 4) AS dup_word_fraction
          |FROM $table ORDER BY doc_id""".stripMargin
   }
 

@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   * A fourth argument `zipf` enables the SKEWED mode: same replication,
   * but [[SkewFrac]] of orders/lineitems/events have their FK
   * (o_custkey / l_orderkey / user_id) redirected to [[HotKeys]] global
-  * heavy hitters with ~1/rank mass ([[skewFk]]). Uniform replication
-  * keeps every per-key group at source size, so it can never falsify
-  * the skew claims (AQE skew-join splitting, salting, window-partition
-  * hot keys) — this mode exists to do exactly that.
+  * heavy hitters with ~1/rank mass ([[skewFk]]), and the same fraction
+  * of embeddings are overwritten with [[HotKeys]] hot VECTORS
+  * ([[skewEmbeddings]] — the adversarial distribution for ANN recall).
+  * Uniform replication keeps every per-key group at source size, so it
+  * can never falsify the skew claims (AQE skew-join splitting, salting,
+  * window-partition hot keys) — this mode exists to do exactly that.
   */
 object ScaleUp {
 
@@ -105,6 +107,41 @@ object ScaleUp {
       .map { case Row(k: Long) => k }.toSeq
   }
 
+  /** Zipfian VECTOR duplication for the skewed mode's embeddings table:
+    * [[SkewFrac]] of rows (same deterministic vec_id-hash rules as
+    * [[skewFk]]) have their embedding (and label, kept consistent)
+    * replaced with one of `hot` vectors, rank-picked ~1/rank. Uniform
+    * replication repeats each source vector exactly `factor` times —
+    * every duplicate group the same size — so it can never falsify the
+    * ANN-recall claims under an adversarial distribution: massed exact
+    * ties mean the exact top-k itself is tie-degenerate and the
+    * IVF/PQ samplers see a few centroids carrying 20% of the corpus.
+    * This mode produces exactly that shape.
+    */
+  def skewEmbeddings(df: DataFrame, hot: Seq[(Seq[Float], Int)]): DataFrame = {
+    require(hot.nonEmpty)
+    val h = hot.length
+    val u = pmod(xxhash64(col("vec_id"), lit(1)), lit(1000000L))
+      .cast("double") / 1000000.0
+    val rank =
+      least(floor(exp(u * log(lit(h.toDouble)))).cast("long") - 1, lit(h - 1L))
+    val idx = (rank + 1).cast("int")
+    val redirect =
+      pmod(xxhash64(col("vec_id"), lit(2)), lit(1000L)) < lit((SkewFrac * 1000).toLong)
+    df.withColumn("embedding",
+        when(redirect, element_at(typedLit(hot.map(_._1)), idx))
+          .otherwise(col("embedding")))
+      .withColumn("label",
+        when(redirect, element_at(typedLit(hot.map(_._2)), idx))
+          .otherwise(col("label")))
+  }
+
+  /** First `n` embeddings (by vec_id) as the hot vector set. */
+  private def firstVectors(df: DataFrame, n: Int): Seq[(Seq[Float], Int)] =
+    df.orderBy("vec_id").limit(n).collect()
+      .map(r => (r.getSeq[Float](r.fieldIndex("embedding")),
+        r.getInt(r.fieldIndex("label")))).toSeq
+
   /** Skewed-mode FK redirects: (table, pk, fk, referenced table, key).
     * q3/q18-family joins see hot order/customer keys; the event family
     * (sessionize, as-of, hourly `n_users`) sees hot users.
@@ -142,8 +179,13 @@ object ScaleUp {
     val hotSets: Map[String, Seq[Long]] = skews.map { case (t, _, fk, ref, rk) =>
       (t + "." + fk, firstKeys(spark.read.parquet(s"$in/$ref.parquet"), rk, HotKeys))
     }.toMap
+    val hotVecs =
+      if (zipf) firstVectors(spark.read.parquet(s"$in/embeddings.parquet"), HotKeys)
+      else Nil
     keyCols.foreach { case (t, keys) =>
-      val scaled = scaleTable(spark.read.parquet(s"$in/$t.parquet"), keys, factor)
+      val scaled0 = scaleTable(spark.read.parquet(s"$in/$t.parquet"), keys, factor)
+      val scaled =
+        if (zipf && t == "embeddings") skewEmbeddings(scaled0, hotVecs) else scaled0
       val skewed = skews.find(_._1 == t) match {
         case Some((_, pk, fk, _, _)) =>
           // lineitem has no single-column pk: hash the (orderkey, line

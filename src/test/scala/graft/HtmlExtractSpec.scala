@@ -45,8 +45,51 @@ class HtmlExtractSpec extends AnyFunSuite {
       "Tom & Jerry <3 forever's")
     assert(extract("<p>literal &amp;lt; stays encoded here</p>", 2) ===
       "literal &lt; stays encoded here")
+    assert(extract("<p>literal &amp;#233; stays encoded here</p>", 2) ===
+      "literal &#233; stays encoded here")
     assert(extract("<p>a&nbsp;b c d</p>", 2) === "a b c d")
     assert(extract("<p>say &quot;hi&quot; to them</p>", 2) === "say \"hi\" to them")
+  }
+
+  test("numeric character references decode in the ASCII/Latin-1 range") {
+    // decimal + hex (both cases, 1- and 2-digit); &#x9; is a tab that
+    // the whitespace collapse then folds to one space
+    assert(extract("<p>caf&#233; r&#xe9;sum&#xE9; A&#x41;B tab&#x9;sep</p>", 2) ===
+      "café résumé AAB tab sep")
+    // out-of-range (>255), zero, and >3-digit references stay literal
+    assert(extract("<p>keep &#999; and &#0; and &#1234; literal</p>", 2) ===
+      "keep &#999; and &#0; and &#1234; literal")
+    // a decoded &#10; is a REAL newline: it creates line structure
+    assert(extract("<p>first half line one&#10;second half line two</p>", 2) ===
+      "first half line one\nsecond half line two")
+  }
+
+  test("head and title blocks are stripped wholesale") {
+    val html = "<html><head><title>Five Word Leaky Page Title</title>" +
+      "<meta name=\"x\"></head><body><p>body prose has enough words</p></body></html>"
+    assert(extract(html) === "body prose has enough words")
+    // a stray title outside <head> is stripped too; <header> (a longer
+    // name sharing the prefix) is NOT treated as <head>
+    assert(extract("<title>Another Long Page Title Here</title>" +
+      "<header><p>kept header prose four words</p></header>") ===
+      "kept header prose four words")
+  }
+
+  test("anchored block tags: pre/param/progress join inline, p/div still split") {
+    // <pre> must not become a line break (the old prefix-match bug)
+    assert(extract("<p>a pre <pre>inline</pre> tail words</p>", 2) ===
+      "a pre inline tail words")
+    assert(extract("<p>opts <param name=\"x\" value=\"y\"> listed <progress>" +
+      " run <picture>shown</picture> done</p>", 2) ===
+      "opts listed run shown done")
+    // the anchored names still split with attributes and self-closing
+    assert(extract("<p class=\"x\">first line words here</p><br/>" +
+      "<div id=\"y\">second line words here</div>", 2) ===
+      "first line words here\nsecond line words here")
+  }
+
+  test("literal < and > in body text survive the restricted tag rule") {
+    assert(extract("<p>compare x < y > z often</p>", 2) === "compare x < y > z often")
   }
 
   test("short lines (nav, headers, footers) drop under the word rule") {

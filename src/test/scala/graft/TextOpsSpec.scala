@@ -147,4 +147,43 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(_.getInt(3)).sum
     assert(rescanned == 0)
   }
+
+  test("one tokenizer contract: tabs/newlines tokenize identically everywhere") {
+    import graft.operators.text.{Bpe, Chunker, KeywordSearch}
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val messy = "alpha\tbeta  gamma\ndelta epsilon "
+    val df = Seq((1L, messy)).toDF("doc_id", "text")
+    // TokenCount: 5 tokens, not the 3 a single-space split would see
+    assert(TextOps.TokenCount.run(df).collect().head
+      .getAs[Int]("ws_tokens") === 5)
+    // Chunker walks the same 5 tokens
+    val chunks = Chunker.run(df, window = 3, stride = 3).collect()
+    assert(chunks.map(_.getAs[Int]("n_tok")).sum === 5)
+    assert(chunks.flatMap(_.getAs[String]("chunk_text").split(" ")).toSeq === words)
+    // Bpe word counts see the same 5 words, once each
+    val wc = Bpe.wordCounts(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc === words.map(_ -> 1L).toMap)
+    // BM25: same tokens ⇒ same dl ⇒ identical scores regardless of the
+    // whitespace flavor separating them
+    val two = Seq((1L, words.mkString(" ")), (2L, messy)).toDF("doc_id", "text")
+    val scores = KeywordSearch.bm25(two, Seq(0 -> "gamma"), k = 10)
+      .collect().map(_.getAs[Double]("score"))
+    assert(scores.length === 2 && scores.distinct.length === 1)
+  }
+
+  test("empty and whitespace-only documents: tokenizer convention per operator") {
+    import graft.operators.text.{Bpe, Chunker}
+    val df = Seq((1L, ""), (2L, " \t\n"), (3L, "real words here")).toDF("doc_id", "text")
+    // split('') is [''] — TokenCount reports 1 by the shared convention
+    val ws = TextOps.TokenCount.run(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("ws_tokens")).toMap
+    assert(ws === Map(1L -> 1, 2L -> 1, 3L -> 3))
+    // Chunker filters empty docs: no empty chunk is ever emitted
+    val chunks = Chunker.run(df, window = 8, stride = 4).collect()
+    assert(chunks.map(_.getLong(0)).toSeq === Seq(3L))
+    // Bpe filters the empty token: vocabulary is only real words
+    assert(Bpe.wordCounts(df).collect().map(_.getString(0)).toSet ===
+      Set("real", "words", "here"))
+  }
 }
