@@ -157,7 +157,12 @@ object SparkEntry {
     "text_langid"      -> ((s, d) => TextOps.LangId.run(Tables(s, d, "documents"))),
     "text_quality"     -> ((s, d) => TextOps.QualityScore.run(Tables(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(Tables(s, d, "documents"))),
-    "text_pii" -> ((s, d) => TextOps.PiiScan.run(Tables(s, d, "documents"))),
+    // PII scan over the pii demo corpus (the synthetic documents carry
+    // no PII, so every counter would be vacuously zero): doc_id%7 slots
+    // append a phone (+CC and parenthesized forms), an IPv4, a full-form
+    // IPv6, an SSN-shaped id, or an email+URL pair; the oracle builds
+    // the identical corpus in SQL
+    "text_pii" -> ((s, d) => TextOps.PiiScan.run(piiCorpus(s, d))),
     "text_repetition" -> ((s, d) => TextOps.Repetition.run(Tables(s, d, "documents"))),
     "text_domain_cap" -> ((s, d) =>
       TextOps.DomainCap.run(Tables(s, d, "documents"), cap = DomainCapN)),
@@ -249,7 +254,7 @@ object SparkEntry {
           .withColumn("w", (col("doc_id") % 100) / 100.0),
         "doc_id", "w")
         .select("doc_id").orderBy("doc_id")),
-    "text_redact" -> ((s, d) => TextOps.PiiScan.redact(Tables(s, d, "documents"))),
+    "text_redact" -> ((s, d) => TextOps.PiiScan.redact(piiCorpus(s, d))),
     // mixture sampling: token-budgeted per-source selection (the
     // training-mix step); budgets bite at every sf (each source holds
     // ~1.8k proxy tokens)
@@ -422,6 +427,45 @@ object SparkEntry {
       |   ELSE concat('http://', source, '.example.com:80/Doc/',
       |     doc_id % 97, '?id=5&utm_campaign=x')
       |  END AS url
+      | FROM documents)""".stripMargin
+  // pii demo corpus (see the text_pii entry); the CASE arms are
+  // mirrored verbatim in PiiCorpusSql below
+  private def piiCorpus(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").withColumn("text", expr(
+      """CASE CAST(doc_id % 7 AS INT)
+        | WHEN 0 THEN concat(text, ' call +1 555-123-',
+        |   lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now')
+        | WHEN 1 THEN concat(text, ' ring (555) 123-',
+        |   lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today')
+        | WHEN 2 THEN concat(text, ' host 10.', CAST(doc_id % 256 AS STRING),
+        |   '.0.12 up')
+        | WHEN 3 THEN concat(text,
+        |   ' node 2001:0db8:85a3:0000:0000:8a2e:0370:7334 up')
+        | WHEN 4 THEN concat(text, ' ssn 123-45-',
+        |   lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' refs')
+        | WHEN 5 THEN concat(text, ' mail user', CAST(doc_id % 97 AS STRING),
+        |   '@example.org or https://example.org/p',
+        |   CAST(doc_id % 97 AS STRING), ' now')
+        | ELSE text
+        |END""".stripMargin))
+  private val PiiCorpusSql =
+    """(SELECT doc_id,
+      |  CASE CAST(doc_id % 7 AS INT)
+      |   WHEN 0 THEN concat(text, ' call +1 555-123-',
+      |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' now')
+      |   WHEN 1 THEN concat(text, ' ring (555) 123-',
+      |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' today')
+      |   WHEN 2 THEN concat(text, ' host 10.', CAST(doc_id % 256 AS VARCHAR),
+      |     '.0.12 up')
+      |   WHEN 3 THEN concat(text,
+      |     ' node 2001:0db8:85a3:0000:0000:8a2e:0370:7334 up')
+      |   WHEN 4 THEN concat(text, ' ssn 123-45-',
+      |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' refs')
+      |   WHEN 5 THEN concat(text, ' mail user', CAST(doc_id % 97 AS VARCHAR),
+      |     '@example.org or https://example.org/p',
+      |     CAST(doc_id % 97 AS VARCHAR), ' now')
+      |   ELSE text
+      |  END AS text
       | FROM documents)""".stripMargin
   // html-extract demo corpus (see the text_html_extract entry): one
   // page per doc, single-quote-free so the fragments embed verbatim in
@@ -715,7 +759,7 @@ object SparkEntry {
     "text_langid"      -> TextOps.LangId.oracleSql("documents"),
     "text_quality"     -> TextOps.QualityScore.oracleSql("documents"),
     "text_fingerprint" -> TextOps.Fingerprint.oracleSql("documents"),
-    "text_pii" -> TextOps.PiiScan.oracleSql("documents"),
+    "text_pii" -> TextOps.PiiScan.oracleSql(PiiCorpusSql),
     "text_repetition" -> TextOps.Repetition.oracleSql("documents"),
     "text_domain_cap" -> TextOps.DomainCap.oracleSql("documents", DomainCapN),
     "text_curate" -> graft.operators.text.Curate.oracleSql("documents"),
@@ -752,7 +796,7 @@ object SparkEntry {
       "documents", DecontProbeDocs, DecontFrom, DecontLen),
     "sample_mixture" -> Mixture.oracleSql(
       "documents", MixtureBudgets, "n_chars // 4 + 1"),
-    "text_redact" -> TextOps.PiiScan.redactOracleSql("documents"),
+    "text_redact" -> TextOps.PiiScan.redactOracleSql(PiiCorpusSql),
     "dedup_ngram_jaccard" -> Dedup.NgramJaccard.oracleSql("documents", NgramJaccardThreshold),
     "dedup_clusters" -> Dedup.Components.oracleSql("documents", NgramJaccardThreshold),
     "dedup_embedding" -> Dedup.EmbeddingDedup.oracleSql("embeddings", EmbeddingDedupThreshold),

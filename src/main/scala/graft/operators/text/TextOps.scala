@@ -270,59 +270,106 @@ object TextOps {
   }
 
   /** PII / link scanning — the cheap pre-filter an LLM-data pipeline
-    * runs before redaction: counts of email-like and URL-like spans per
-    * document. Regexes deliberately use only constructs with identical
+    * runs before redaction: per-document counts of email, URL, phone,
+    * IPv4/IPv6 and ID-number (SSN-shaped) spans — the RefinedWeb/Dolma
+    * scrub set. Regexes deliberately use only constructs with identical
     * semantics in Java regex (Spark) and RE2 (DuckDB): character
-    * classes, `+`, `{2,}`, alternation-free literals.
+    * classes, bounded repetition, `\b`, non-capturing groups — no
+    * lookaround, no backreferences.
+    *
+    * The counts are INDEPENDENT raw-text scans (an IPv4 inside a URL
+    * counts as both — the counts are signals, not a partition);
+    * [[redact]] is the sequential rewrite where precedence applies.
     */
   object PiiScan {
     val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val UrlPattern = "https?://[A-Za-z0-9./_%-]+"
+    /** 3-3-4 digit groups with separators, optional +CC and area parens;
+      * `\b` edges stop sub-runs of longer digit strings matching.
+      */
+    val PhonePattern =
+      "(?:\\+[0-9]{1,2}[-. ])?\\(?\\b[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+    val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    /** Full 8-group form only: compressed `::` forms would need
+      * alternation whose leftmost-match behavior differs between the
+      * engines, and 2-group lookalikes (timestamps `12:30:45`) would
+      * false-positive. Documented narrowing.
+      */
+    val Ipv6Pattern = "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b"
+    /** SSN-shaped 3-2-4 id numbers; disjoint from [[PhonePattern]]. */
+    val IdPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+    private val ScanCols = Seq(
+      "n_emails" -> EmailPattern, "n_urls" -> UrlPattern,
+      "n_phones" -> PhonePattern, "n_ipv4" -> Ipv4Pattern,
+      "n_ipv6" -> Ipv6Pattern, "n_ids" -> IdPattern)
 
     def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
       df.select(
-        col(idCol),
-        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("n_urls"))
+        col(idCol) +: ScanCols.map { case (name, pat) =>
+          size(regexp_extract_all(col(textCol), lit(pat), lit(0))).as(name)
+        }: _*)
         .withColumn("has_pii",
-          (col("n_emails") > 0 || col("n_urls") > 0).cast("int"))
+          ScanCols.map { case (name, _) => col(name) > 0 }
+            .reduce(_ || _).cast("int"))
         .orderBy(idCol)
 
-    def oracleSql(table: String): String =
+    def oracleSql(table: String): String = {
+      val counts = ScanCols.map { case (name, pat) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS INTEGER) AS $name"
+      }.mkString(",\n         |  ")
+      val any = ScanCols.map { case (name, _) => s"$name > 0" }.mkString(" OR ")
       s"""SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '$EmailPattern')) AS INTEGER) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$UrlPattern')) AS INTEGER) AS n_urls,
-         |  CAST(n_emails > 0 OR n_urls > 0 AS INTEGER) AS has_pii
+         |  $counts,
+         |  CAST($any AS INTEGER) AS has_pii
          |FROM $table ORDER BY doc_id""".stripMargin
+    }
 
     val EmailToken = "<EMAIL>"
     val UrlToken = "<URL>"
+    val PhoneToken = "<PHONE>"
+    val Ipv4Token = "<IPV4>"
+    val Ipv6Token = "<IPV6>"
+    val IdToken = "<ID>"
 
-    /** Redaction — the transform PiiScan's counts gate: every
-      * email/URL span replaced with a sentinel token, in one codegen'd
-      * projection. Same engine-parity regexes as the scan, URL first
-      * (an email pattern can match inside a URL's userinfo; replacing
-      * URLs first keeps one span one token). Emits old/new lengths so
+    /** Redaction order: URL first (emails/IPs can sit inside a URL's
+      * authority — one span must become one token), then email, then
+      * IPv6/IPv4 (colon vs dot shapes, mutually disjoint), then the
+      * 3-2-4 id shape, then phone (3-3-4 — disjoint from id by group
+      * widths, so relative order of the last two is immaterial but
+      * fixed here and mirrored in the oracle).
+      */
+    private val RedactOrder = Seq(
+      UrlPattern -> UrlToken, EmailPattern -> EmailToken,
+      Ipv6Pattern -> Ipv6Token, Ipv4Pattern -> Ipv4Token,
+      IdPattern -> IdToken, PhonePattern -> PhoneToken)
+
+    /** Redaction — the transform PiiScan's counts gate: every PII span
+      * replaced with a sentinel token, in one codegen'd projection.
+      * Same engine-parity regexes as the scan. Emits old/new lengths so
       * downstream quality filters can re-score.
       */
     def redact(df: DataFrame, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame =
       df.select(
           col(idCol),
-          regexp_replace(
-            regexp_replace(col(textCol), UrlPattern, UrlToken),
-            EmailPattern, EmailToken).as("redacted"),
+          RedactOrder.foldLeft(col(textCol)) { case (c, (pat, tok)) =>
+            regexp_replace(c, pat, tok)
+          }.as("redacted"),
           length(col(textCol)).as("n_chars_before"))
         .withColumn("n_chars_after", length(col("redacted")))
         .orderBy(idCol)
 
-    def redactOracleSql(table: String): String =
+    def redactOracleSql(table: String): String = {
+      val nested = RedactOrder.foldLeft("text") { case (sql, (pat, tok)) =>
+        s"regexp_replace($sql, '$pat', '$tok', 'g')"
+      }
       s"""SELECT doc_id,
-         |  regexp_replace(regexp_replace(text, '$UrlPattern', '$UrlToken', 'g'),
-         |    '$EmailPattern', '$EmailToken', 'g') AS redacted,
+         |  $nested AS redacted,
          |  length(text) AS n_chars_before,
          |  length(redacted) AS n_chars_after
          |FROM $table ORDER BY doc_id""".stripMargin
+    }
   }
 
   // ---------------------------------------------------------------- #35

@@ -25,6 +25,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - Curate dedup: 100 k distinct fingerprints recycle through a
   *    1-simulated-hour watermark — `dropDuplicatesWithinWatermark`
   *    must hold ≈ one watermark's worth, leaking → every arrival.
+  *  - Corpus dedup (stream-static): the design claim is ZERO streaming
+  *    state — the static corpus fingerprint set IS the state, rebuilt
+  *    per micro-batch plan, never stored by the stream. Bound = 0
+  *    state rows across 10 M streamed documents; any stateful-operator
+  *    row at all fails the soak.
   *
   * Event time is ACCELERATED (10 ms of simulated time per event): the
   * watermark/timeout machinery sees hours of stream life in a ~60 s
@@ -165,7 +170,24 @@ object StreamSoak {
     val s2 = soak("curate_dedup", spark, curated,
       workingSet = 100000, boundFactor = 3.0)
 
-    Seq(s1, s1b, s2).foreach { r =>
+    // --- corpus dedup: stream-static join, ZERO streaming state -----
+    // static corpus of 100 k fingerprinted documents; streamed doc
+    // texts cycle over 200 k variants so ~half annotate in_corpus=true.
+    // workingSet 0 → bound 0: one stateful-operator row is a failure.
+    val corpus = spark.range(100000).select(
+      col("id").as("doc_id"),
+      concat(lit("the quick brown fox jumps document number "),
+        (col("id") % 200000).cast("string")).as("text"))
+    val corpusDeduped = graft.streaming.EventStream.dedupAgainstCorpus(
+      rateEvents(spark, 400000)
+        .select(col("value").as("doc_id"), col("ts"),
+          concat(lit("the quick brown fox jumps document number "),
+            (col("value") % 200000).cast("string")).as("text")),
+      corpus)
+    val s3 = soak("corpus_dedup", spark, corpusDeduped,
+      workingSet = 0, boundFactor = 1.0)
+
+    Seq(s1, s1b, s2, s3).foreach { r =>
       println(
         s"""{"soak":"${r.name}","input_rows":${r.inputRows},""" +
         s""""output_rows":${r.outputRows},"max_state_rows":${r.maxState},""" +
@@ -173,7 +195,7 @@ object StreamSoak {
         s""""batches":${r.batches},"wall_sec":${r.wallSec},""" +
         s""""bound":${r.bound},"bounded":${r.ok}}""")
     }
-    val ok = Seq(s1, s1b, s2).forall(_.ok)
+    val ok = Seq(s1, s1b, s2, s3).forall(_.ok)
     println(if (ok) "SOAK OK" else "SOAK FAILED")
     spark.stop()
     if (!ok) sys.exit(1)

@@ -111,6 +111,14 @@ class TextOpsSpec extends AnyFunSuite {
     assert(res(4L) == ((0, Some("wrong_lang"))))
   }
 
+  private def piiCounts(df: org.apache.spark.sql.DataFrame) =
+    TextOps.PiiScan.run(df).collect().map { r =>
+      r.getLong(0) -> (r.getAs[Int]("n_emails"), r.getAs[Int]("n_urls"),
+        r.getAs[Int]("n_phones"), r.getAs[Int]("n_ipv4"),
+        r.getAs[Int]("n_ipv6"), r.getAs[Int]("n_ids"),
+        r.getAs[Int]("has_pii"))
+    }.toMap
+
   test("PiiScan counts emails and urls, flags documents containing either") {
     import TestSpark.spark.implicits._
     val docs = Seq(
@@ -118,12 +126,31 @@ class TextOpsSpec extends AnyFunSuite {
       (2L, "two mails: a@b.org c.d+e@f-g.co and http://plain.io"),
       (3L, "no pii here, just words and an @ sign alone"),
       (4L, "")).toDF("doc_id", "text")
-    val res = TextOps.PiiScan.run(docs).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
-    assert(res(1L) == ((1, 1, 1)))
-    assert(res(2L) == ((2, 1, 1)))
-    assert(res(3L) == ((0, 0, 0)))
-    assert(res(4L) == ((0, 0, 0)))
+    val res = piiCounts(docs)
+    assert(res(1L) == ((1, 1, 0, 0, 0, 0, 1)))
+    assert(res(2L) == ((2, 1, 0, 0, 0, 0, 1)))
+    assert(res(3L) == ((0, 0, 0, 0, 0, 0, 0)))
+    assert(res(4L) == ((0, 0, 0, 0, 0, 0, 0)))
+  }
+
+  test("PiiScan counts phones, IPs and id numbers (RefinedWeb/Dolma scrub set)") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "call +1 555-123-4567 or (555) 123-4567 or 555.123.4567 today"),
+      (2L, "hosts 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "node 2001:0db8:85a3:0000:0000:8a2e:0370:7334 online"),
+      (4L, "ssn 123-45-6789 on file"),
+      // sub-runs of longer digit strings must NOT match: no word
+      // boundary inside 91234567890; a timestamp is not an IPv6
+      (5L, "order 9123-456-78901 at 12:30:45 cost 3.14 or 1.2.3 done"),
+      (6L, "")).toDF("doc_id", "text")
+    val res = piiCounts(docs)
+    assert(res(1L) == ((0, 0, 3, 0, 0, 0, 1)))
+    assert(res(2L) == ((0, 0, 0, 2, 0, 0, 1)))
+    assert(res(3L) == ((0, 0, 0, 0, 1, 0, 1)))
+    assert(res(4L) == ((0, 0, 0, 0, 0, 1, 1)))
+    assert(res(5L) == ((0, 0, 0, 0, 0, 0, 0)))
+    assert(res(6L) == ((0, 0, 0, 0, 0, 0, 0)))
   }
 
   test("PiiScan.redact replaces every span with a sentinel, URL before email") {
@@ -135,16 +162,19 @@ class TextOpsSpec extends AnyFunSuite {
       // and the host remainder stays — which the rescan below proves
       // carries no residual email/URL match
       (2L, "creds at https://user@host.example.com/path end"),
-      (3L, "clean text")).toDF("doc_id", "text")
+      (3L, "clean text"),
+      (4L, "call (555) 123-4567 ssn 123-45-6789 ip 10.0.0.1 " +
+        "node 2001:0db8:85a3:0000:0000:8a2e:0370:7334 done")).toDF("doc_id", "text")
     val res = TextOps.PiiScan.redact(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(res(1L) == "mail <EMAIL> or see <URL> ok")
     assert(res(2L) == "creds at <URL>@host.example.com/path end")
     assert(res(3L) == "clean text")
-    // redacted text contains no residual matches
+    assert(res(4L) == "call <PHONE> ssn <ID> ip <IPV4> node <IPV6> done")
+    // redacted text contains no residual matches in ANY category
     val rescanned = TextOps.PiiScan.run(
       TextOps.PiiScan.redact(docs).withColumnRenamed("redacted", "text"))
-      .collect().map(_.getInt(3)).sum
+      .collect().map(_.getAs[Int]("has_pii")).sum
     assert(rescanned == 0)
   }
 
