@@ -59,6 +59,21 @@ object GraftSession {
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
       (32L * 1024 * 1024).toString,
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    // Subset co-partitioning for bucketed layouts: Spark 3.3 flipped
+    // this default to true, which refuses to use an existing
+    // HashPartitioning(l_orderkey) for a join on (l_orderkey,
+    // c_nationkey) even though it is semantically sufficient — the
+    // bucketed fact-fact layout then re-shuffles BOTH 600 M-row sides.
+    // false restores the classic subset rule (what every bucketed
+    // warehouse layout is built for). Round-12 A/B on sf100
+    // by_orderkey buckets: q5_starjoin 4 exchanges → 2, 6.64 → 6.18 s;
+    // flat (non-bucketed) plans never present a reusable partitioning,
+    // so they are byte-identical under either value. Trade-off: a
+    // subset partitioning can have fewer distinct values than the full
+    // key set (less parallelism) — with 64 buckets over order keys
+    // that is not a live risk, and deployments can flip it back via
+    // SPARK_GRAFT_CONF.
+    "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
     // TIMESTAMP(NANOS) parquet (one of the two layouts events.ts has
     // shipped in) is only readable as a raw long under this legacy
     // flag; Tables' schema probe then rebuilds proper micros. Set here

@@ -116,8 +116,21 @@ object GraftApp {
     "pack", "sessionize", "line-dedup", "span-dedup", "search",
     "semantic-dedup", "perplexity", "url-dedup", "bpe", "chunk", "html-extract")
 
+  /** Tool-name aliases (reference: dbqt/tools/__init__.py:6
+    * `TOOL_ALIASES`) mapped onto this CLI's tool names: the reference's
+    * `rowcount`/`stats` both alias `dbstats`, whose single-catalog mode
+    * is this CLI's `rowcount` and whose stats mode is `stats`; `compare`
+    * → `colcompare`; `findkey` → `keyfinder`. Resolved before dispatch,
+    * so an alias accepts exactly the target's flags.
+    */
+  private[app] val toolAliases = Map(
+    "compare" -> "colcompare",
+    "findkey" -> "keyfinder",
+    "dbstats" -> "rowcount")
+
   private val usage =
-    s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]"
+    s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]" +
+      s" (aliases: ${toolAliases.map { case (a, t) => s"$a=$t" }.mkString(", ")})"
 
   /** Loud up-front type check shared by every id-hashing tool (split,
     * pack, mixture, decontaminate): under ANSI mode (the Spark 4
@@ -138,7 +151,8 @@ object GraftApp {
   }
 
   def run(spark: SparkSession, args: Seq[String]): Unit = {
-    val (tool, f) = parse(args)
+    val (rawTool, f) = parse(args)
+    val tool = toolAliases.getOrElse(rawTool, rawTool)
     def dir = f.getOrElse("dir", sys.error("--dir required"))
     def tableName = f.getOrElse("table", sys.error("--table required"))
     def table = Tables(spark, dir, tableName)

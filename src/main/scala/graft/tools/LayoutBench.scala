@@ -67,10 +67,17 @@ object LayoutBench {
     * sorting serves a different master — RANGE predicates. A globally
     * range-partitioned, within-file-sorted layout gives every parquet
     * row group a tight min/max on the sort column, so a selective
-    * range filter (q3's `l_shipdate > cutoff` touches ~2% of rows)
-    * skips whole row groups at scan time. No catalog metadata needed:
-    * min/max stats live in the files; the skipping is the parquet
-    * reader's own, on both engines.
+    * range filter skips whole row groups at scan time. No catalog
+    * metadata needed: min/max stats live in the files; the skipping is
+    * the parquet reader's own, on both engines.
+    *
+    * Round-12 measurement note: on THIS data family q3's
+    * `l_shipdate > cutoff` keeps ~50% of rows (not the few percent a
+    * TPC-H date predicate usually keeps), so at best half the row
+    * groups can skip and the decode of the surviving half dominates —
+    * measured flat 9.97 s vs by_shipdate 10.17 s at sf100. The layout
+    * earns its keep only when the predicate is selective; the bench
+    * records that honestly instead of assuming it.
     */
   private def sortedTables(layoutRoot: String, variant: String)
       : Map[String, (String, String)] = variant match {

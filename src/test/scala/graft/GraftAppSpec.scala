@@ -21,6 +21,22 @@ class GraftAppSpec extends AnyFunSuite {
     assert(n == 7)
   }
 
+  test("reference tool aliases resolve before dispatch (dbqt TOOL_ALIASES)") {
+    // dbstats → rowcount: same flags, same output shape
+    val n = runToParquet("dbstats", "--dir", TestSpark.sf0001,
+      "--exclude", "e%,p%")
+    assert(n == 7)
+    // findkey → keyfinder; compare → colcompare (dispatch must not
+    // reject the alias name — a wrong-flag error would say it reached
+    // the tool)
+    val e = intercept[RuntimeException](GraftApp.run(spark,
+      Seq("findkey", "--dir", TestSpark.sf0001)))
+    assert(e.getMessage.contains("--table required"))
+    val e2 = intercept[RuntimeException](GraftApp.run(spark,
+      Seq("compare", "--dir", TestSpark.sf0001)))
+    assert(!e2.getMessage.contains("unknown tool"))
+  }
+
   test("rowcount --where returns predicate-filtered counts per table") {
     val out = java.nio.file.Files.createTempDirectory("graft_app").toString + "/res"
     // discovered catalog + a predicate only ONE table can resolve: the
