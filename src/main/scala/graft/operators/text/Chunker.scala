@@ -56,7 +56,7 @@ object Chunker {
       .otherwise(floor((n - window + (stride - 1)) / lit(stride)))
     // same normalize-then-trim as wsTokens: plain trim only strips
     // spaces and would let a tab-only document through as ['','']
-    df.where(trim(regexp_replace(col(textCol), "\\s+", " ")) =!= "")
+    df.where(trim(regexp_replace(col(textCol), s"${TextOps.WsClass}+", " ")) =!= "")
       .select(col(idCol), toks.as("toks"), size(toks).as("n_doc"))
       .select(col(idCol), col("toks"), col("n_doc"),
         explode(sequence(lit(0), lastK.cast("int"))).as("chunk_id"))
@@ -80,9 +80,9 @@ object Chunker {
     */
   def oracleSql(table: String, window: Int, stride: Int): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t,
-       |    len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n
-       |  FROM $table WHERE trim(regexp_replace(text, '\\s+', ' ', 'g')) <> ''),
+       |  SELECT doc_id, string_split(trim(regexp_replace(text, '${TextOps.WsClass}+', ' ', 'g')), ' ') AS t,
+       |    len(string_split(trim(regexp_replace(text, '${TextOps.WsClass}+', ' ', 'g')), ' ')) AS n
+       |  FROM $table WHERE trim(regexp_replace(text, '${TextOps.WsClass}+', ' ', 'g')) <> ''),
        |ks AS (
        |  SELECT doc_id, t, n,
        |    unnest(generate_series(0,

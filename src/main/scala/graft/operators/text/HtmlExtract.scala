@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * Pipeline, one codegen'd projection (order matters and is mirrored
   * verbatim in the DuckDB twin):
   *
-  *   1. comments, the whole `<head>` block (titles/meta are chrome,
-  *      not prose), stray `<title>`, `<script>` and `<style>` blocks
-  *      removed wholesale (their CONTENT is not text — `var x = 1 < 2`
-  *      must not leak); RE2-compatible: dot-all non-greedy, no
-  *      backreferences, so the same pattern runs on DuckDB
+  *   1. comments, `<script>`/`<style>` blocks, then the whole `<head>`
+  *      block (titles/meta are chrome, not prose) and stray `<title>`
+  *      removed wholesale (script/style CONTENT is not text —
+  *      `var x = 1 < 2` must not leak — and scripts go FIRST because a
+  *      JS string containing the literal "</head>" would otherwise
+  *      truncate the head strip); RE2-compatible: dot-all non-greedy,
+  *      no backreferences, so the same pattern runs on DuckDB
   *   2. block-level tags (`p`, `div`, `br`, `h1-6`, `li`, `tr`,
   *      `ul`/`ol`, `table`) become newlines — they are the line
   *      structure boilerplate filtering needs. Tag names are ANCHORED
@@ -23,11 +25,12 @@ import org.apache.spark.sql.functions._
   *      `<progress>`, `<picture>`, `<link>`, `<track>` do NOT
   *      prefix-match and fall through to the inline rule
   *   3. every remaining tag becomes a space (inline markup joins
-  *      words). Only `<` followed by a letter, `/` or `!` counts as a
-  *      tag — literal body text like `x < y > z` survives. A bare `<`
-  *      directly abutting a word (`x <y> z`) still reads as a tag:
-  *      that ambiguity is unresolvable without a real parser and is
-  *      the documented limit of this naive extractor
+  *      words). Only `<` followed by a letter, `/`, `!` or `?` (the
+  *      last admits `<?xml …?>`/`<?php …?>` processing instructions)
+  *      counts as a tag — literal body text like `x < y > z` survives.
+  *      A bare `<` directly abutting a word (`x <y> z`) still reads as
+  *      a tag: that ambiguity is unresolvable without a real parser
+  *      and is the documented limit of this naive extractor
   *   4. named entities (`&nbsp;` `&lt;` `&gt;` `&quot;`) decode via
   *      literal `replace`; then NUMERIC character references —
   *      `&#NNN;` (value ≤ 255) and `&#xHH;` (≤ 2 hex digits, the
@@ -63,6 +66,14 @@ object HtmlExtract {
   private val Sep = "\u0002"
   private val HexDigits = "0123456789abcdef"
 
+  /** The only segment shapes [[decodeNumericEntities]]' own marking can
+    * produce. A RAW U+0002 in the input yields a segment whose "code"
+    * prefix fails this pattern — such segments pass through untouched
+    * instead of hitting an ANSI-mode cast error (Spark 4 default) on
+    * garbage digits.
+    */
+  private val ValidCode = "^(x[0-9A-Fa-f]{1,2}|[0-9]{1,3})$"
+
   /** Decode numeric character references in the ASCII/Latin-1 range:
     * `&#NNN;` for 1 ≤ NNN ≤ 255 and `&#xHH;`/`&#XHH;` with 1-2 hex
     * digits. Out-of-range or longer references pass through as the
@@ -96,7 +107,8 @@ object HtmlExtract {
         .otherwise(code.cast("int"))
       val ch = when(value.between(1, 255), call_function("char", value))
         .otherwise(concat(lit("&#"), code, lit(";")))
-      when(instr(s, Sep) === 0, s).otherwise(concat(ch, tail))
+      when(instr(s, Sep) === 0 || !code.rlike(ValidCode), s)
+        .otherwise(concat(ch, tail))
     })
     array_join(decoded, "")
   }
@@ -104,18 +116,22 @@ object HtmlExtract {
   /** Extracted main text of an HTML column. */
   def extract(html: Column, minLineWords: Int = 4): Column = {
     val noComment = regexp_replace(html, "(?s)<!--.*?-->", "")
-    val noHead = regexp_replace(noComment, "(?is)<head(\\s[^>]*)?>.*?</head\\s*>", "")
-    val noTitle = regexp_replace(noHead, "(?is)<title(\\s[^>]*)?>.*?</title\\s*>", "")
-    val noScript = regexp_replace(noTitle, "(?is)<script[^>]*>.*?</script>", "")
+    // script/style FIRST: their bodies may contain the literal strings
+    // "</head>"/"</title>" (document.write et al.), which would
+    // truncate a head/title strip that ran before them
+    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
-    val blocks = regexp_replace(noStyle, BlockTagPattern, "\n")
-    val noTags = regexp_replace(blocks, "<[A-Za-z/!][^>]*>", " ")
+    val noHead = regexp_replace(noStyle, "(?is)<head(\\s[^>]*)?>.*?</head\\s*>", "")
+    val noTitle = regexp_replace(noHead, "(?is)<title(\\s[^>]*)?>.*?</title\\s*>", "")
+    val blocks = regexp_replace(noTitle, BlockTagPattern, "\n")
+    // '?' admits processing instructions (<?xml …?>, stray <?php …?>)
+    val noTags = regexp_replace(blocks, "<[A-Za-z/!?][^>]*>", " ")
     val named = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"")
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
     val decoded = replace(decodeNumericEntities(named), lit("&amp;"), lit("&"))
     val lines = transform(split(decoded, "\n"),
-      l => trim(regexp_replace(l, "\\s+", " ")))
+      l => trim(regexp_replace(l, s"${TextOps.WsClass}+", " ")))
     val kept = filter(lines,
       l => l =!= "" && size(split(l, " ")) >= minLineWords)
     array_join(kept, "\n")
@@ -151,12 +167,12 @@ object HtmlExtract {
        |            regexp_replace(
        |              regexp_replace(
        |                regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
-       |                '(?is)<head(\\s[^>]*)?>.*?</head\\s*>', '', 'g'),
-       |              '(?is)<title(\\s[^>]*)?>.*?</title\\s*>', '', 'g'),
-       |            '(?is)<script[^>]*>.*?</script>', '', 'g'),
-       |          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+       |                '(?is)<script[^>]*>.*?</script>', '', 'g'),
+       |              '(?is)<style[^>]*>.*?</style>', '', 'g'),
+       |            '(?is)<head(\\s[^>]*)?>.*?</head\\s*>', '', 'g'),
+       |          '(?is)<title(\\s[^>]*)?>.*?</title\\s*>', '', 'g'),
        |        '(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table)(\\s[^>]*)?/?>', chr(10), 'g'),
-       |      '<[A-Za-z/!][^>]*>', ' ', 'g') AS t
+       |      '<[A-Za-z/!?][^>]*>', ' ', 'g') AS t
        |  FROM $table),
        |named AS (
        |  SELECT doc_id,
@@ -171,21 +187,28 @@ object HtmlExtract {
        |        chr(1) || 'x\\1' || chr(2), 'g'),
        |      '&#([0-9]{1,3});', chr(1) || '\\1' || chr(2), 'g') AS t
        |  FROM named),
+       |-- nested transforms bind (segment, code) then the numeric value
+       |-- ONCE, mirroring the Scala lambda's local vals; the valid-code
+       |-- guard mirrors ValidCode (a raw chr(2) in the input must pass
+       |-- through, not CAST-error)
        |decoded AS (
        |  SELECT doc_id,
-       |    replace(array_to_string(list_transform(string_split(t, chr(1)), s ->
-       |      CASE WHEN strpos(s, chr(2)) = 0 THEN s
-       |        ELSE
-       |          CASE WHEN (CASE WHEN split_part(s, chr(2), 1) LIKE 'x%'
-       |              THEN (strpos('0123456789abcdef', substring(lpad(lower(substring(split_part(s, chr(2), 1), 2)), 2, '0'), 1, 1)) - 1) * 16
-       |                 + (strpos('0123456789abcdef', substring(lpad(lower(substring(split_part(s, chr(2), 1), 2)), 2, '0'), 2, 1)) - 1)
-       |              ELSE CAST(split_part(s, chr(2), 1) AS INTEGER) END) BETWEEN 1 AND 255
-       |          THEN chr(CAST(CASE WHEN split_part(s, chr(2), 1) LIKE 'x%'
-       |              THEN (strpos('0123456789abcdef', substring(lpad(lower(substring(split_part(s, chr(2), 1), 2)), 2, '0'), 1, 1)) - 1) * 16
-       |                 + (strpos('0123456789abcdef', substring(lpad(lower(substring(split_part(s, chr(2), 1), 2)), 2, '0'), 2, 1)) - 1)
-       |              ELSE CAST(split_part(s, chr(2), 1) AS INTEGER) END AS INTEGER))
-       |          ELSE '&#' || split_part(s, chr(2), 1) || ';' END
-       |          || substring(s, length(split_part(s, chr(2), 1)) + 2)
+       |    replace(array_to_string(list_transform(
+       |      list_transform(
+       |        list_transform(string_split(t, chr(1)),
+       |          s -> struct_pack(s := s, code := split_part(s, chr(2), 1))),
+       |        x -> struct_pack(s := x.s, code := x.code,
+       |          ok := strpos(x.s, chr(2)) <> 0 AND
+       |            regexp_matches(x.code, '^(x[0-9A-Fa-f]{1,2}|[0-9]{1,3})$$'),
+       |          v := CASE WHEN x.code LIKE 'x%'
+       |            THEN (strpos('0123456789abcdef', substring(lpad(lower(substring(x.code, 2)), 2, '0'), 1, 1)) - 1) * 16
+       |               + (strpos('0123456789abcdef', substring(lpad(lower(substring(x.code, 2)), 2, '0'), 2, 1)) - 1)
+       |            WHEN regexp_matches(x.code, '^[0-9]{1,3}$$')
+       |            THEN CAST(x.code AS INTEGER) ELSE 0 END)),
+       |      x -> CASE WHEN NOT x.ok THEN x.s
+       |        ELSE (CASE WHEN x.v BETWEEN 1 AND 255 THEN chr(CAST(x.v AS INTEGER))
+       |              ELSE '&#' || x.code || ';' END)
+       |          || substring(x.s, length(x.code) + 2)
        |      END), ''), '&amp;', '&') AS t
        |  FROM marked),
        |joined AS (
@@ -193,7 +216,7 @@ object HtmlExtract {
        |    coalesce(array_to_string(
        |      list_filter(
        |        list_transform(string_split(t, chr(10)),
-       |          l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+       |          l -> trim(regexp_replace(l, '${TextOps.WsClass}+', ' ', 'g'))),
        |        l -> l <> '' AND len(string_split(l, ' ')) >= $minLineWords),
        |      chr(10)), '') AS text
        |  FROM decoded)

@@ -104,8 +104,8 @@ object KeywordSearch {
     }.mkString(", ")
     s"""WITH qterms(query_id, term) AS (VALUES $qvalues),
        |docs AS (
-       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t,
-       |         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS dl
+       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '${TextOps.WsClass}+', ' ', 'g')), ' ') AS t,
+       |         len(string_split(trim(regexp_replace(lower(text), '${TextOps.WsClass}+', ' ', 'g')), ' ')) AS dl
        |  FROM $table),
        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
        |tf AS (

@@ -154,10 +154,10 @@ object Perplexity {
     */
   def crossOracleSql(modelTable: String, targetTable: String): String =
     s"""WITH mtoks AS (
-       |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+       |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(text, '${TextOps.WsClass}+', ' ', 'g')), ' '), x -> x <> '') AS ws
        |  FROM $modelTable),
        |ttoks AS (
-       |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+       |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(text, '${TextOps.WsClass}+', ' ', 'g')), ' '), x -> x <> '') AS ws
        |  FROM $targetTable),
        |mbi AS (
        |  SELECT doc_id,

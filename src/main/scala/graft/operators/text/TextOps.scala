@@ -21,6 +21,18 @@ object TextOps {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** Whitespace characters, spelled out: Java's `\s` includes vertical
+    * tab U+000B but RE2's does NOT, so any pattern shipped to both
+    * engines must use this explicit class or a `\x0B`-bearing document
+    * tokenizes differently per engine. The string is escaped once for
+    * both hosts (the .scala literal renders `[ \t\n\x0B\f\r]`, which
+    * Java regex and RE2 parse identically).
+    */
+  val WsChars = " \\t\\n\\x0B\\f\\r"
+  val WsClass = s"[$WsChars]"
+  /** Non-alphanumeric, non-whitespace (the punctuation class). */
+  val PunctClass = s"[^A-Za-z0-9$WsChars]"
+
   /** THE whitespace tokenizer — every token-consuming operator
     * ([[TokenCount]], [[Chunker]], [[graft.operators.text.Bpe]],
     * [[graft.operators.text.KeywordSearch]], the lang/quality scorers
@@ -42,7 +54,7 @@ object TextOps {
     * ([[Chunker]]).
     */
   def wsTokens(text: Column): Column =
-    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+    split(trim(regexp_replace(text, s"$WsClass+", " ")), " ")
 
   /** Whitespace tokens of `text`, lowercased. */
   private def tokens(text: Column): Column =
@@ -59,7 +71,7 @@ object TextOps {
     * byte-pair pre-tokenizer produces).
     */
   object TokenCount {
-    val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    val BpePattern = s"[A-Za-z]+|[0-9]+|$PunctClass"
 
     def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
       df.select(
@@ -71,8 +83,8 @@ object TextOps {
 
     def oracleSql(table: String): String =
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS INTEGER) AS ws_tokens,
-         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens
+         |  CAST(len(string_split(trim(regexp_replace(text, '$WsClass+', ' ', 'g')), ' ')) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS INTEGER) AS bpe_tokens
          |FROM $table ORDER BY doc_id""".stripMargin
   }
 
@@ -115,16 +127,16 @@ object TextOps {
     def oracleSql(table: String): String = {
       val stops = EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""SELECT doc_id, lang AS declared_lang,
-         |  round(CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+         |  round(CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' '),
          |      x -> list_contains($stops, x))) AS DOUBLE)
-         |    / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 4) AS stopword_ratio,
-         |  CASE WHEN round(CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+         |    / len(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' ')), 4) AS stopword_ratio,
+         |  CASE WHEN round(CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' '),
          |      x -> list_contains($stops, x))) AS DOUBLE)
-         |    / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 4) >= $EnThreshold
+         |    / len(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' ')), 4) >= $EnThreshold
          |    THEN 'en' ELSE 'und' END AS predicted_lang,
-         |  CAST((CASE WHEN round(CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+         |  CAST((CASE WHEN round(CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' '),
          |      x -> list_contains($stops, x))) AS DOUBLE)
-         |    / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 4) >= $EnThreshold
+         |    / len(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' ')), 4) >= $EnThreshold
          |    THEN 'en' ELSE 'und' END) = lang AS INTEGER) AS agrees
          |FROM $table ORDER BY doc_id""".stripMargin
     }
@@ -139,7 +151,7 @@ object TextOps {
     def score(t: Column): Column = {
       val toks = tokens(t)
       val nTok = size(toks)
-      val punct = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+      val punct = length(t) - length(regexp_replace(t, PunctClass, ""))
       val stopRatio = stopwordHits(toks).cast("double") / nTok
       val punctRatio = punct.cast("double") / length(t)
       lit(0.4) * least(lit(1.0), nTok.cast("double") / 100.0) +
@@ -151,7 +163,7 @@ object TextOps {
       val t = col(textCol)
       val toks = tokens(t)
       val nTok = size(toks)
-      val punct = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+      val punct = length(t) - length(regexp_replace(t, PunctClass, ""))
       val stopRatio = stopwordHits(toks).cast("double") / nTok
       val punctRatio = punct.cast("double") / length(t)
       val scoreExpr = score(t)
@@ -169,12 +181,12 @@ object TextOps {
       val stops = EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH base AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         |    CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens,
-         |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    CAST(len(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '$PunctClass', '', 'g')) AS DOUBLE)
          |      / length(text) AS punct_ratio_raw,
-         |    CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+         |    CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' '),
          |        x -> list_contains($stops, x))) AS DOUBLE)
-         |      / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS stop_ratio_raw
+         |      / len(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' ')) AS stop_ratio_raw
          |  FROM $table)
          |SELECT doc_id, n_chars, n_tokens,
          |  round(punct_ratio_raw, 4) AS punct_ratio,
@@ -264,8 +276,8 @@ object TextOps {
       s"""SELECT doc_id,
          |  round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
          |    / len(string_split(text, chr(10))), 4) AS dup_line_fraction,
-         |  round(1.0 - CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS DOUBLE)
-         |    / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 4) AS dup_word_fraction
+         |  round(1.0 - CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' '))) AS DOUBLE)
+         |    / len(string_split(trim(regexp_replace(lower(text), '$WsClass+', ' ', 'g')), ' ')), 4) AS dup_word_fraction
          |FROM $table ORDER BY doc_id""".stripMargin
   }
 
@@ -284,11 +296,26 @@ object TextOps {
   object PiiScan {
     val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val UrlPattern = "https?://[A-Za-z0-9./_%-]+"
-    /** 3-3-4 digit groups with separators, optional +CC and area parens;
+    /** 3-3-4 digit groups, three alternation arms made mutually
+      * exclusive by their FIRST character — `(`, `+`, digit — so Java's
+      * leftmost-first and RE2's matching cannot pick different arms at
+      * the same position:
+      *  1. parenthesized area code: separators may be spaces (the
+      *     parens carry the intent)
+      *  2. explicit +CC prefix: likewise
+      *  3. bare triple: separators restricted to `-`/`.` — a plain
+      *     space-separated digit triple ("shipment counts 100 200
+      *     3000") is prose statistics, not a phone, and redact() must
+      *     not destroy it (round-12 review finding). Trade-off: a bare
+      *     space-separated phone ("555 123 4567") is missed; add a CC
+      *     or parens to match, like the RefinedWeb-style scrubbers this
+      *     mirrors.
       * `\b` edges stop sub-runs of longer digit strings matching.
       */
     val PhonePattern =
-      "(?:\\+[0-9]{1,2}[-. ])?\\(?\\b[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+      "\\([0-9]{3}\\)[-. ]?[0-9]{3}[-. ][0-9]{4}\\b|" +
+        "\\+[0-9]{1,2}[-. ]\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ][0-9]{4}\\b|" +
+        "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
     val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
     /** Full 8-group form only: compressed `::` forms would need
       * alternation whose leftmost-match behavior differs between the
@@ -408,7 +435,7 @@ object TextOps {
 
     def oracleSql(table: String): String =
       s"""SELECT doc_id,
-         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+         |  md5(lower(trim(regexp_replace(text, '$WsClass+', ' ', 'g')))) AS fingerprint
          |FROM $table ORDER BY doc_id""".stripMargin
 
     /** Per-doc array of winnowed k-gram hashes (document sketch).

@@ -87,10 +87,13 @@ object ScaleUp {
     // u ∈ [0,1) from a value hash — independent of the redirect decision
     // hash (different salt), so rank is uniform within the hot set
     val u = pmod(xxhash64(col(pk), lit(1)), lit(1000000L)).cast("double") / 1000000.0
-    // log-uniform 0-based rank over [0,h): P(rank=r) ∝ ~1/(r+1)
-    // (floor(exp(u·ln h)) ∈ [1,h); the `least` guards the u→1 edge)
+    // log-uniform 0-based rank over [0,h): P(rank=r) = ln((r+2)/(r+1))
+    // ∝ ~1/(r+1). ln(h+1), NOT ln(h): floor(exp(u·ln h)) tops out at
+    // h-1 so rank h-1 — the LAST hot key — would get exactly zero mass
+    // (round-12 review finding); with ln(h+1) the floor spans [1,h] and
+    // the `least` guards only the u→1 edge
     val rank =
-      least(floor(exp(u * log(lit(h.toDouble)))).cast("long") - 1, lit(h - 1L))
+      least(floor(exp(u * log(lit(h + 1.0)))).cast("long") - 1, lit(h - 1L))
     val redirect =
       pmod(xxhash64(col(pk), lit(2)), lit(1000L)) < lit((skewFrac * 1000).toLong)
     df.withColumn(fk,
@@ -123,8 +126,9 @@ object ScaleUp {
     val h = hot.length
     val u = pmod(xxhash64(col("vec_id"), lit(1)), lit(1000000L))
       .cast("double") / 1000000.0
+    // ln(h+1) for the same zero-mass-at-rank-h-1 reason as [[skewFk]]
     val rank =
-      least(floor(exp(u * log(lit(h.toDouble)))).cast("long") - 1, lit(h - 1L))
+      least(floor(exp(u * log(lit(h + 1.0)))).cast("long") - 1, lit(h - 1L))
     val idx = (rank + 1).cast("int")
     val redirect =
       pmod(xxhash64(col("vec_id"), lit(2)), lit(1000L)) < lit((SkewFrac * 1000).toLong)

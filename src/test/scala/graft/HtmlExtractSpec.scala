@@ -92,6 +92,29 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(extract("<p>compare x < y > z often</p>", 2) === "compare x < y > z often")
   }
 
+  test("processing instructions strip; raw sentinel bytes pass through unharmed") {
+    // <?xml?> / <?php?> fragments are tags, not prose
+    assert(extract("<?xml version=\"1.0\" encoding=\"utf-8\"?>" +
+      "<p>actual page words here</p>", 2) === "actual page words here")
+    // a raw U+0002 in crawl text must not crash the ANSI-mode cast in
+    // the numeric decoder — it passes through as text
+    assert(extract("<p>junk \u0002 bytes in page text here</p>", 2) ===
+      "junk \u0002 bytes in page text here")
+    // raw U+0001 is consumed as a decoder segment boundary (the
+    // documented sentinel caveat) — the surrounding text survives and
+    // nothing crashes
+    assert(extract("<p>other \u0001 byte survives fine</p>", 2) ===
+      "other byte survives fine")
+  }
+
+  test("script bodies containing literal </head> cannot truncate the head strip") {
+    val html = "<head><script>document.write('</head>'); " +
+      "var t = 'analytics tag manager loader';</script>" +
+      "<title>Long Five Word Title Here</title></head>" +
+      "<body><p>real prose has enough words</p></body>"
+    assert(extract(html) === "real prose has enough words")
+  }
+
   test("short lines (nav, headers, footers) drop under the word rule") {
     val html = "<div>Home About Contact</div><h1>Page Title</h1>" +
       "<p>this sentence is long enough to keep</p>" +

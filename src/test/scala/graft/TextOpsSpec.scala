@@ -143,7 +143,11 @@ class TextOpsSpec extends AnyFunSuite {
       // sub-runs of longer digit strings must NOT match: no word
       // boundary inside 91234567890; a timestamp is not an IPv6
       (5L, "order 9123-456-78901 at 12:30:45 cost 3.14 or 1.2.3 done"),
-      (6L, "")).toDF("doc_id", "text")
+      (6L, ""),
+      // prose statistics in a 3/3/4 shape must NOT be a phone (bare
+      // space-separated triples only match with a +CC or parens)
+      (7L, "shipment counts 100 200 3000 units and 555 123 4567 codes"))
+      .toDF("doc_id", "text")
     val res = piiCounts(docs)
     assert(res(1L) == ((0, 0, 3, 0, 0, 0, 1)))
     assert(res(2L) == ((0, 0, 0, 2, 0, 0, 1)))
@@ -151,6 +155,7 @@ class TextOpsSpec extends AnyFunSuite {
     assert(res(4L) == ((0, 0, 0, 0, 0, 1, 1)))
     assert(res(5L) == ((0, 0, 0, 0, 0, 0, 0)))
     assert(res(6L) == ((0, 0, 0, 0, 0, 0, 0)))
+    assert(res(7L) == ((0, 0, 0, 0, 0, 0, 0)))
   }
 
   test("PiiScan.redact replaces every span with a sentinel, URL before email") {
