@@ -47,6 +47,20 @@ import scala.collection.parallel.CollectionConverters._
   * pays off when candidate combos are far from unique, which is
   * exactly when the profiler-style [[candidateReport]] is the right
   * tool instead.
+  *
+  * What DOES work (round 12, [[isKeyByHash]]): [[findMinimalKeys]] only
+  * needs a key/non-key VERDICT, never the distinct count — and
+  * `countDistinct(xxhash64(combo))` is a one-sided PROOF, not a sketch:
+  * if the 64-bit hashes are all distinct the tuples must be, so
+  * `hashDistinct == total` certifies a key exactly; a deficit larger
+  * than [[HashDeficitBand]] certifies duplicates (collisions can only
+  * LOWER the hash count, and >40 of them has probability < 10⁻³¹ at
+  * 10¹⁰ rows); only the tiny ambiguous band re-runs the exact
+  * tuple-distinct job. Measured at sf100 (BENCH_SF100.md round-12
+  * section): local wall is flat — the value is the halved shuffle
+  * WIRE bytes at cluster scale, and the exactness framing (witness,
+  * not sketch) that the HLL path above lacks. [[candidateReport]]
+  * keeps the exact count: its contract IS the number.
   */
 object KeyFinder {
 
@@ -162,6 +176,51 @@ object KeyFinder {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), reportSchema)
   }
 
+  /** Ambiguity band for the hash-witness path in [[findMinimalKeys]].
+    * `countDistinct(xxhash64(combo)) == count(*)` PROVES a key outright
+    * (distinct hashes ⟹ distinct tuples — no probability involved); a
+    * deficit can mean duplicates OR hash collisions, so only deficits
+    * within this band fall back to the exact tuple-distinct job.
+    * Expected collisions follow Poisson with λ = n²/2⁶⁵ (λ ≈ 0.01 at
+    * 600 M rows, λ ≈ 2.7 at 10¹⁰ rows); P(collisions > 40) < 10⁻³¹
+    * even at the 100 TB row count, so a deficit beyond the band is a
+    * duplicate-tuple certificate to beyond-hardware-error confidence.
+    */
+  val HashDeficitBand = 40L
+
+  /** Decision-only uniqueness test for one combo: an 8-byte hash
+    * aggregate replaces the natural tuple-distinct aggregate, and only
+    * an ambiguous deficit re-runs the exact job.
+    *
+    * What this buys and what it doesn't (round-12 isolated A/B at
+    * sf100, 600 M rows, 10-combo lattice — BENCH_SF100.md): local
+    * wall time is UNCHANGED (631 s tuple-distinct → 621 s hash — the
+    * lattice is aggregate-CPU-bound, and the per-entry set cost of an
+    * 8-byte long vs a two-long UnsafeRow is not the bottleneck). The
+    * shuffle WIRE bytes halve (8-byte hashes vs multi-column tuples;
+    * more for string members), which is the term that matters on a
+    * real cluster's network — the same reasoning as q5's prefilter.
+    * Also measured and REJECTED: routing the hash aggregate through
+    * [[AggChoice.preAgg]] (repartition-first for the near-unique
+    * combos, the q18/q21 zero-combine cure) came out 12% SLOWER
+    * (704 s) — for a keyless countDistinct the map-side set build is
+    * pipelined against the scan and the extra full-row exchange costs
+    * more than the duplicated set build saves; q18's win does not
+    * transfer to this shape. NOT used by
+    * [[candidateReport]]/[[comboStats]], whose contract is the exact
+    * distinct COUNT, not a key verdict.
+    */
+  private def isKeyByHash(proj: DataFrame, cb: Seq[String], total: Long): Boolean = {
+    val hashed = proj.select(xxhash64(cb.map(col): _*).as("h"))
+      .agg(countDistinct(col("h"))).collect()(0).getLong(0)
+    if (hashed == total) true // distinct hashes certify distinct tuples
+    else if (total - hashed > HashDeficitBand) false // real duplicates
+    else // collisions possible: exact tuple-distinct decides
+      proj.select(cb.map(col): _*)
+        .agg(countDistinct(cb.head, cb.tail: _*))
+        .collect()(0).getLong(0) == total
+  }
+
   /** Size-ascending minimal-key search with the reference's early stop:
     * the first size that yields any key wins and larger sizes are never
     * evaluated, so results are exactly the minimal keys.
@@ -191,11 +250,9 @@ object KeyFinder {
       (1 to upper).iterator.map { size =>
         val combos = ordered.combinations(size)
           .filter(_.forall(!nullCols.contains(_))).toSeq
-        val keys = combos.par.map { cb =>
-          val nd = proj.select(cb.map(col): _*)
-            .agg(countDistinct(cb.head, cb.tail: _*)).collect()(0).getLong(0)
-          (cb, nd)
-        }.seq.collect { case (cb, nd) if nd == total => cb.mkString(",") }.sorted
+        val keys = combos.par
+          .filter(cb => isKeyByHash(proj, cb, total))
+          .seq.map(_.mkString(",")).sorted
         (size, keys)
       }.collectFirst { case (size, keys) if keys.nonEmpty => (size, keys) }
     }

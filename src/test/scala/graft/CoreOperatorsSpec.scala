@@ -106,6 +106,21 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(keys.toSeq == Seq(("a,b", 2)))
   }
 
+  test("keyfinder: near-key with a single duplicate is rejected (hash-witness fallback)") {
+    import spark.implicits._
+    // 100 rows, exactly one duplicated (a, s) pair: the hash-witness
+    // deficit is 1 — inside HashDeficitBand — so the exact
+    // tuple-distinct fallback must fire and reject the combo; (a, b)
+    // stays unique and must be certified by the hash path alone.
+    // String column included so xxhash64 runs over mixed types. (s, b)
+    // is also a key — the duplicated s rides distinct b values.
+    val rows = (1 to 99).map(i => (i, s"s$i", i % 7)) :+ (1, "s1", 6)
+    val df = rows.toDF("a", "s", "b")
+    val keys = KeyFinder.findMinimalKeys(spark, df, Seq("a", "s", "b"), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(keys.toSeq == Seq(("a,b", 2), ("s,b", 2)))
+  }
+
   test("schema introspect: nested flattening with __ paths") {
     import spark.implicits._
     val df = Seq((1, ("x", 2.0), Seq(("y", 3)), Map("k" -> 1L), Seq(1, 2)))
