@@ -334,7 +334,13 @@ object TextOps {
     def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
       df.select(
         col(idCol) +: ScanCols.map { case (name, pat) =>
-          size(regexp_extract_all(col(textCol), lit(pat), lit(0))).as(name)
+          // regexp_count: same number as size(regexp_extract_all(…))
+          // without materializing the match-string array. Measured FLAT
+          // at sf100 (19.3 → 19.5 s) — the scan cost is the Java regex
+          // engine itself, not match allocation; kept for the cleaner
+          // expression. See BENCH_SF100.md round-12 section for the
+          // engine-constant-factor attribution.
+          regexp_count(col(textCol), lit(pat)).cast("int").as(name)
         }: _*)
         .withColumn("has_pii",
           ScanCols.map { case (name, _) => col(name) > 0 }
