@@ -156,7 +156,8 @@ object SparkEntry {
     "text_tokens"      -> ((s, d) => TextOps.TokenCount.run(Tables(s, d, "documents"))),
     "text_langid"      -> ((s, d) => TextOps.LangId.run(Tables(s, d, "documents"))),
     "text_quality"     -> ((s, d) => TextOps.QualityScore.run(Tables(s, d, "documents"))),
-    "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(Tables(s, d, "documents"))),
+    // over the U+000B-fixture corpus: the doc -1/-2 pair must collide
+    "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(wsFixtureDocs(s, d))),
     // PII scan over the pii demo corpus (the synthetic documents carry
     // no PII, so every counter would be vacuously zero): doc_id%7 slots
     // append a phone (+CC and parenthesized forms), an IPv4, a full-form
@@ -283,7 +284,8 @@ object SparkEntry {
           .withColumn("n_tokens", expr("n_chars div 4 + 1")),
         PackCapacity).orderBy("doc_id")),
     // --- dedup for LLM-data pipelines (SURVEY §2 #25-29) ---
-    "dedup_exact" -> ((s, d) => Dedup.ExactDedup.run(Tables(s, d, "documents"))),
+    // over the U+000B-fixture corpus: docs -1/-2 must form ONE group
+    "dedup_exact" -> ((s, d) => Dedup.ExactDedup.run(wsFixtureDocs(s, d))),
     // incremental: the batch half checked against the corpus half —
     // bloom-prefiltered membership, exact at any fpp
     "dedup_incremental" -> ((s, d) => {
@@ -467,6 +469,29 @@ object SparkEntry {
       |   ELSE text
       |  END AS text
       | FROM documents)""".stripMargin
+  /** documents + two U+000B fixture rows for the identity family
+    * (verdict-r12 parity guard): doc -1 carries vertical tabs and a
+    * tab, doc -2 is its whitespace-normalized lowercase twin. Java
+    * `\s` includes U+000B, RE2's does not — both engines normalize
+    * with [[TextOps.WsClass]], so the pair MUST land in one
+    * fingerprint group on both sides; if either side regresses to a
+    * bare `\s` the group splits and the driver's hash compare on
+    * `text_fingerprint`/`dedup_exact` goes red. Mirrored verbatim in
+    * [[WsFixtureDocsSql]].
+    */
+  private def wsFixtureDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (-1L, "Fixture\u000BVERTICAL\u000Btab\tdoc"),
+        (-2L, "fixture  vertical TAB doc")).toDF("doc_id", "text"))
+  }
+  private val WsFixtureDocsSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL SELECT CAST(-1 AS BIGINT),
+      |   'Fixture' || chr(11) || 'VERTICAL' || chr(11) || 'tab' || chr(9) || 'doc'
+      | UNION ALL SELECT CAST(-2 AS BIGINT),
+      |   'fixture  vertical TAB doc') ws_fixture_docs""".stripMargin
   // html-extract demo corpus (see the text_html_extract entry): one
   // page per doc, single-quote-free so the fragments embed verbatim in
   // the oracle SQL; the CASE arm is mirrored in HtmlCorpusSql below
@@ -758,7 +783,7 @@ object SparkEntry {
     "text_tokens"      -> TextOps.TokenCount.oracleSql("documents"),
     "text_langid"      -> TextOps.LangId.oracleSql("documents"),
     "text_quality"     -> TextOps.QualityScore.oracleSql("documents"),
-    "text_fingerprint" -> TextOps.Fingerprint.oracleSql("documents"),
+    "text_fingerprint" -> TextOps.Fingerprint.oracleSql(WsFixtureDocsSql),
     "text_pii" -> TextOps.PiiScan.oracleSql(PiiCorpusSql),
     "text_repetition" -> TextOps.Repetition.oracleSql("documents"),
     "text_domain_cap" -> TextOps.DomainCap.oracleSql("documents", DomainCapN),
@@ -788,7 +813,7 @@ object SparkEntry {
       "documents", "doc_id", "lang", StratFractions, StratDefault),
     "sample_weighted" -> Sampling.weightedOracleSql(
       "documents", "doc_id", "(doc_id % 100) / 100.0"),
-    "dedup_exact" -> Dedup.ExactDedup.oracleSql("documents"),
+    "dedup_exact" -> Dedup.ExactDedup.oracleSql(WsFixtureDocsSql),
     "dedup_incremental" -> Dedup.IncrementalDedup.oracleSql("documents", IncrementalSplitId),
     "pack_sequences" -> graft.operators.Packing.oracleSql(
       "documents", PackCapacity, "n_chars // 4 + 1"),

@@ -117,20 +117,29 @@ object GraftApp {
     "semantic-dedup", "perplexity", "url-dedup", "bpe", "chunk", "html-extract")
 
   /** Tool-name aliases (reference: dbqt/tools/__init__.py:6
-    * `TOOL_ALIASES`) mapped onto this CLI's tool names: the reference's
-    * `rowcount`/`stats` both alias `dbstats`, whose single-catalog mode
-    * is this CLI's `rowcount` and whose stats mode is `stats`; `compare`
-    * → `colcompare`; `findkey` → `keyfinder`. Resolved before dispatch,
-    * so an alias accepts exactly the target's flags.
+    * `TOOL_ALIASES`) mapped onto this CLI's tool names: `compare` →
+    * `colcompare`; `findkey` → `keyfinder`. The reference maps
+    * `rowcount`/`stats` the OTHER way — both onto a single `dbstats`
+    * tool with two flag-selected modes — so `dbstats` here cannot be a
+    * static alias: [[resolveTool]] dispatches it by flags (`--columns`
+    * is the stats-mode selector) so a ported stats-mode invocation
+    * runs stats, not a silent rowcount.
     */
   private[app] val toolAliases = Map(
     "compare" -> "colcompare",
-    "findkey" -> "keyfinder",
-    "dbstats" -> "rowcount")
+    "findkey" -> "keyfinder")
+
+  /** Alias resolution, flag-aware for the two-mode `dbstats`. */
+  private[app] def resolveTool(rawTool: String, f: Map[String, String]): String =
+    rawTool match {
+      case "dbstats" => if (f.contains("columns")) "stats" else "rowcount"
+      case other => toolAliases.getOrElse(other, other)
+    }
 
   private val usage =
     s"usage: GraftApp <${tools.mkString("|")}> --dir <tables-dir> [flags]" +
-      s" (aliases: ${toolAliases.map { case (a, t) => s"$a=$t" }.mkString(", ")})"
+      s" (aliases: ${toolAliases.map { case (a, t) => s"$a=$t" }.mkString(", ")}," +
+      " dbstats=rowcount|stats by flags: --columns selects stats mode)"
 
   /** Loud up-front type check shared by every id-hashing tool (split,
     * pack, mixture, decontaminate): under ANSI mode (the Spark 4
@@ -152,7 +161,7 @@ object GraftApp {
 
   def run(spark: SparkSession, args: Seq[String]): Unit = {
     val (rawTool, f) = parse(args)
-    val tool = toolAliases.getOrElse(rawTool, rawTool)
+    val tool = resolveTool(rawTool, f)
     def dir = f.getOrElse("dir", sys.error("--dir required"))
     def tableName = f.getOrElse("table", sys.error("--table required"))
     def table = Tables(spark, dir, tableName)

@@ -74,7 +74,7 @@ object Dedup {
         .orderBy("keep_doc_id")
 
     def oracleSql(table: String): String =
-      s"""SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+      s"""SELECT md5(lower(trim(regexp_replace(text, '${TextOps.WsClass}+', ' ', 'g')))) AS fingerprint,
          |  count(*) AS n_docs, min(doc_id) AS keep_doc_id,
          |  count(*) - 1 AS n_duplicates
          |FROM $table GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
@@ -149,7 +149,7 @@ object Dedup {
 
     /** DuckDB oracle: same normalized-md5 membership, via IN. */
     def oracleSql(table: String, splitId: Long): String = {
-      val fp = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+      val fp = s"md5(lower(trim(regexp_replace(text, '${TextOps.WsClass}+', ' ', 'g'))))"
       s"""SELECT doc_id, $fp AS fingerprint,
          |  $fp IN (SELECT DISTINCT $fp FROM $table WHERE doc_id < $splitId)
          |    AS in_corpus
@@ -186,10 +186,10 @@ object Dedup {
     def oracleSql(table: String, threshold: Double): String =
       s"""WITH g AS (
          |  SELECT doc_id,
-         |    CASE WHEN length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) >= $N
+         |    CASE WHEN length(lower(trim(regexp_replace(text, '${TextOps.WsClass}+', ' ', 'g')))) >= $N
          |      THEN list_distinct(list_transform(
-         |        range(1, length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - ${N - 1} + 1),
-         |        i -> substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i, $N)))
+         |        range(1, length(lower(trim(regexp_replace(text, '${TextOps.WsClass}+', ' ', 'g')))) - ${N - 1} + 1),
+         |        i -> substr(lower(trim(regexp_replace(text, '${TextOps.WsClass}+', ' ', 'g'))), i, $N)))
          |      ELSE [] END AS grams
          |  FROM $table)
          |SELECT doc_id_1, doc_id_2, round(jaccard_raw, 4) AS jaccard FROM (
@@ -217,14 +217,16 @@ object Dedup {
     val Rows = NumHashes / Bands
 
     /** Kernel-side twin of [[charNgrams]]' normalization
-      * (lower(trim(regexp_replace(text, "\\s+", " ")))), asserted by
+      * (lower(trim(regexp_replace(text, WsClass + "+", " ")))), asserted by
       * DedupSpec's minhash-vs-allPairs comparison. Locale.ROOT (a
       * tr_TR default locale would map I→ı and break parity with
       * Catalyst lower()) and a SPACE-ONLY trim (String.trim strips all
       * control chars ≤ U+0020; Catalyst trim strips only ' ').
       */
     private[graft] def normalizeKernel(text: String): String = {
-      val collapsed = text.replaceAll("\\s+", " ")
+      // Java \s == WsClass exactly, but the sweep spells it out so a
+      // grep for bare \s across the identity family comes up empty
+      val collapsed = text.replaceAll(TextOps.WsClass + "+", " ")
       var from = 0
       var to = collapsed.length
       while (from < to && collapsed.charAt(from) == ' ') from += 1
@@ -1009,7 +1011,8 @@ object Dedup {
           it.map { case (gid, text0) =>
             val text = if (text0 == null) "" else text0
             val counts = new Array[Int](64)
-            text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { t =>
+            text.trim.toLowerCase(java.util.Locale.ROOT)
+              .split(TextOps.WsClass + "+").foreach { t =>
               val h = graft.functions.Hash64.strHash(t)
               var j = 0
               while (j < 64) {

@@ -49,18 +49,19 @@ object Curate {
   def oracleSql(table: String, minQuality: Double = 0.5,
                 keepLang: String = "en"): String = {
     val stops = TextOps.EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val ws = TextOps.WsClass // RE2 \s excludes U+000B; spell the class out
     // signals over the NORMALIZED text (ntext), mirroring run()
     val stopRatio =
-      s"""CAST(len(list_filter(string_split_regex(ntext, '\\s+'),
+      s"""CAST(len(list_filter(string_split_regex(ntext, '$ws+'),
          |      x -> list_contains($stops, x))) AS DOUBLE)
-         |    / len(string_split_regex(ntext, '\\s+'))""".stripMargin
+         |    / len(string_split_regex(ntext, '$ws+'))""".stripMargin
     val punctRatio =
-      """CAST(length(ntext) - length(regexp_replace(ntext, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      s"""CAST(length(ntext) - length(regexp_replace(ntext, '${TextOps.PunctClass}', '', 'g')) AS DOUBLE)
         |    / length(ntext)""".stripMargin
-    val nTokens = """len(string_split_regex(ntext, '\s+'))"""
+    val nTokens = s"len(string_split_regex(ntext, '$ws+'))"
     s"""WITH n AS (
        |  SELECT doc_id,
-       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+       |    lower(trim(regexp_replace(text, '$ws+', ' ', 'g'))) AS ntext
        |  FROM $table),
        |base AS (
        |  SELECT doc_id,

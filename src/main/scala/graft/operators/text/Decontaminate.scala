@@ -103,7 +103,7 @@ object Decontaminate {
     * same normalization.
     */
   def oracleSql(table: String, nProbeDocs: Long, from: Int, len: Int): String = {
-    val norm = "lower(trim(regexp_replace(%s, '\\s+', ' ', 'g')))"
+    val norm = s"lower(trim(regexp_replace(%s, '${TextOps.WsClass}+', ' ', 'g')))"
     val nd = norm.format("d.text")
     val np = norm.format("text")
     // trim the slice: [[flag]] normalizes caller probes, and on an

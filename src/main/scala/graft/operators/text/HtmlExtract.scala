@@ -56,8 +56,10 @@ object HtmlExtract {
   /** Anchored block-tag pattern: name, then end of tag or whitespace +
     * attributes — never a longer name sharing the prefix.
     */
+  // WsClass, not \s: Java \s includes U+000B, RE2's does not, and this
+  // pattern ships verbatim to both engines (TextOps parity contract)
   private val BlockTagPattern =
-    "(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table)(\\s[^>]*)?/?>"
+    s"(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table)(${TextOps.WsClass}[^>]*)?/?>"
 
   // mark/separator sentinels for the numeric-entity decoder; U+0001/02
   // never occur in crawlable text (and a page that DID carry them
@@ -121,8 +123,9 @@ object HtmlExtract {
     // truncate a head/title strip that ran before them
     val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
-    val noHead = regexp_replace(noStyle, "(?is)<head(\\s[^>]*)?>.*?</head\\s*>", "")
-    val noTitle = regexp_replace(noHead, "(?is)<title(\\s[^>]*)?>.*?</title\\s*>", "")
+    val ws = TextOps.WsClass
+    val noHead = regexp_replace(noStyle, s"(?is)<head($ws[^>]*)?>.*?</head$ws*>", "")
+    val noTitle = regexp_replace(noHead, s"(?is)<title($ws[^>]*)?>.*?</title$ws*>", "")
     val blocks = regexp_replace(noTitle, BlockTagPattern, "\n")
     // '?' admits processing instructions (<?xml …?>, stray <?php …?>)
     val noTags = regexp_replace(blocks, "<[A-Za-z/!?][^>]*>", " ")
@@ -169,9 +172,9 @@ object HtmlExtract {
        |                regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
        |                '(?is)<script[^>]*>.*?</script>', '', 'g'),
        |              '(?is)<style[^>]*>.*?</style>', '', 'g'),
-       |            '(?is)<head(\\s[^>]*)?>.*?</head\\s*>', '', 'g'),
-       |          '(?is)<title(\\s[^>]*)?>.*?</title\\s*>', '', 'g'),
-       |        '(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table)(\\s[^>]*)?/?>', chr(10), 'g'),
+       |            '(?is)<head(${TextOps.WsClass}[^>]*)?>.*?</head${TextOps.WsClass}*>', '', 'g'),
+       |          '(?is)<title(${TextOps.WsClass}[^>]*)?>.*?</title${TextOps.WsClass}*>', '', 'g'),
+       |        '$BlockTagPattern', chr(10), 'g'),
        |      '<[A-Za-z/!?][^>]*>', ' ', 'g') AS t
        |  FROM $table),
        |named AS (

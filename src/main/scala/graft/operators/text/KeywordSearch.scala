@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * `ws_tokens` for the same document; avgdl is the corpus mean.
   *
   * Scale shape (the part that matters at 100 TB): the query term set is
-  * tiny and known up-front, so an `isin` filter sits directly on the
-  * explode output — the per-(doc, term) aggregate only ever sees
-  * occurrences of query terms, never the full corpus vocabulary;
+  * tiny and known up-front, so (a) a `contains`-any-term prefilter — a
+  * strict superset of token-boundary matches — gates the tokenize+
+  * explode so only candidate documents ever pay it, and (b) an `isin`
+  * filter sits directly on the explode output — the per-(doc, term)
+  * aggregate only ever sees occurrences of query terms, never the full
+  * corpus vocabulary;
   * document length comes row-locally from the same frame (no second
   * pass, no corpus-wide window); df(t) aggregates the already-filtered
   * term rows; N and avgdl ride one 1-row crossJoin.
@@ -48,21 +51,33 @@ object KeywordSearch {
     val spark = docs.sparkSession
     import spark.implicits._
     val pairs = queries.flatMap { case (qid, text) =>
-      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _)
+      text.toLowerCase.trim.split(TextOps.WsClass + "+").filter(_.nonEmpty).distinct.map(qid -> _)
     }
     val qterms = pairs.toDF("query_id", "term")
     val allTerms = pairs.map(_._2).distinct
 
     // row-local doc length; the corpus scalar rides one 1-row crossJoin
     val withDl = docs.select(col(idCol).as("doc_id"),
-      TextOps.wsTokens(lower(col(textCol))).as("t"))
+      lower(col(textCol)).as("lt"))
+      .withColumn("t", TextOps.wsTokens(col("lt")))
       .withColumn("dl", size(col("t")))
+    // n_docs/avgdl are CORPUS statistics — computed over every document
+    // (prefiltering here would change every score)
     val stats = withDl.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
+    // containment prefilter (round-13): a token-boundary occurrence of
+    // a term is also a plain substring occurrence, so `contains` is a
+    // strict SUPERSET gate — results are provably unchanged, but the
+    // explode (one row per token, the dominant cost at corpus scale)
+    // runs only on candidate documents. Catalyst pushes the gate
+    // through the projection to the scan, so non-candidates are never
+    // tokenized on this branch either.
+    val candidateGate = allTerms.map(t => col("lt").contains(t))
+      .reduceOption(_ || _).getOrElse(lit(false))
     // only query-term occurrences survive the explode — the aggregate
     // below is sized by query-term hits, not the corpus vocabulary
-    val tf = withDl
+    val tf = withDl.where(candidateGate)
       .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
       .where(col("term").isin(allTerms: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
@@ -99,7 +114,7 @@ object KeywordSearch {
   def oracleSql(table: String, queries: Seq[(Int, String)], k: Int,
                 k1: Double = 1.2, b: Double = 0.75): String = {
     val qvalues = queries.flatMap { case (qid, text) =>
-      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+      text.toLowerCase.trim.split(TextOps.WsClass + "+").filter(_.nonEmpty).distinct
         .map(t => s"($qid, '$t')")
     }.mkString(", ")
     s"""WITH qterms(query_id, term) AS (VALUES $qvalues),

@@ -289,9 +289,10 @@ object TextOps {
     * classes, bounded repetition, `\b`, non-capturing groups — no
     * lookaround, no backreferences.
     *
-    * The counts are INDEPENDENT raw-text scans (an IPv4 inside a URL
-    * counts as both — the counts are signals, not a partition);
-    * [[redact]] is the sequential rewrite where precedence applies.
+    * Both the counts and [[redact]] share ONE leftmost-partition scan
+    * of [[CombinedPattern]] (round-13; see [[run]] for the semantics
+    * and the rationale for abandoning the earlier independent
+    * per-pattern scans).
     */
   object PiiScan {
     val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -326,36 +327,107 @@ object TextOps {
     /** SSN-shaped 3-2-4 id numbers; disjoint from [[PhonePattern]]. */
     val IdPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
-    private val ScanCols = Seq(
-      "n_emails" -> EmailPattern, "n_urls" -> UrlPattern,
-      "n_phones" -> PhonePattern, "n_ipv4" -> Ipv4Pattern,
-      "n_ipv6" -> Ipv6Pattern, "n_ids" -> IdPattern)
+    /** Compressed (`::`) IPv6 forms — SPARK-SIDE ONLY (the declared
+      * engine-parity boundary: the DuckDB oracle stays on the full
+      * 8-group [[Ipv6Pattern]], and the shipped demo corpus carries no
+      * `::` text, so the hash compare is unaffected; compressed
+      * coverage is spec-pinned in TextOpsSpec). Real-world IPv6 is
+      * overwhelmingly compressed, so the production scan must catch it.
+      * Three lookaround-free arms — the double colon is implicit where
+      * a trailing-`:` group run meets a leading-`:` group run:
+      *  1. inner/trailing-groups `1:2::3:4` — `(?:H:){1,7}(?::H){1,7}`
+      *     can only bridge via `::` (a single-colon string fails the
+      *     second run's leading `:`), so `12:30:45` timestamps do NOT
+      *     match
+      *  2. leading `::1` (no \b prefix: `:` is a non-word char)
+      *  3. trailing `fe80::` (no \b suffix, ditto); ordered LAST so
+      *     `fe80::1` is taken whole by arm 1
+      * The bare unspecified address `::` alone is deliberately not
+      * matched (prose-noise trade-off).
+      */
+    val Ipv6CompressedPattern =
+      "\\b(?:[0-9A-Fa-f]{1,4}:){1,7}(?::[0-9A-Fa-f]{1,4}){1,7}\\b|" +
+        "::(?:[0-9A-Fa-f]{1,4}:){0,6}[0-9A-Fa-f]{1,4}\\b|" +
+        "\\b(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+
+    /** ONE alternation pass over the text (round-13 rewrite): the six
+      * independent scans cost six backtracking-NFA traversals of every
+      * document; the combined pattern costs one. Arm order = redaction
+      * precedence (URL before email/IP: a span inside a URL's authority
+      * is the URL's), so the scan and [[redact]] agree on spans by
+      * construction.
+      *
+      * SEMANTICS (changed from the pre-round-13 independent counts,
+      * oracle rewritten in lockstep): leftmost-partition — the text is
+      * partitioned into non-overlapping spans, each claimed by the
+      * first arm matching at its leftmost position. An IPv4 inside a
+      * URL counts ONCE, as the URL. Java regex and RE2 agree on both
+      * leftmost-match and alternation preference order, and every arm
+      * is in the shared RE2-safe subset.
+      */
+    private val ClassArms = Seq(
+      // compressed IPv6 rides with the full form under one label; the
+      // oracle's combined pattern simply omits the compressed arms
+      "url" -> UrlPattern, "email" -> EmailPattern,
+      "ipv6" -> s"$Ipv6Pattern|$Ipv6CompressedPattern",
+      "ipv4" -> Ipv4Pattern, "id" -> IdPattern, "phone" -> PhonePattern)
+    val CombinedPattern: String =
+      ClassArms.map { case (_, p) => s"(?:$p)" }.mkString("|")
+    /** Oracle twin: full-form IPv6 only (engine-parity boundary). */
+    val CombinedOraclePattern: String = Seq(
+      UrlPattern, EmailPattern, Ipv6Pattern, Ipv4Pattern, IdPattern,
+      PhonePattern).map(p => s"(?:$p)").mkString("|")
+
+    /** Class of one matched span: full-match against the arms in
+      * precedence order. The span classes are pairwise disjoint (no
+      * span string full-matches two arms — colon/dot/hyphen shapes and
+      * the `@`/`http` prefixes separate them), so this reproduces the
+      * arm that claimed the span during the combined scan.
+      */
+    private def classifyAs(m: Column, out: String => String): Column =
+      ClassArms.init.foldRight(lit(out(ClassArms.last._1))) {
+        case ((label, pat), rest) =>
+          when(m.rlike(s"^(?:$pat)$$"), out(label)).otherwise(rest)
+      }
+    private def classify(m: Column): Column = classifyAs(m, identity)
+
+    private val CountCols = Seq("n_emails" -> "email", "n_urls" -> "url",
+      "n_phones" -> "phone", "n_ipv4" -> "ipv4", "n_ipv6" -> "ipv6",
+      "n_ids" -> "id")
 
     def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-      df.select(
-        col(idCol) +: ScanCols.map { case (name, pat) =>
-          // regexp_count: same number as size(regexp_extract_all(…))
-          // without materializing the match-string array. Measured FLAT
-          // at sf100 (19.3 → 19.5 s) — the scan cost is the Java regex
-          // engine itself, not match allocation; kept for the cleaner
-          // expression. See BENCH_SF100.md round-12 section for the
-          // engine-constant-factor attribution.
-          regexp_count(col(textCol), lit(pat)).cast("int").as(name)
-        }: _*)
-        .withColumn("has_pii",
-          ScanCols.map { case (name, _) => col(name) > 0 }
-            .reduce(_ || _).cast("int"))
+      // two-step select: labels computed ONCE per row (CollapseProject
+      // keeps a non-cheap multi-referenced projection un-inlined), the
+      // six counts are cheap array filters over the few matched spans
+      df.select(col(idCol),
+          transform(
+            regexp_extract_all(col(textCol), lit(CombinedPattern), lit(0)),
+            m => classify(m)).as("labels"))
+        .select(
+          col(idCol) +: CountCols.map { case (name, label) =>
+            size(filter(col("labels"), l => l === label)).cast("int").as(name)
+          } :+ (size(col("labels")) > 0).cast("int").as("has_pii"): _*)
         .orderBy(idCol)
 
     def oracleSql(table: String): String = {
-      val counts = ScanCols.map { case (name, pat) =>
-        s"CAST(len(regexp_extract_all(text, '$pat')) AS INTEGER) AS $name"
+      val caseArms = Seq("url" -> UrlPattern, "email" -> EmailPattern,
+        "ipv6" -> Ipv6Pattern, "ipv4" -> Ipv4Pattern, "id" -> IdPattern)
+        .map { case (l, p) => s"WHEN regexp_full_match(s, '^(?:$p)$$') THEN '$l'" }
+        .mkString("\n         |      ")
+      val counts = CountCols.map { case (name, label) =>
+        s"CAST(len(list_filter(labels, x -> x = '$label')) AS INTEGER) AS $name"
       }.mkString(",\n         |  ")
-      val any = ScanCols.map { case (name, _) => s"$name > 0" }.mkString(" OR ")
-      s"""SELECT doc_id,
+      s"""WITH l AS (
+         |  SELECT doc_id,
+         |    list_transform(regexp_extract_all(text, '$CombinedOraclePattern'),
+         |      s -> CASE
+         |      $caseArms
+         |      ELSE 'phone' END) AS labels
+         |  FROM $table)
+         |SELECT doc_id,
          |  $counts,
-         |  CAST($any AS INTEGER) AS has_pii
-         |FROM $table ORDER BY doc_id""".stripMargin
+         |  CAST(len(labels) > 0 AS INTEGER) AS has_pii
+         |FROM l ORDER BY doc_id""".stripMargin
     }
 
     val EmailToken = "<EMAIL>"
@@ -365,43 +437,55 @@ object TextOps {
     val Ipv6Token = "<IPV6>"
     val IdToken = "<ID>"
 
-    /** Redaction order: URL first (emails/IPs can sit inside a URL's
-      * authority — one span must become one token), then email, then
-      * IPv6/IPv4 (colon vs dot shapes, mutually disjoint), then the
-      * 3-2-4 id shape, then phone (3-3-4 — disjoint from id by group
-      * widths, so relative order of the last two is immaterial but
-      * fixed here and mirrored in the oracle).
-      */
-    private val RedactOrder = Seq(
-      UrlPattern -> UrlToken, EmailPattern -> EmailToken,
-      Ipv6Pattern -> Ipv6Token, Ipv4Pattern -> Ipv4Token,
-      IdPattern -> IdToken, PhonePattern -> PhoneToken)
+    private val ClassToken = Map("url" -> UrlToken, "email" -> EmailToken,
+      "ipv6" -> Ipv6Token, "ipv4" -> Ipv4Token, "id" -> IdToken,
+      "phone" -> PhoneToken)
 
-    /** Redaction — the transform PiiScan's counts gate: every PII span
-      * replaced with a sentinel token, in one codegen'd projection.
-      * Same engine-parity regexes as the scan. Emits old/new lengths so
-      * downstream quality filters can re-score.
+    /** Redaction — the transform PiiScan's counts gate, sharing the
+      * scan's single [[CombinedPattern]] pass (round-13 rewrite: was
+      * six sequential regexp_replace traversals): split the text on
+      * the combined pattern (the n+1 non-PII segments), extract the n
+      * matched spans, classify each span to its sentinel token, and
+      * interleave — one regex traversal plus cheap array ops on the
+      * few spans. Same leftmost-partition semantics as [[run]]: one
+      * span, one token, arm order = precedence.
       */
     def redact(df: DataFrame, textCol: String = "text",
-               idCol: String = "doc_id"): DataFrame =
+               idCol: String = "doc_id"): DataFrame = {
+      val toks = transform(
+        regexp_extract_all(col(textCol), lit(CombinedPattern), lit(0)),
+        m => classifyAs(m, ClassToken))
+      val segs = split(col(textCol), CombinedPattern)
       df.select(
           col(idCol),
-          RedactOrder.foldLeft(col(textCol)) { case (c, (pat, tok)) =>
-            regexp_replace(c, pat, tok)
-          }.as("redacted"),
+          // zip_with pads the shorter token array with null
+          array_join(zip_with(segs, toks,
+            (s, t) => concat(s, coalesce(t, lit("")))), "").as("redacted"),
           length(col(textCol)).as("n_chars_before"))
         .withColumn("n_chars_after", length(col("redacted")))
         .orderBy(idCol)
+    }
 
     def redactOracleSql(table: String): String = {
-      val nested = RedactOrder.foldLeft("text") { case (sql, (pat, tok)) =>
-        s"regexp_replace($sql, '$pat', '$tok', 'g')"
-      }
-      s"""SELECT doc_id,
-         |  $nested AS redacted,
+      val caseArms = Seq("url" -> UrlPattern, "email" -> EmailPattern,
+        "ipv6" -> Ipv6Pattern, "ipv4" -> Ipv4Pattern, "id" -> IdPattern)
+        .map { case (l, p) =>
+          s"WHEN regexp_full_match(s, '^(?:$p)$$') THEN '${ClassToken(l)}'" }
+        .mkString("\n         |        ")
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(text, '$CombinedOraclePattern') AS segs,
+         |    list_transform(regexp_extract_all(text, '$CombinedOraclePattern'),
+         |      s -> CASE
+         |        $caseArms
+         |        ELSE '$PhoneToken' END) AS toks
+         |  FROM $table)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(list_zip(segs, toks),
+         |    x -> x[1] || coalesce(x[2], '')), '') AS redacted,
          |  length(text) AS n_chars_before,
          |  length(redacted) AS n_chars_after
-         |FROM $table ORDER BY doc_id""".stripMargin
+         |FROM m ORDER BY doc_id""".stripMargin
     }
   }
 
@@ -423,8 +507,13 @@ object TextOps {
     val Base = 257L
     val Mod = 1000000007L
 
+    /** Whitespace collapse uses [[WsClass]], not `\s` — Java `\s` IS
+      * exactly this class, but RE2's excludes U+000B, so the oracle
+      * twins ([[oracleSql]], Dedup/Curate/Decontaminate) must spell it
+      * out and the Spark side spells it identically in lockstep.
+      */
     def normalized(text: Column): Column =
-      lower(trim(regexp_replace(text, "\\s+", " ")))
+      lower(trim(regexp_replace(text, s"$WsClass+", " ")))
 
     /** THE canonical content fingerprint — every content-identity
       * consumer (exact dedup, incremental dedup, streaming corpus

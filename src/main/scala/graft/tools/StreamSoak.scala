@@ -171,13 +171,14 @@ object StreamSoak {
       workingSet = 100000, boundFactor = 3.0)
 
     // --- corpus dedup: stream-static join, ZERO streaming state -----
-    // static corpus of 100 k fingerprinted documents; streamed doc
-    // texts cycle over 200 k variants so ~half annotate in_corpus=true.
+    // static corpus holds variants 0..99999; the stream cycles over
+    // 200 k variants, so the RANGE difference (not any arithmetic on
+    // the corpus side) makes ~half the stream annotate in_corpus=true.
     // workingSet 0 → bound 0: one stateful-operator row is a failure.
     val corpus = spark.range(100000).select(
       col("id").as("doc_id"),
       concat(lit("the quick brown fox jumps document number "),
-        (col("id") % 200000).cast("string")).as("text"))
+        col("id").cast("string")).as("text"))
     val corpusDeduped = graft.streaming.EventStream.dedupAgainstCorpus(
       rateEvents(spark, 400000)
         .select(col("value").as("doc_id"), col("ts"),

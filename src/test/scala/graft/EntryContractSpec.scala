@@ -42,4 +42,15 @@ class EntryContractSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no oracle SQL uses a bare \\s class (RE2 excludes U+000B, Java includes it)") {
+    // the whitespace-parity contract: every whitespace class shipped to
+    // DuckDB must be TextOps.WsClass spelled out, never \s — the two
+    // engines disagree on vertical tab and a \x0B-bearing document
+    // would fingerprint/tokenize differently per engine
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("\\s"),
+        s"oracle '$name' contains a bare \\s whitespace class")
+    }
+  }
 }

@@ -45,6 +45,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(0) === fps(1))
   }
 
+  test("identity family collapses vertical tab U+000B like any whitespace") {
+    // Java \s includes U+000B, RE2's does not — WsClass spells it out on
+    // both engines, and this fixture (the spec twin of SparkEntry's
+    // wsFixtureDocs rows) keeps the parity from silently reopening
+    val a = Seq((1L, "Fixture\u000BVERTICAL\u000Btab\tdoc", "en"),
+      (2L, "fixture  vertical TAB doc", "en")).toDF("doc_id", "text", "lang")
+    val fps = TextOps.Fingerprint.contentFingerprint(a).collect().map(_.getString(1))
+    assert(fps(0) === fps(1))
+    // wsTokens (the tokenizer contract) splits on U+000B too
+    val toks = TextOps.TokenCount.run(a).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(toks(1L) === 4 && toks(2L) === 4)
+    // and exact dedup lands the pair in one group
+    val groups = graft.operators.dedup.Dedup.ExactDedup.run(a).collect()
+    assert(groups.length === 1 && groups.head.getAs[Long]("n_docs") === 2L)
+  }
+
   test("winnow fingerprints: identical docs share all hashes, near-dups overlap") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home"
     val near = base.replace("lazy", "hazy")
@@ -156,6 +173,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(res(5L) == ((0, 0, 0, 0, 0, 0, 0)))
     assert(res(6L) == ((0, 0, 0, 0, 0, 0, 0)))
     assert(res(7L) == ((0, 0, 0, 0, 0, 0, 0)))
+  }
+
+  test("PiiScan leftmost-partition: a span inside a URL counts once, as the URL") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      // nested IPv4: the URL arm claims the whole span (round-13
+      // semantics change from the independent per-pattern counts)
+      (1L, "fetch https://example.com/10.1.2.3 then ping 10.1.2.4"),
+      // the URL charset excludes '@': scheme+userinfo is the URL span,
+      // and no email is counted from the consumed remainder
+      (2L, "creds https://user@host.example.com/path end"))
+      .toDF("doc_id", "text")
+    val res = piiCounts(docs)
+    assert(res(1L) == ((0, 1, 0, 1, 0, 0, 1)))
+    assert(res(2L) == ((0, 1, 0, 0, 0, 0, 1)))
+  }
+
+  test("PiiScan catches compressed IPv6 (spark-side engine-parity boundary)") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "loopback ::1 local"),
+      (2L, "gateway fe80:: down"),
+      (3L, "node 1:2::3:4 mid"),
+      (4L, "addr fe80::1 and full 2001:0db8:85a3:0000:0000:8a2e:0370:7334 up"),
+      // negatives: a timestamp has no double colon; a lone :: is prose
+      (5L, "at 12:30:45 use :: done"))
+      .toDF("doc_id", "text")
+    val res = piiCounts(docs)
+    assert(res(1L) == ((0, 0, 0, 0, 1, 0, 1)))
+    assert(res(2L) == ((0, 0, 0, 0, 1, 0, 1)))
+    assert(res(3L) == ((0, 0, 0, 0, 1, 0, 1)))
+    assert(res(4L) == ((0, 0, 0, 0, 2, 0, 1)))
+    assert(res(5L) == ((0, 0, 0, 0, 0, 0, 0)))
+    // and redact emits the IPv6 sentinel for a compressed span
+    val red = TextOps.PiiScan.redact(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(4L) == "addr <IPV6> and full <IPV6> up")
   }
 
   test("PiiScan.redact replaces every span with a sentinel, URL before email") {
