@@ -163,6 +163,109 @@ object BinaryPipeline {
       } finally in.close()
     }.toOption.flatten
 
+  /** REAL WAV PCM decode to mono samples in [-1, 1] — the audio
+    * analogue of [[decodeImage]]'s raster. Handles the JDK-native PCM
+    * layouts (8-bit unsigned / 8/16-bit signed, either endianness, any
+    * channel count — channels average to mono). None for payloads
+    * `javax.sound` can't open or non-PCM encodings.
+    */
+  def decodeWavSamples(data: Array[Byte]): Option[Array[Double]] =
+    if (!sniffWav(data)) None
+    else scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val fmt = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok = (enc == PCM_SIGNED || enc == PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16) && in.getFrameLength <= (1 << 26)
+        if (!ok) None
+        else {
+          val bytes = in.readAllBytes()
+          val ch = fmt.getChannels
+          val bytesPerSample = bits / 8
+          val nFrames = bytes.length / (bytesPerSample * ch)
+          val out = new Array[Double](nFrames)
+          val big = fmt.isBigEndian
+          var f = 0
+          while (f < nFrames) {
+            var sum = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = (f * ch + c) * bytesPerSample
+              val raw =
+                if (bits == 8) {
+                  if (enc == PCM_UNSIGNED) (bytes(off) & 0xFF) - 128
+                  else bytes(off).toInt
+                } else {
+                  val (b0, b1) = if (big) (bytes(off), bytes(off + 1))
+                                 else (bytes(off + 1), bytes(off))
+                  val s = ((b0 & 0xFF) << 8) | (b1 & 0xFF)
+                  val signed = if (s >= 0x8000) s - 0x10000 else s
+                  if (enc == PCM_UNSIGNED) s - 0x8000 else signed
+                }
+              sum += raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
+              c += 1
+            }
+            out(f) = sum / ch
+            f += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    }.toOption.flatten
+
+  /** Audio feature extraction — the [[imageEmbedding]] twin for WAV
+    * payloads, so audio corpora ride the SAME downstream leg (ANN
+    * top-k, embedding dedup) as images and video frames: decode PCM,
+    * cut the clip into `bands` equal time slices, and emit per-slice
+    * RMS energy followed by per-slice zero-crossing rate — a 2×bands
+    * float vector (energy envelope + a cheap spectral proxy), a pure
+    * function of the samples on every JVM. A silent clip embeds to the
+    * zero vector — excluded from cosine ranking exactly like the
+    * all-black image. None when the payload isn't JDK-decodable PCM.
+    */
+  def audioEmbedding(data: Array[Byte], bands: Int = 8): Option[Array[Float]] =
+    decodeWavSamples(data).map { s =>
+      val v = new Array[Float](2 * bands)
+      val n = s.length
+      var b = 0
+      while (b < bands) {
+        val i0 = (b.toLong * n / bands).toInt
+        val i1 = math.max(i0, ((b + 1).toLong * n / bands).toInt)
+        var energy = 0.0
+        var crossings = 0
+        var i = i0
+        while (i < i1) {
+          energy += s(i) * s(i)
+          if (i > i0 && (s(i) >= 0) != (s(i - 1) >= 0)) crossings += 1
+          i += 1
+        }
+        val len = i1 - i0
+        if (len > 0) {
+          v(b) = math.sqrt(energy / len).toFloat
+          v(bands + b) = (crossings.toDouble / len).toFloat
+        }
+        b += 1
+      }
+      v
+    }
+
+  /** (doc_id, embedding) for every JDK-decodable audio payload — the
+    * audio twin of [[embedImages]]: typed mapPartitions, no shuffle,
+    * undecodable rows dropped, modality-gated so an image payload in
+    * an audio-tagged row never slips through a lenient codec.
+    */
+  def embedAudio(spark: SparkSession, media: DataFrame,
+                 bands: Int = 8): DataFrame = {
+    import spark.implicits._
+    media.as[RawMedia].filter(_.media_type == "audio").mapPartitions { it =>
+      it.flatMap(m => audioEmbedding(m.data, bands).map(v => (m.doc_id, v)))
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Feature extraction (the brief's resize step, REAL): decode, area-
     * resize to a `grid`×`grid` grayscale thumbnail, emit an L2-ready
     * float vector — the bytes→pixels→embedding leg that plugs straight

@@ -18,12 +18,11 @@ import org.apache.spark.sql.functions._
   * `ws_tokens` for the same document; avgdl is the corpus mean.
   *
   * Scale shape (the part that matters at 100 TB): the query term set is
-  * tiny and known up-front, so (a) a `contains`-any-term prefilter — a
-  * strict superset of token-boundary matches — gates the tokenize+
-  * explode so only candidate documents ever pay it, and (b) an `isin`
-  * filter sits directly on the explode output — the per-(doc, term)
-  * aggregate only ever sees occurrences of query terms, never the full
-  * corpus vocabulary;
+  * tiny and known up-front, so an `isin` filter sits directly on the
+  * explode output — the per-(doc, term) aggregate only ever sees
+  * occurrences of query terms, never the full corpus vocabulary (and
+  * the explode is `explode_outer` so no inferred generate filters
+  * re-tokenize the corpus — see the comment at the tf stage);
   * document length comes row-locally from the same frame (no second
   * pass, no corpus-wide window); df(t) aggregates the already-filtered
   * term rows; N and avgdl ride one 1-row crossJoin.
@@ -66,19 +65,23 @@ object KeywordSearch {
     val stats = withDl.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
-    // containment prefilter (round-13): a token-boundary occurrence of
-    // a term is also a plain substring occurrence, so `contains` is a
-    // strict SUPERSET gate — results are provably unchanged, but the
-    // explode (one row per token, the dominant cost at corpus scale)
-    // runs only on candidate documents. Catalyst pushes the gate
-    // through the projection to the scan, so non-candidates are never
-    // tokenized on this branch either.
-    val candidateGate = allTerms.map(t => col("lt").contains(t))
-      .reduceOption(_ || _).getOrElse(lit(false))
     // only query-term occurrences survive the explode — the aggregate
-    // below is sized by query-term hits, not the corpus vocabulary
-    val tf = withDl.where(candidateGate)
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+    // below is sized by query-term hits, not the corpus vocabulary.
+    // explode_outer, NOT explode (round-13): plain explode makes
+    // InferFiltersFromGenerate add `size(t) > 0 AND isnotnull(t)`,
+    // and predicate pushdown inlines the whole tokenize INTO those
+    // conjuncts below the projection — every document then tokenizes
+    // up to three times on this branch. wsTokens is never null and
+    // never empty (`'' → ['']`), so outer ≡ inner here (a null term
+    // row would be dropped by the isin anyway) and the inferred
+    // filters simply disappear, leaving ONE tokenize per document.
+    // (A `contains`-any-term candidate gate before the tokenize was
+    // measured-and-REJECTED at sf100: 99.9% of this corpus contains
+    // some query term, so the gate pruned nothing and its pushed-down
+    // conjuncts re-triggered the inferred-filter inlining — 25.7 s →
+    // 177 s. See BENCH_SF100.md round 13.)
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode_outer(col("t")).as("term"))
       .where(col("term").isin(allTerms: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
 

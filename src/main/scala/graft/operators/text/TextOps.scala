@@ -378,36 +378,41 @@ object TextOps {
       UrlPattern, EmailPattern, Ipv6Pattern, Ipv4Pattern, IdPattern,
       PhonePattern).map(p => s"(?:$p)").mkString("|")
 
-    /** Class of one matched span: full-match against the arms in
-      * precedence order. The span classes are pairwise disjoint (no
-      * span string full-matches two arms — colon/dot/hyphen shapes and
-      * the `@`/`http` prefixes separate them), so this reproduces the
-      * arm that claimed the span during the combined scan.
+    /** Execution: [[PiiKernel]], a typed mapPartitions kernel — the
+      * hand-compiled equivalent of scanning [[CombinedPattern]] (same
+      * rationale as the winnowing/minhash kernels: java.util.regex's
+      * backtracking NFA re-attempts the email arm at every word char,
+      * measured 6× slower than the RE2-DFA oracle at sf100; the kernel
+      * is an amortized-O(n) first-char-dispatched scanner, fuzz-pinned
+      * against a java-regex reference in PiiKernelSpec).
       */
-    private def classifyAs(m: Column, out: String => String): Column =
-      ClassArms.init.foldRight(lit(out(ClassArms.last._1))) {
-        case ((label, pat), rest) =>
-          when(m.rlike(s"^(?:$pat)$$"), out(label)).otherwise(rest)
-      }
-    private def classify(m: Column): Column = classifyAs(m, identity)
+    def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            if (text == null)
+              (id, Option.empty[Int], Option.empty[Int], Option.empty[Int],
+                Option.empty[Int], Option.empty[Int], Option.empty[Int],
+                Option.empty[Int])
+            else {
+              val c = PiiKernel.counts(text)
+              (id, Some(c(PiiKernel.Email)), Some(c(PiiKernel.Url)),
+                Some(c(PiiKernel.Phone)), Some(c(PiiKernel.Ipv4)),
+                Some(c(PiiKernel.Ipv6)), Some(c(PiiKernel.Id)),
+                Some(if (c.exists(_ > 0)) 1 else 0))
+            }
+          }
+        }
+        .toDF(idCol, "n_emails", "n_urls", "n_phones", "n_ipv4", "n_ipv6",
+          "n_ids", "has_pii")
+        .orderBy(idCol)
+    }
 
     private val CountCols = Seq("n_emails" -> "email", "n_urls" -> "url",
       "n_phones" -> "phone", "n_ipv4" -> "ipv4", "n_ipv6" -> "ipv6",
       "n_ids" -> "id")
-
-    def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-      // two-step select: labels computed ONCE per row (CollapseProject
-      // keeps a non-cheap multi-referenced projection un-inlined), the
-      // six counts are cheap array filters over the few matched spans
-      df.select(col(idCol),
-          transform(
-            regexp_extract_all(col(textCol), lit(CombinedPattern), lit(0)),
-            m => classify(m)).as("labels"))
-        .select(
-          col(idCol) +: CountCols.map { case (name, label) =>
-            size(filter(col("labels"), l => l === label)).cast("int").as(name)
-          } :+ (size(col("labels")) > 0).cast("int").as("has_pii"): _*)
-        .orderBy(idCol)
 
     def oracleSql(table: String): String = {
       val caseArms = Seq("url" -> UrlPattern, "email" -> EmailPattern,
@@ -441,28 +446,40 @@ object TextOps {
       "ipv6" -> Ipv6Token, "ipv4" -> Ipv4Token, "id" -> IdToken,
       "phone" -> PhoneToken)
 
+    /** Class-indexed sentinel tokens for [[PiiKernel.redact]]. */
+    private val TokenByClass: Array[String] = {
+      val a = new Array[String](PiiKernel.NumClasses)
+      a(PiiKernel.Url) = UrlToken; a(PiiKernel.Email) = EmailToken
+      a(PiiKernel.Ipv6) = Ipv6Token; a(PiiKernel.Ipv4) = Ipv4Token
+      a(PiiKernel.Id) = IdToken; a(PiiKernel.Phone) = PhoneToken
+      a
+    }
+
     /** Redaction — the transform PiiScan's counts gate, sharing the
-      * scan's single [[CombinedPattern]] pass (round-13 rewrite: was
-      * six sequential regexp_replace traversals): split the text on
-      * the combined pattern (the n+1 non-PII segments), extract the n
-      * matched spans, classify each span to its sentinel token, and
-      * interleave — one regex traversal plus cheap array ops on the
-      * few spans. Same leftmost-partition semantics as [[run]]: one
-      * span, one token, arm order = precedence.
+      * scan's single [[PiiKernel]] pass: every span replaced by its
+      * class sentinel in one string rebuild. Same leftmost-partition
+      * semantics as [[run]]: one span, one token, arm order =
+      * precedence. Char lengths are codepoint counts (Spark `length`
+      * and DuckDB `length` both count codepoints, not UTF-16 units).
       */
     def redact(df: DataFrame, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
-      val toks = transform(
-        regexp_extract_all(col(textCol), lit(CombinedPattern), lit(0)),
-        m => classifyAs(m, ClassToken))
-      val segs = split(col(textCol), CombinedPattern)
-      df.select(
-          col(idCol),
-          // zip_with pads the shorter token array with null
-          array_join(zip_with(segs, toks,
-            (s, t) => concat(s, coalesce(t, lit("")))), "").as("redacted"),
-          length(col(textCol)).as("n_chars_before"))
-        .withColumn("n_chars_after", length(col("redacted")))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val tokens = TokenByClass
+      df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            if (text == null)
+              (id, Option.empty[String], Option.empty[Int], Option.empty[Int])
+            else {
+              val r = PiiKernel.redact(text, tokens)
+              (id, Some(r), Some(text.codePointCount(0, text.length)),
+                Some(r.codePointCount(0, r.length)))
+            }
+          }
+        }
+        .toDF(idCol, "redacted", "n_chars_before", "n_chars_after")
         .orderBy(idCol)
     }
 

@@ -17,7 +17,10 @@ import scala.collection.mutable
   * wall clock to scan vs partial aggregate vs exchange vs final
   * aggregate without a full event-log UI.
   *
-  * Usage: {{{ StageProfile <sfDir> <queryName> }}}
+  * Usage: {{{ StageProfile <sfDir> <queryName> [<layoutRoot> <variant>] }}}
+  * — the 4-arg form registers the [[LayoutBench]] layout variant as the
+  * catalog and profiles the query on it, so attribution runs on the
+  * same plan shape the layout bench timed (verdict-r12 q5 ask).
   */
 object StageProfile {
 
@@ -26,8 +29,9 @@ object StageProfile {
                       inputRows: Long, shuffleReadB: Long, shuffleWriteB: Long)
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: StageProfile <sfDir> <queryName>")
-    val Array(sfDir, name) = args
+    require(args.length == 2 || args.length == 4,
+      "usage: StageProfile <sfDir> <queryName> [<layoutRoot> <variant>]")
+    val name = args(1)
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")}"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,6 +42,11 @@ object StageProfile {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sfDir =
+      if (args.length == 4)
+        graft.sources.Tables.CatalogScheme +
+          LayoutBench.register(spark, args(0), args(2), args(3))
+      else args(0)
 
     val stages = mutable.ArrayBuffer.empty[StageRow]
     val listener = new SparkListener {

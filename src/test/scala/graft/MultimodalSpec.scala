@@ -144,6 +144,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!top.map(_.getLong(1)).contains(5L), "NaN-scored zero vector must be excluded")
   }
 
+  test("audio embeddings: identical clips identical vectors, ANN finds the twin") {
+    import spark.implicits._
+    // 16-bit signed little-endian mono PCM sine, written as a real WAV
+    def wav(freqHz: Double, silent: Boolean = false): Array[Byte] = {
+      val rate = 8000
+      val n = 4000
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = if (silent) 0
+          else (math.sin(2 * math.Pi * freqHz * i / rate) * 20000).toInt
+        pcm(i * 2) = (s & 0xFF).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (0L, "audio", wav(440)),
+      (1L, "audio", wav(440)),                    // byte-identical twin of 0
+      (2L, "audio", wav(1200)),                   // different tone (ZCR separates)
+      (3L, "audio", "junk".getBytes("UTF-8")),    // undecodable → dropped
+      (4L, "image", wav(440)),                    // wrong modality → gated out
+      (5L, "audio", wav(0, silent = true)))       // silence → zero vector
+      .toDF("doc_id", "media_type", "data")
+    val emb = BinaryPipeline.embedAudio(spark, media)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.keySet == Set(0L, 1L, 2L, 5L))
+    assert(vecs(0L).length == 16)
+    assert(vecs(0L) == vecs(1L))
+    assert(vecs(0L) != vecs(2L))
+    assert(vecs(5L).forall(_ == 0.0f))
+    // same downstream leg as images: the twin ranks first at cosine 1.0
+    // and the NaN-scored zero vector never outranks it
+    val top = graft.operators.similarity.Similarity.CosineTopK
+      .run(emb, emb.where($"vec_id" === 1L), k = 3).collect()
+    assert(top.head.getLong(1) == 0L && top.head.getDouble(2) == 1.0)
+    assert(!top.map(_.getLong(1)).contains(5L))
+  }
+
+  test("decodeWavSamples: channels average to mono, 8-bit unsigned maps to [-1,1]") {
+    // two-channel 8-bit unsigned: L=255 (≈+1), R=1 (≈-1) → mono ≈ 0;
+    // and a DC L=R=192 frame lands at +0.5
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 2, false, false)
+    val pcm = Array[Byte](255.toByte, 1.toByte, 192.toByte, 192.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 2),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val s = BinaryPipeline.decodeWavSamples(out.toByteArray).get
+    assert(s.length == 2)
+    assert(math.abs(s(0)) < 0.01)
+    assert(math.abs(s(1) - 0.5) < 0.01)
+  }
+
   test("sampleFrames explodes only video rows, stride respected") {
     val meta = BinaryPipeline.extractMeta(spark, media)
     val frames = BinaryPipeline.sampleFrames(meta, stride = 4).collect()
