@@ -140,14 +140,40 @@ object HtmlExtract {
     array_join(kept, "\n")
   }
 
+  /** Execution: [[HtmlKernel]], the hand-compiled twin of [[extract]]
+    * (round 13 — same kernel move as [[PiiKernel]]; HtmlKernelSpec
+    * fuzz-pins kernel == Catalyst-expression equality, and the DuckDB
+    * oracle mirrors the expression). [[extract]] remains the reference
+    * implementation and the single source of the pass semantics.
+    */
   def run(df: DataFrame, minLineWords: Int = 4,
           htmlCol: String = "html", idCol: String = "doc_id"): DataFrame = {
-    val text = extract(col(htmlCol), minLineWords)
-    df.select(col(idCol), text.as("text"))
-      .withColumn("n_lines",
-        when(col("text") === "", lit(0))
-          .otherwise(size(split(col("text"), "\n"))))
-      .withColumn("n_chars", length(col("text")))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, html) =>
+          if (html == null)
+            (id, Option.empty[String], Option.empty[Int], Option.empty[Int])
+          else {
+            val text = HtmlKernel.extract(html, minLineWords)
+            val nLines =
+              if (text.isEmpty) 0
+              else {
+                var c = 1
+                var i = 0
+                while (i < text.length) {
+                  if (text.charAt(i) == '\n') c += 1
+                  i += 1
+                }
+                c
+              }
+            (id, Some(text), Some(nLines),
+              Some(text.codePointCount(0, text.length)))
+          }
+        }
+      }
+      .toDF(idCol, "text", "n_lines", "n_chars")
       .orderBy(idCol)
   }
 
