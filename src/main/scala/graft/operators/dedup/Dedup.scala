@@ -218,9 +218,10 @@ object Dedup {
 
     /** Kernel-side twin of [[charNgrams]]' normalization
       * (lower(trim(regexp_replace(text, WsClass + "+", " ")))), asserted by
-      * DedupSpec's minhash-vs-allPairs comparison. Locale.ROOT (a
-      * tr_TR default locale would map I→ı and break parity with
-      * Catalyst lower()) and a SPACE-ONLY trim (String.trim strips all
+      * DedupSpec's minhash-vs-allPairs comparison. ICU root-locale lowercase via
+      * TextStatsKernel.catalystLower (Spark 4 lowers through ICU, whose
+      * Final_Sigma rule differs from String.toLowerCase — see that
+      * method's scaladoc) and a SPACE-ONLY trim (String.trim strips all
       * control chars ≤ U+0020; Catalyst trim strips only ' ').
       */
     private[graft] def normalizeKernel(text: String): String = {
@@ -231,7 +232,7 @@ object Dedup {
       var to = collapsed.length
       while (from < to && collapsed.charAt(from) == ' ') from += 1
       while (to > from && collapsed.charAt(to - 1) == ' ') to -= 1
-      collapsed.substring(from, to).toLowerCase(java.util.Locale.ROOT)
+      graft.operators.text.TextStatsKernel.catalystLower(collapsed.substring(from, to))
     }
 
     /** doc_id ("gid"), the 128-long minhash signature, and the sorted
@@ -1011,7 +1012,7 @@ object Dedup {
           it.map { case (gid, text0) =>
             val text = if (text0 == null) "" else text0
             val counts = new Array[Int](64)
-            text.trim.toLowerCase(java.util.Locale.ROOT)
+            graft.operators.text.TextStatsKernel.catalystLower(text.trim)
               .split(TextOps.WsClass + "+").foreach { t =>
               val h = graft.functions.Hash64.strHash(t)
               var j = 0

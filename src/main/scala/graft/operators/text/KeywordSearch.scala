@@ -50,7 +50,7 @@ object KeywordSearch {
     val spark = docs.sparkSession
     import spark.implicits._
     val pairs = queries.flatMap { case (qid, text) =>
-      text.toLowerCase.trim.split(TextOps.WsClass + "+").filter(_.nonEmpty).distinct.map(qid -> _)
+      TextStatsKernel.catalystLower(text).trim.split(TextOps.WsClass + "+").filter(_.nonEmpty).distinct.map(qid -> _)
     }
     val qterms = pairs.toDF("query_id", "term")
     val allTerms = pairs.map(_._2).distinct
@@ -117,7 +117,7 @@ object KeywordSearch {
   def oracleSql(table: String, queries: Seq[(Int, String)], k: Int,
                 k1: Double = 1.2, b: Double = 0.75): String = {
     val qvalues = queries.flatMap { case (qid, text) =>
-      text.toLowerCase.trim.split(TextOps.WsClass + "+").filter(_.nonEmpty).distinct
+      TextStatsKernel.catalystLower(text).trim.split(TextOps.WsClass + "+").filter(_.nonEmpty).distinct
         .map(t => s"($qid, '$t')")
     }.mkString(", ")
     s"""WITH qterms(query_id, term) AS (VALUES $qvalues),
