@@ -159,10 +159,13 @@ object SparkEntry {
     // over the U+000B-fixture corpus: the doc -1/-2 pair must collide
     "text_fingerprint" -> ((s, d) => TextOps.Fingerprint.contentFingerprint(wsFixtureDocs(s, d))),
     // PII scan over the pii demo corpus (the synthetic documents carry
-    // no PII, so every counter would be vacuously zero): doc_id%7 slots
+    // no PII, so every counter would be vacuously zero): doc_id%8 slots
     // append a phone (+CC and parenthesized forms), an IPv4, a full-form
-    // IPv6, an SSN-shaped id, or an email+URL pair; the oracle builds
-    // the identical corpus in SQL
+    // IPv6, an SSN-shaped id, an email+URL pair, or (slot 6, round-14)
+    // compressed `::` IPv6 forms — inner, leading AND trailing — so the
+    // driver's hash compare exercises the formerly spark-side-only arms;
+    // slot 7 stays plain text. The oracle builds the identical corpus
+    // in SQL
     "text_pii" -> ((s, d) => TextOps.PiiScan.run(piiCorpus(s, d))),
     "text_repetition" -> ((s, d) => TextOps.Repetition.run(Tables(s, d, "documents"))),
     "text_domain_cap" -> ((s, d) =>
@@ -367,6 +370,15 @@ object SparkEntry {
       Similarity.RecallReport.run(emb, emb.where(col("vec_id") < AnnNumQueries),
         AnnK, dim = 64)
     }),
+    // recall@k CURVES vs each index's accuracy knob (IVF nProbe, LSH
+    // tables, PQ codebook size) — probative on the gauss ScaleUp mode's
+    // clustered-Gaussian distribution where ties don't mask degradation
+    // (round-14; rows-only for the same reason as ann_recall)
+    "ann_recall_sweep" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.RecallReport.sweep(emb, emb.where(col("vec_id") < AnnNumQueries),
+        AnnK, dim = 64)
+    }),
     // --- multimodal binary pipeline (SURVEY §2 #36) ---
     "multimodal_meta" -> ((s, d) =>
       BinaryPipeline.extractMeta(s, BinaryPipeline.fromDocuments(Tables(s, d, "documents")))
@@ -434,7 +446,7 @@ object SparkEntry {
   // mirrored verbatim in PiiCorpusSql below
   private def piiCorpus(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents").withColumn("text", expr(
-      """CASE CAST(doc_id % 7 AS INT)
+      """CASE CAST(doc_id % 8 AS INT)
         | WHEN 0 THEN concat(text, ' call +1 555-123-',
         |   lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now')
         | WHEN 1 THEN concat(text, ' ring (555) 123-',
@@ -448,11 +460,14 @@ object SparkEntry {
         | WHEN 5 THEN concat(text, ' mail user', CAST(doc_id % 97 AS STRING),
         |   '@example.org or https://example.org/p',
         |   CAST(doc_id % 97 AS STRING), ' now')
+        | WHEN 6 THEN concat(text, ' via fe80::',
+        |   CAST(doc_id % 9999 AS STRING),
+        |   ' or ::1 gw 2001:db8::8a2e:370:7334 tail fe80:: end')
         | ELSE text
         |END""".stripMargin))
   private val PiiCorpusSql =
     """(SELECT doc_id,
-      |  CASE CAST(doc_id % 7 AS INT)
+      |  CASE CAST(doc_id % 8 AS INT)
       |   WHEN 0 THEN concat(text, ' call +1 555-123-',
       |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' now')
       |   WHEN 1 THEN concat(text, ' ring (555) 123-',
@@ -466,6 +481,9 @@ object SparkEntry {
       |   WHEN 5 THEN concat(text, ' mail user', CAST(doc_id % 97 AS VARCHAR),
       |     '@example.org or https://example.org/p',
       |     CAST(doc_id % 97 AS VARCHAR), ' now')
+      |   WHEN 6 THEN concat(text, ' via fe80::',
+      |     CAST(doc_id % 9999 AS VARCHAR),
+      |     ' or ::1 gw 2001:db8::8a2e:370:7334 tail fe80:: end')
       |   ELSE text
       |  END AS text
       | FROM documents)""".stripMargin

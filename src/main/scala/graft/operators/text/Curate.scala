@@ -36,6 +36,7 @@ object Curate {
     */
   def run(df: DataFrame, minQuality: Double = 0.5, keepLang: String = "en",
           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    TextOps.requireIntegralId(df, idCol, "Curate")
     val spark = df.sparkSession
     import spark.implicits._
     val signals = df.select(col(idCol).cast("long"), col(textCol))

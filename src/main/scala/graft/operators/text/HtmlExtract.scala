@@ -148,6 +148,7 @@ object HtmlExtract {
     */
   def run(df: DataFrame, minLineWords: Int = 4,
           htmlCol: String = "html", idCol: String = "doc_id"): DataFrame = {
+    TextOps.requireIntegralId(df, idCol, "HtmlExtract")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(htmlCol)).as[(Long, String)]

@@ -13,9 +13,14 @@ package graft.operators.text
   * and tag blocks without a terminator survive, `<heading>` is not a
   * `<head>`, a raw U+0001 in the input is DELETED by the numeric-
   * entity split machinery and a raw U+0002 can hijack a preceding
-  * valid-code prefix, `&#38;amp;` double-decodes. HtmlKernelSpec fuzz
+  * valid-code prefix, `&#38;amp;` double-decodes — and the ASCII-only
+  * case fold: Java `(?i)` without UNICODE_CASE folds `A-Z` only, so
+  * `<ſcript>`/`<tıtle>` are NOT tag matches (advice-r13; the DuckDB
+  * oracle's RE2 `(?i)` folds Unicode, an engine-parity boundary that
+  * never bites the all-ASCII-tag corpus). HtmlKernelSpec fuzz
   * compares kernel output against the Catalyst expression on
-  * randomized tag soup — divergence is a spec failure.
+  * randomized tag soup including non-ASCII case-pair chars —
+  * divergence is a spec failure.
   */
 object HtmlKernel {
 
@@ -25,8 +30,25 @@ object HtmlKernel {
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
   @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
-  @inline private def regionEqIc(t: String, i: Int, lit: String): Boolean =
-    t.regionMatches(true, i, lit, 0, lit.length)
+  /** ASCII-only case fold — `A-Z` → `a-z`, nothing else. The Catalyst
+    * reference's `(?i)`/`(?is)` java-regex flags fold ASCII only (no
+    * UNICODE_CASE), so `<ſcript>`/`tıtle` are NOT tag matches there;
+    * String.regionMatches(ignoreCase=true) does full Unicode folding
+    * and would treat them as tags (advice-r13). Tag names are ASCII,
+    * so the ASCII fold is also the only semantically sane one.
+    */
+  @inline private def foldAscii(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  @inline private def regionEqIc(t: String, i: Int, lit: String): Boolean = {
+    if (i < 0 || i + lit.length > t.length) return false
+    var k = 0
+    while (k < lit.length) {
+      if (foldAscii(t.charAt(i + k)) != foldAscii(lit.charAt(k))) return false
+      k += 1
+    }
+    true
+  }
 
   /** `(?s)<!--.*?-->` → "" — unterminated comments survive. */
   private def stripComments(t: String): String = {
@@ -65,7 +87,11 @@ object HtmlKernel {
         if (g < 0) i = -1 // no '>' anywhere after: no match can ever close
         else {
           val c = indexOfIc(t, close, g + 1)
-          if (c < 0) i += 1 // this open never closes; a later one might
+          // no close tag at/after g+1 ⇒ none for ANY later open either
+          // (a later open's close search starts later, a subset range),
+          // so stop — this also makes the pass O(n): the round-13
+          // `i += 1` rescan cost O(k·n) on k unclosed opens
+          if (c < 0) i = -1
           else {
             sb.append(t, last, i)
             last = c + close.length
@@ -124,7 +150,9 @@ object HtmlKernel {
               else q += 1
             }
           }
-          if (closeEnd < 0) i += 1 // this open never closes
+          // same O(n) stop as stripTagBlock: a close pattern absent
+          // at/after openEnd is absent for every later open too
+          if (closeEnd < 0) i = -1
           else {
             sb.append(t, last, i)
             last = closeEnd

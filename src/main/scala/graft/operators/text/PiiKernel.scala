@@ -23,11 +23,14 @@ import scala.collection.mutable.ArrayBuffer
   * `CombinedPattern` under Java-regex/RE2 semantics (leftmost match;
   * first alternative wins at equal positions; greedy quantifiers with
   * backtracking inside an arm; non-overlapping continuation after each
-  * match; ASCII `\b`). PiiKernelSpec pins this with a
-  * java.util.regex reference implementation over fixed fixtures AND
-  * randomized fuzz corpora — any divergence is a spec failure, not a
-  * silent oracle drift. Per-arm notes on the backtracking cases each
-  * matcher reproduces are inline below.
+  * match; ASCII `\b` — RE2's semantics; java.util.regex's `\b` is
+  * Unicode-aware, so the contract sides with the oracle engine).
+  * PiiKernelSpec pins this with a java.util.regex reference whose
+  * patterns have every `\b` rewritten to an explicit ASCII-lookaround
+  * boundary, over fixed fixtures AND randomized fuzz corpora that
+  * include non-ASCII letters/digits — any divergence is a spec
+  * failure, not a silent oracle drift. Per-arm notes on the
+  * backtracking cases each matcher reproduces are inline below.
   */
 object PiiKernel {
 
@@ -193,12 +196,17 @@ object PiiKernel {
         val r = e - pos
         if (r >= 1 && r <= 4 && boundaryAfter(t, e)) return e
       }
-      // inner `::`: k leading groups (1..7; >7 cannot backtrack into a
-      // match — every earlier group boundary sits before a hex char),
-      // then `:`, then m trailing `:H{1,4}` groups. If `\b` fails after
-      // the greedy m (a non-hex word char follows), dropping the last
-      // group lands before its `:` — a boundary — which is the one
-      // backtracking step the regex takes; m-1 must stay ≥1.
+      // inner `::`: k leading groups, then `:`, then m trailing
+      // `:H{1,4}` groups. Since round 14 the pattern enumerates
+      // `(?:H:){k}(?::H){1,7-k}` arms for k=1..6 (explicit groups ≤ 7,
+      // the compressed-IPv6 shape; advice-r13). The arm is text-
+      // determined: k is where the hex-group run stops (every other
+      // arm meets a hex char where it needs `:`), so the greedy k-loop
+      // IS the arm dispatch; k>6 means no inner arm matches. If `\b`
+      // fails after the greedy m (a non-hex word char follows),
+      // dropping the last group lands before its `:` — a boundary —
+      // which is the one backtracking step the regex takes; m-1 must
+      // stay ≥1.
       var pos2 = i
       var k = 0
       var more = true
@@ -206,11 +214,12 @@ object PiiKernel {
         val next = hexGroup(t, pos2)
         if (next < 0) more = false else { pos2 = next; k += 1 }
       }
-      if (k >= 1 && k <= 7 && pos2 < t.length && t.charAt(pos2) == ':') {
+      if (k >= 1 && k <= 6 && pos2 < t.length && t.charAt(pos2) == ':') {
         var m = 0
         var p = pos2
         var lastLen = 0
-        while (m < 7 && p < t.length && t.charAt(p) == ':' && {
+        val mMax = 7 - k
+        while (m < mMax && p < t.length && t.charAt(p) == ':' && {
           val e = runEnd(t, p + 1, isHex); val r = e - (p + 1)
           r >= 1 && r <= 4
         }) {

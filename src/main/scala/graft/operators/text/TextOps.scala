@@ -33,6 +33,26 @@ object TextOps {
   /** Non-alphanumeric, non-whitespace (the punctuation class). */
   val PunctClass = s"[^A-Za-z0-9$WsChars]"
 
+  /** Loud up-front id-type check for the kernelized run()/redact()
+    * paths (TokenCount, QualityScore, PiiScan, Curate, HtmlExtract):
+    * they select `col(idCol).cast("long")` to enter a typed
+    * mapPartitions, and under ANSI mode (the Spark 4 default) a
+    * non-numeric string id would otherwise throw a cast error deep
+    * inside a task instead of here — the same guard GraftApp applies
+    * to its id-hashing tools.
+    */
+  private[text] def requireIntegralId(df: DataFrame, idCol: String,
+                                      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val idType = df.schema(idCol).dataType
+    val integral = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    require(integral,
+      s"$op: id column '$idCol' must be integral (long/int), got ${idType.simpleString}")
+  }
+
   /** THE whitespace tokenizer — every token-consuming operator
     * ([[TokenCount]], [[Chunker]], [[graft.operators.text.Bpe]],
     * [[graft.operators.text.KeywordSearch]], the lang/quality scorers
@@ -79,6 +99,7 @@ object TextOps {
       * Catalyst reference the kernel is fuzz-pinned against.
       */
     def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      requireIntegralId(df, idCol, "TokenCount")
       val spark = df.sparkSession
       import spark.implicits._
       df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
@@ -189,6 +210,7 @@ object TextOps {
       * reference the kernel is fuzz-pinned against.
       */
     def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      requireIntegralId(df, idCol, "QualityScore")
       val spark = df.sparkSession
       import spark.implicits._
       df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
@@ -344,10 +366,18 @@ object TextOps {
   /** PII / link scanning — the cheap pre-filter an LLM-data pipeline
     * runs before redaction: per-document counts of email, URL, phone,
     * IPv4/IPv6 and ID-number (SSN-shaped) spans — the RefinedWeb/Dolma
-    * scrub set. Regexes deliberately use only constructs with identical
-    * semantics in Java regex (Spark) and RE2 (DuckDB): character
-    * classes, bounded repetition, `\b`, non-capturing groups — no
-    * lookaround, no backreferences.
+    * scrub set. Regexes deliberately use only constructs the two
+    * engines share: character classes, bounded repetition, `\b`,
+    * non-capturing groups — no lookaround, no backreferences. One
+    * construct needs a declared side: `\b` is ASCII in RE2 (the
+    * oracle) but Unicode-aware in java.util.regex (Character
+    * .isLetterOrDigit at the boundary) — THE CONTRACT IS RE2'S ASCII
+    * `\b` ([0-9A-Za-z_] only). [[PiiKernel]] implements ASCII-`\b`
+    * directly, and PiiKernelSpec's java-regex reference compiles the
+    * patterns with every `\b` rewritten to an explicit ASCII
+    * lookaround, fuzz-pinned on non-ASCII-letter alphabets. (Under
+    * Java's Unicode `\b`, "é123-45-6789" has no boundary before the
+    * 1 and would NOT scan as an id; under the contract it does.)
     *
     * Both the counts and [[redact]] share ONE leftmost-partition scan
     * of [[CombinedPattern]] (round-13; see [[run]] for the semantics
@@ -387,28 +417,39 @@ object TextOps {
     /** SSN-shaped 3-2-4 id numbers; disjoint from [[PhonePattern]]. */
     val IdPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
-    /** Compressed (`::`) IPv6 forms — SPARK-SIDE ONLY (the declared
-      * engine-parity boundary: the DuckDB oracle stays on the full
-      * 8-group [[Ipv6Pattern]], and the shipped demo corpus carries no
-      * `::` text, so the hash compare is unaffected; compressed
-      * coverage is spec-pinned in TextOpsSpec). Real-world IPv6 is
-      * overwhelmingly compressed, so the production scan must catch it.
-      * Three lookaround-free arms — the double colon is implicit where
-      * a trailing-`:` group run meets a leading-`:` group run:
-      *  1. inner/trailing-groups `1:2::3:4` — `(?:H:){1,7}(?::H){1,7}`
-      *     can only bridge via `::` (a single-colon string fails the
-      *     second run's leading `:`), so `12:30:45` timestamps do NOT
-      *     match
+    /** Compressed (`::`) IPv6 forms — since round 14 carried by BOTH
+      * engines (the oracle's combined pattern includes these arms and
+      * the pii demo corpus carries `::` rows, so the hash compare
+      * exercises them; the former spark-side-only parity boundary is
+      * closed). Real-world IPv6 is overwhelmingly compressed, so the
+      * production scan must catch it. Three lookaround-free arms — the
+      * double colon is implicit where a trailing-`:` group run meets a
+      * leading-`:` group run:
+      *  1. inner `1:2::3:4` — enumerated `(?:H:){k}(?::H){1,7-k}` arms
+      *     for k=1..6, so explicit groups total ≤ 7 (a compressed
+      *     address elides ≥ 1 zero group of 8; the round-13 single
+      *     `{1,7}{1,7}` arm accepted up to 14 groups and could claim
+      *     MAC-like colon-hex dumps — advice-r13 fix). The arm choice
+      *     is text-determined (only the k aligned with the `::` can
+      *     match: every other arm meets a hex char where it needs `:`),
+      *     so enumeration adds no engine-order sensitivity. A
+      *     single-colon run (`12:30:45` timestamps) still fails the
+      *     second run's leading `:`.
       *  2. leading `::1` (no \b prefix: `:` is a non-word char)
       *  3. trailing `fe80::` (no \b suffix, ditto); ordered LAST so
       *     `fe80::1` is taken whole by arm 1
       * The bare unspecified address `::` alone is deliberately not
       * matched (prose-noise trade-off).
       */
-    val Ipv6CompressedPattern =
-      "\\b(?:[0-9A-Fa-f]{1,4}:){1,7}(?::[0-9A-Fa-f]{1,4}){1,7}\\b|" +
-        "::(?:[0-9A-Fa-f]{1,4}:){0,6}[0-9A-Fa-f]{1,4}\\b|" +
-        "\\b(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+    val Ipv6CompressedPattern: String = {
+      val H = "[0-9A-Fa-f]{1,4}"
+      val inner = (1 to 6)
+        .map(k => s"(?:$H:){$k}(?::$H){1,${7 - k}}")
+        .mkString("|")
+      s"\\b(?:$inner)\\b|" +
+        s"::(?:$H:){0,6}$H\\b|" +
+        s"\\b(?:$H:){1,7}:"
+    }
 
     /** ONE alternation pass over the text (round-13 rewrite): the six
       * independent scans cost six backtracking-NFA traversals of every
@@ -426,17 +467,18 @@ object TextOps {
       * is in the shared RE2-safe subset.
       */
     private val ClassArms = Seq(
-      // compressed IPv6 rides with the full form under one label; the
-      // oracle's combined pattern simply omits the compressed arms
+      // compressed IPv6 rides with the full form under one label
       "url" -> UrlPattern, "email" -> EmailPattern,
       "ipv6" -> s"$Ipv6Pattern|$Ipv6CompressedPattern",
       "ipv4" -> Ipv4Pattern, "id" -> IdPattern, "phone" -> PhonePattern)
     val CombinedPattern: String =
       ClassArms.map { case (_, p) => s"(?:$p)" }.mkString("|")
-    /** Oracle twin: full-form IPv6 only (engine-parity boundary). */
-    val CombinedOraclePattern: String = Seq(
-      UrlPattern, EmailPattern, Ipv6Pattern, Ipv4Pattern, IdPattern,
-      PhonePattern).map(p => s"(?:$p)").mkString("|")
+    /** Oracle twin — IDENTICAL arms since round 14 (RE2 carries the
+      * compressed-IPv6 alternation fine; the one remaining engine
+      * delta, ASCII vs Unicode `\b`, is resolved by contracting ASCII —
+      * see the object scaladoc).
+      */
+    val CombinedOraclePattern: String = CombinedPattern
 
     /** Execution: [[PiiKernel]], a typed mapPartitions kernel — the
       * hand-compiled equivalent of scanning [[CombinedPattern]] (same
@@ -447,6 +489,7 @@ object TextOps {
       * against a java-regex reference in PiiKernelSpec).
       */
     def run(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      requireIntegralId(df, idCol, "PiiScan")
       val spark = df.sparkSession
       import spark.implicits._
       df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
@@ -476,7 +519,8 @@ object TextOps {
 
     def oracleSql(table: String): String = {
       val caseArms = Seq("url" -> UrlPattern, "email" -> EmailPattern,
-        "ipv6" -> Ipv6Pattern, "ipv4" -> Ipv4Pattern, "id" -> IdPattern)
+        "ipv6" -> s"$Ipv6Pattern|$Ipv6CompressedPattern",
+        "ipv4" -> Ipv4Pattern, "id" -> IdPattern)
         .map { case (l, p) => s"WHEN regexp_full_match(s, '^(?:$p)$$') THEN '$l'" }
         .mkString("\n         |      ")
       val counts = CountCols.map { case (name, label) =>
@@ -524,6 +568,7 @@ object TextOps {
       */
     def redact(df: DataFrame, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
+      requireIntegralId(df, idCol, "PiiScan.redact")
       val spark = df.sparkSession
       import spark.implicits._
       val tokens = TokenByClass
@@ -545,7 +590,8 @@ object TextOps {
 
     def redactOracleSql(table: String): String = {
       val caseArms = Seq("url" -> UrlPattern, "email" -> EmailPattern,
-        "ipv6" -> Ipv6Pattern, "ipv4" -> Ipv4Pattern, "id" -> IdPattern)
+        "ipv6" -> s"$Ipv6Pattern|$Ipv6CompressedPattern",
+        "ipv4" -> Ipv4Pattern, "id" -> IdPattern)
         .map { case (l, p) =>
           s"WHEN regexp_full_match(s, '^(?:$p)$$') THEN '${ClassToken(l)}'" }
         .mkString("\n         |        ")

@@ -65,7 +65,14 @@ class HtmlKernelSpec extends AnyFunSuite {
       // order-of-passes traps
       "<script><!-- </script> --> w x y z",
       "<!-- <script> --> x</script> w x y z",
-      "<head><script>'</head>'</script>w1 w2</head>w x y z"))
+      "<head><script>'</head>'</script>w1 w2</head>w x y z",
+      // ASCII-only case fold (advice-r13): ſ/ı/İ/K (Kelvin) case-pair
+      // with s/i/k under Unicode folding but NOT under (?i)'s ASCII
+      // fold — these must not read as tags
+      "<ſcript>a b c d</script> w x y z", "<script>x</ſcript> w x y z",
+      "<tıtle>a b c d</title>", "<TİTLE>a b c d</TİTLE>",
+      "<ſtyle>p{} w x y z</style>", "<bŕ>w x y z", "<K>a b c d</K>",
+      "<div>a b c d</dİv>", "<ſ>w x y z"))
   }
 
   test("fuzz: random tag soup matches the Catalyst reference") {
@@ -80,7 +87,9 @@ class HtmlKernelSpec extends AnyFunSuite {
       "&nbsp;", "&lt;", "&gt;", "&quot;", "&amp;", "&#65;", "&#xe9;",
       "&#X4A;", "&#999;", "&#xABC;", "&#0;", "&#38;amp;", "&#", ";",
       "\u0001", "\u0002", "<", ">", "/", "word", "w x y z", "a b", "  ",
-      "\n", "\t", "\u000B", "x41", "12")
+      "\n", "\t", "\u000B", "x41", "12",
+      "<ſcript>", "</ſcript>", "<tıtle>", "</TİTLE>",
+      "ſ", "ı", "İ", "K")
     (1 to 1200).foreach { i =>
       val docs = (0 until 5).map { _ =>
         val sb = new StringBuilder

@@ -7,11 +7,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * SAME spans and classes as java.util.regex scanning
   * [[TextOps.PiiScan.CombinedPattern]] — on hand-picked backtracking
   * edge cases AND on randomized fuzz corpora. The oracle runs the same
-  * pattern through RE2, so this reference closes the kernel↔oracle
-  * parity chain at exactly the java↔RE2 equivalence the pattern
-  * family already guarantees by construction.
+  * pattern through RE2.
+  *
+  * One deliberate rewrite closes the java↔RE2 gap (advice-r13): the
+  * contract's `\b` is RE2's ASCII word boundary, but java.util.regex's
+  * `\b` is Unicode-aware (Character.isLetterOrDigit — so
+  * "é123-45-6789" would NOT contain an id under raw Java `\b`). The
+  * reference here compiles the patterns with every `\b` replaced by an
+  * explicit ASCII-lookaround boundary, and the fuzz alphabets carry
+  * non-ASCII letters/digits (é, ß, ٣, ２) to pin the divergence.
   */
 class PiiKernelSpec extends AnyFunSuite {
+
+  /** Position-independent ASCII `\b`: word↔non-word transition over
+    * [0-9A-Za-z_] only — RE2's semantics, expressible in Java via
+    * lookaround.
+    */
+  private val AsciiB =
+    "(?:(?<![0-9A-Za-z_])(?=[0-9A-Za-z_])|(?<=[0-9A-Za-z_])(?![0-9A-Za-z_]))"
+  private def ascii(p: String): String = p.replace("\\b", AsciiB)
 
   private val arms: Seq[(Int, String)] = {
     import TextOps.PiiScan._
@@ -24,9 +38,9 @@ class PiiKernelSpec extends AnyFunSuite {
       PiiKernel.Phone -> PhonePattern)
   }
   private val combined =
-    java.util.regex.Pattern.compile(TextOps.PiiScan.CombinedPattern)
+    java.util.regex.Pattern.compile(ascii(TextOps.PiiScan.CombinedPattern))
   private val armFull = arms.map { case (cls, p) =>
-    cls -> java.util.regex.Pattern.compile(s"^(?:$p)$$")
+    cls -> java.util.regex.Pattern.compile(s"^(?:${ascii(p)})$$")
   }
 
   /** Reference: java.util.regex find-loop + first-full-matching-arm
@@ -66,6 +80,15 @@ class PiiKernelSpec extends AnyFunSuite {
       "1:2::3:4", "::1", "fe80::", "fe80::1", "::1:", "1::2g", "::abcde",
       "1::2:34567", "1:2:3:4:5:6:7:8:9", "12:30:45 use :: done",
       "beef:: ::beef x::y 1:2:3", "::1:23456", "a1:b2::c3",
+      // ≤7-explicit-groups cap (round-14 tightening): 14-group colon
+      // dumps, k+m at/over the cap, 7-group leading/trailing edges
+      "1:2:3:4:5:6:7::1:2:3:4:5:6:7", "1:2:3::4:5:6:7:8",
+      "1::2:3:4:5:6:7:8", "1:2:3:4:5:6:7::8", "1:2:3:4:5:6:7::",
+      "::1:2:3:4:5:6:7", "::1:2:3:4:5:6:7:8", "aa:bb:cc:dd:ee:ff::11:22",
+      // non-ASCII adjacency: the contract's \b is ASCII, so these DO
+      // bound PII spans (Java's Unicode \b would not — advice-r13)
+      "é123-45-6789", "123-45-6789é", "٣10.0.0.1", "ß555-123-4567x",
+      "２001:0db8:85a3:0000:0000:8a2e:0370:7334é",
       // IPv4 vs phone vs id digit shapes
       "1.2.3.4.5", "10.0.0.255", "1234.5.6.7", "555.123.4567",
       "123-45-6789", "9123-456-78901", "123-45-6789-123-4567",
@@ -88,9 +111,12 @@ class PiiKernelSpec extends AnyFunSuite {
       "1:2::3:4", "12:30:45", "::",
       "555-123-4567", "(555) 123-4567", "+1 555-123-4567", "555.123.4567",
       "123-45-6789", "9123-456-78901",
+      "1:2:3:4:5:6:7::1:2:3:4:5:6:7", "1:2:3:4:5:6:7::", "::1:2:3:4:5:6:7",
       "word", "x", "h", "http", "https", "://", "@", ".", ":", "-", "(", ")",
-      "+", "%", "_", "/", "00", "999", "4567", "abc", "DEF", "g", "7")
-    val glue = Array(" ", "", ".", ":", "-", "@", "  ", "x", "5", "::")
+      "+", "%", "_", "/", "00", "999", "4567", "abc", "DEF", "g", "7",
+      "é", "ß", "٣", "２", "村")
+    val glue = Array(" ", "", ".", ":", "-", "@", "  ", "x", "5", "::",
+      "é", "٣")
     (1 to 3000).foreach { _ =>
       val sb = new StringBuilder
       (1 to 1 + rng.nextInt(12)).foreach { _ =>
@@ -103,7 +129,7 @@ class PiiKernelSpec extends AnyFunSuite {
 
   test("fuzz: random chars from a PII-shaped alphabet") {
     val rng = new scala.util.Random(424242L)
-    val alphabet = "abcdefgh059.:-@()+ %/_xyzABF"
+    val alphabet = "abcdefgh059.:-@()+ %/_xyzABFéß٣２"
     (1 to 3000).foreach { _ =>
       val len = rng.nextInt(120)
       val sb = new StringBuilder

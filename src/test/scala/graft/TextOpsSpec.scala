@@ -190,7 +190,7 @@ class TextOpsSpec extends AnyFunSuite {
     assert(res(2L) == ((0, 1, 0, 0, 0, 0, 1)))
   }
 
-  test("PiiScan catches compressed IPv6 (spark-side engine-parity boundary)") {
+  test("PiiScan catches compressed IPv6 (both engines since round 14)") {
     import TestSpark.spark.implicits._
     val docs = Seq(
       (1L, "loopback ::1 local"),
