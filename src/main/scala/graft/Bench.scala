@@ -63,11 +63,18 @@ object Bench {
       "SPARK_GRAFT_ONLY and the skip set leave no queries to bench")
     // A query that throws must be visible as a FAILURE, not a fast run:
     // time-to-throw once masqueraded as a 3x speedup in a round bench.
+    // The timed action is Materialize.materializeCount — the query's
+    // OWN optimized plan run to completion (toRdd), not a stacked
+    // .count() whose Aggregate lets Catalyst prune every projection the
+    // count doesn't need. Harness property since round 14 (verdict-r13
+    // #3): a declarative one-row-per-doc enrichment can never again
+    // hide its real cost behind column pruning (text_quality sat at a
+    // hidden 310 s for eleven rounds under the old action).
     def onePass(): Map[String, (Double, Option[String])] = headline.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
-          try { fn(spark, sfDir).count(); None }
+          try { graft.tools.Materialize.materializeCount(fn(spark, sfDir)); None }
           catch { case e: Throwable =>
             // JSON carries the one-line summary; the full chain goes to
             // stderr — STAGE_MATERIALIZATION-style wrappers put the real
