@@ -91,9 +91,11 @@ object FrameDecoder {
     }
   }
 
-  /** The decoders a pure JDK provides — the default for every frame
-    * leg. Order matters only when two decoders claim one format, which
-    * the built-ins never do.
+  /** The decoders a pure JVM provides — the default for every frame
+    * leg: MJPEG and DIB (pure JDK) plus the round-14 baseline-intra
+    * H.264 decoder ([[graft.operators.multimodal.H264IntraDecoder]] —
+    * IDR keyframes, CAVLC; inter frames skipped). Order matters only
+    * when two decoders claim one format, which the built-ins never do.
     */
-  val builtins: Seq[FrameDecoder] = Seq(Mjpeg, Dib)
+  val builtins: Seq[FrameDecoder] = Seq(Mjpeg, Dib, H264IntraDecoder)
 }

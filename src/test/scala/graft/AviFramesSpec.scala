@@ -191,8 +191,12 @@ class AviFramesSpec extends AnyFunSuite {
   }
 
   test("unknown codec yields no frames (adapter boundary, not garbage)") {
-    val avi = build("H264", 32, 24, 24, Seq(Array.fill(64)(1.toByte)))
+    val avi = build("HEVC", 32, 24, 24, Seq(Array.fill(64)(1.toByte)))
     assert(AviFrames.videoFrames(avi).isEmpty)
+    // H264 fourcc IS claimed by the round-14 built-in — but garbage
+    // chunks degrade to no frames, never to fabricated rasters
+    val h264 = build("H264", 32, 24, 24, Seq(Array.fill(64)(1.toByte)))
+    assert(AviFrames.videoFrames(h264).isEmpty)
   }
 
   test("corrupt and non-AVI payloads yield empty, never throw") {
@@ -236,13 +240,15 @@ class AviFramesSpec extends AnyFunSuite {
     assert(black.forall(_ < 0.1)) // black frame ≈ 0.0 everywhere
   }
 
-  test("FrameDecoder seam: an H.264-class payload lights up only with a plugged adapter") {
+  test("FrameDecoder seam: an HEVC-class payload lights up only with a plugged adapter") {
     import graft.operators.multimodal.FrameDecoder
     // three "compressed" chunks: arbitrary non-JPEG bytes whose first
     // three values the fake adapter turns into a solid-color raster —
-    // standing in for a JNI/ffmpeg decoder with zero native deps
+    // standing in for a JNI/ffmpeg decoder with zero native deps.
+    // (fourcc HEVC: H264 is claimed by the round-14 built-in intra
+    // decoder, so the adapter-seam demonstration moved one codec over)
     object FakeH264 extends FrameDecoder {
-      def supports(fmt: AviFrames.VideoFormat): Boolean = fmt.codec == "H264"
+      def supports(fmt: AviFrames.VideoFormat): Boolean = fmt.codec == "HEVC"
       def decode(d: Array[Byte], s: Int, e: Int,
                  fmt: AviFrames.VideoFormat): Option[BufferedImage] =
         if (e - s < 3) None
@@ -253,7 +259,7 @@ class AviFramesSpec extends AnyFunSuite {
       Array(0x10, 0x20, 0x30, 0x7f).map(_.toByte),
       Array(0x40, 0x50, 0x60, 0x00).map(_.toByte),
       Array(0x70, 0x7f, 0x11, 0x22).map(_.toByte))
-    val avi = build("H264", 8, 6, 24, chunks)
+    val avi = build("HEVC", 8, 6, 24, chunks)
 
     // built-ins alone: the adapter boundary holds — no fabricated rasters
     assert(AviFrames.videoFrames(avi).isEmpty)
