@@ -221,6 +221,46 @@ object KeyFinder {
         .collect()(0).getLong(0) == total
   }
 
+  /** HLL prefilter margin (round-14, verdict-r13 #5): a combo whose
+    * approx-distinct estimate falls below `PrefilterThreshold × total`
+    * is pruned as a provable non-key without its exact job. At
+    * [[PrefilterRsd]] = 0.02 the threshold sits 10 standard deviations
+    * under a true key's expected estimate (a key's distinct count IS
+    * total), so a wrongly-pruned key needs a 10σ HLL deviation —
+    * beyond-hardware-error territory, same confidence class as
+    * [[HashDeficitBand]]'s collision argument. Everything at-or-above
+    * the threshold — including every true key and every near-key —
+    * still gets the exact hash-witness job, so answers are unchanged;
+    * the prefilter only deletes exact jobs for combos that are
+    * overwhelmingly duplicate-heavy. The win is structural: ALL combos
+    * of a size share ONE scan (HLL partials merge map-side, no
+    * shuffle), where the exact path runs one full countDistinct job
+    * per combo. Toggle: SPARK_GRAFT_KEYFINDER_PREFILTER=off (the
+    * sf100 A/B lever; adopted after measuring — see BENCH_SF100.md).
+    */
+  val PrefilterRsd = 0.02
+  val PrefilterThreshold = 0.8
+
+  private def prefilterEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_KEYFINDER_PREFILTER").contains("off")
+
+  /** ONE-pass approx-distinct for every combo of a size: returns the
+    * combos whose estimate clears [[PrefilterThreshold]] — the only
+    * ones whose exact uniqueness jobs still run.
+    */
+  private def plausibleByHll(proj: DataFrame, combos: Seq[Seq[String]],
+                             total: Long): Seq[Seq[String]] = {
+    if (combos.isEmpty) return combos
+    val aggs = combos.zipWithIndex.map { case (cb, i) =>
+      approx_count_distinct(xxhash64(cb.map(col): _*), PrefilterRsd).as(s"a_$i")
+    }
+    val row = proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val cut = (total * PrefilterThreshold).toLong
+    combos.zipWithIndex.collect {
+      case (cb, i) if row.getLong(i) >= cut => cb
+    }
+  }
+
   /** Size-ascending minimal-key search with the reference's early stop:
     * the first size that yields any key wins and larger sizes are never
     * evaluated, so results are exactly the minimal keys.
@@ -250,7 +290,12 @@ object KeyFinder {
       (1 to upper).iterator.map { size =>
         val combos = ordered.combinations(size)
           .filter(_.forall(!nullCols.contains(_))).toSeq
-        val keys = combos.par
+        // one shared HLL pass deletes the exact jobs of overwhelmingly
+        // duplicate-heavy combos; keys/near-keys always pass through
+        val survivors =
+          if (prefilterEnabled) plausibleByHll(proj, combos, total)
+          else combos
+        val keys = survivors.par
           .filter(cb => isKeyByHash(proj, cb, total))
           .seq.map(_.mkString(",")).sorted
         (size, keys)

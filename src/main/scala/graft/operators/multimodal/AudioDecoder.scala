@@ -1,0 +1,100 @@
+package graft.operators.multimodal
+
+/** Pluggable audio decoder — the [[FrameDecoder]] pattern applied to
+  * the audio modality (SURVEY §2 #36d): turning a binary payload into
+  * mono samples in [-1, 1] is the codec-dependent step; everything
+  * downstream ([[BinaryPipeline.audioEmbedding]]'s band features, the
+  * embedding→ANN/dedup legs) is codec-independent. The JDK decodes
+  * WAV/AIFF PCM natively ([[AudioDecoder.JavaSoundPcm]]); real-world
+  * audio corpora are MP3/AAC/FLAC, which need an external codec — a
+  * deployment drops an ffmpeg/JNI-backed implementation in beside the
+  * built-in and `embedAudio` works unchanged (the exact contract
+  * MultimodalSpec exercises with a fake compressed-codec decoder).
+  *
+  * Implementations must be Serializable (they ship in task closures)
+  * and stateless or cheaply re-initializable per JVM; `decode` returns
+  * None for payloads it cannot read — degrade, never throw.
+  */
+trait AudioDecoder extends Serializable {
+
+  /** Does this decoder claim the payload? A cheap magic-byte sniff,
+    * checked before [[decode]] so a lenient codec never eats another
+    * format's bytes.
+    */
+  def supports(data: Array[Byte]): Boolean
+
+  /** Mono samples in [-1, 1] (multi-channel input averaged), or None
+    * if the payload is unreadable.
+    */
+  def decode(data: Array[Byte]): Option[Array[Double]]
+}
+
+object AudioDecoder {
+
+  private def tag(d: Array[Byte], off: Int, t: String): Boolean =
+    d.length >= off + t.length &&
+      t.indices.forall(i => d(off + i) == t(i).toByte)
+
+  /** WAV (RIFF/WAVE) and AIFF (FORM/AIFF) PCM via `javax.sound` —
+    * 8/16-bit, signed/unsigned, either endianness, any channel count
+    * averaged to mono. The JDK's native coverage; compressed encodings
+    * inside these containers (e.g. mu-law beyond the PCM check) and
+    * MP3/AAC/FLAC yield None.
+    */
+  object JavaSoundPcm extends AudioDecoder {
+    def supports(d: Array[Byte]): Boolean =
+      (tag(d, 0, "RIFF") && tag(d, 8, "WAV")) ||
+        (tag(d, 0, "FORM") && tag(d, 8, "AIF"))
+
+    def decode(data: Array[Byte]): Option[Array[Double]] = scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val fmt = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok = (enc == PCM_SIGNED || enc == PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16) && in.getFrameLength <= (1 << 26)
+        if (!ok) None
+        else {
+          val bytes = in.readAllBytes()
+          val ch = fmt.getChannels
+          val bytesPerSample = bits / 8
+          val nFrames = bytes.length / (bytesPerSample * ch)
+          val out = new Array[Double](nFrames)
+          val big = fmt.isBigEndian
+          var f = 0
+          while (f < nFrames) {
+            var sum = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = (f * ch + c) * bytesPerSample
+              val raw =
+                if (bits == 8) {
+                  if (enc == PCM_UNSIGNED) (bytes(off) & 0xFF) - 128
+                  else bytes(off).toInt
+                } else {
+                  val (b0, b1) = if (big) (bytes(off), bytes(off + 1))
+                                 else (bytes(off + 1), bytes(off))
+                  val s = ((b0 & 0xFF) << 8) | (b1 & 0xFF)
+                  val signed = if (s >= 0x8000) s - 0x10000 else s
+                  if (enc == PCM_UNSIGNED) s - 0x8000 else signed
+                }
+              sum += raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
+              c += 1
+            }
+            out(f) = sum / ch
+            f += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    }.toOption.flatten
+  }
+
+  /** The decoders a pure JVM provides. First claimant wins, which the
+    * built-ins never contest.
+    */
+  val builtins: Seq[AudioDecoder] = Seq(JavaSoundPcm)
+}

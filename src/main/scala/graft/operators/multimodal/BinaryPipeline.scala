@@ -163,59 +163,21 @@ object BinaryPipeline {
       } finally in.close()
     }.toOption.flatten
 
-  /** REAL WAV PCM decode to mono samples in [-1, 1] — the audio
-    * analogue of [[decodeImage]]'s raster. Handles the JDK-native PCM
-    * layouts (8-bit unsigned / 8/16-bit signed, either endianness, any
-    * channel count — channels average to mono). None for payloads
-    * `javax.sound` can't open or non-PCM encodings.
+  /** REAL audio decode to mono samples in [-1, 1] — the audio analogue
+    * of [[decodeImage]]'s raster. Delegates to the first [[AudioDecoder]]
+    * claiming the payload ([[AudioDecoder.builtins]] = WAV/AIFF PCM via
+    * `javax.sound` by default; compressed-codec adapters — MP3/AAC/
+    * FLAC — are the caller's drop-in at the same seam, round-14
+    * verdict #6). None when no decoder claims or decodes the payload.
     */
+  def decodeAudioSamples(data: Array[Byte],
+                         decoders: Seq[AudioDecoder] = AudioDecoder.builtins)
+      : Option[Array[Double]] =
+    decoders.find(_.supports(data)).flatMap(_.decode(data))
+
+  /** Back-compat name for the WAV-only built-in path. */
   def decodeWavSamples(data: Array[Byte]): Option[Array[Double]] =
-    if (!sniffWav(data)) None
-    else scala.util.Try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(data))
-      try {
-        val fmt = in.getFormat
-        import javax.sound.sampled.AudioFormat.Encoding._
-        val enc = fmt.getEncoding
-        val bits = fmt.getSampleSizeInBits
-        val ok = (enc == PCM_SIGNED || enc == PCM_UNSIGNED) &&
-          (bits == 8 || bits == 16) && in.getFrameLength <= (1 << 26)
-        if (!ok) None
-        else {
-          val bytes = in.readAllBytes()
-          val ch = fmt.getChannels
-          val bytesPerSample = bits / 8
-          val nFrames = bytes.length / (bytesPerSample * ch)
-          val out = new Array[Double](nFrames)
-          val big = fmt.isBigEndian
-          var f = 0
-          while (f < nFrames) {
-            var sum = 0.0
-            var c = 0
-            while (c < ch) {
-              val off = (f * ch + c) * bytesPerSample
-              val raw =
-                if (bits == 8) {
-                  if (enc == PCM_UNSIGNED) (bytes(off) & 0xFF) - 128
-                  else bytes(off).toInt
-                } else {
-                  val (b0, b1) = if (big) (bytes(off), bytes(off + 1))
-                                 else (bytes(off + 1), bytes(off))
-                  val s = ((b0 & 0xFF) << 8) | (b1 & 0xFF)
-                  val signed = if (s >= 0x8000) s - 0x10000 else s
-                  if (enc == PCM_UNSIGNED) s - 0x8000 else signed
-                }
-              sum += raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
-              c += 1
-            }
-            out(f) = sum / ch
-            f += 1
-          }
-          Some(out)
-        }
-      } finally in.close()
-    }.toOption.flatten
+    decodeAudioSamples(data)
 
   /** Audio feature extraction — the [[imageEmbedding]] twin for WAV
     * payloads, so audio corpora ride the SAME downstream leg (ANN
@@ -227,8 +189,10 @@ object BinaryPipeline {
     * zero vector — excluded from cosine ranking exactly like the
     * all-black image. None when the payload isn't JDK-decodable PCM.
     */
-  def audioEmbedding(data: Array[Byte], bands: Int = 8): Option[Array[Float]] =
-    decodeWavSamples(data).map { s =>
+  def audioEmbedding(data: Array[Byte], bands: Int = 8,
+                     decoders: Seq[AudioDecoder] = AudioDecoder.builtins)
+      : Option[Array[Float]] =
+    decodeAudioSamples(data, decoders).map { s =>
       val v = new Array[Float](2 * bands)
       val n = s.length
       var b = 0
@@ -259,10 +223,12 @@ object BinaryPipeline {
     * an audio-tagged row never slips through a lenient codec.
     */
   def embedAudio(spark: SparkSession, media: DataFrame,
-                 bands: Int = 8): DataFrame = {
+                 bands: Int = 8,
+                 decoders: Seq[AudioDecoder] = AudioDecoder.builtins): DataFrame = {
     import spark.implicits._
     media.as[RawMedia].filter(_.media_type == "audio").mapPartitions { it =>
-      it.flatMap(m => audioEmbedding(m.data, bands).map(v => (m.doc_id, v)))
+      it.flatMap(m =>
+        audioEmbedding(m.data, bands, decoders).map(v => (m.doc_id, v)))
     }.toDF("vec_id", "embedding")
   }
 

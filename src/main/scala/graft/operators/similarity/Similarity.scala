@@ -559,5 +559,54 @@ object Similarity {
           round(coalesce(col("n_hit"), lit(0L)) / nTrue, 4).as("recall"))
         .orderBy("method")
     }
+
+    /** Recall CURVES (round-14, verdict-r13 #2): recall@k as a function
+      * of each index's accuracy knob — IVF nProbe, LSH table count, PQ
+      * codebook size — against ONE shared brute-force ground truth.
+      * On a duplication-degenerate corpus (the zipf mode's exact-tie
+      * masses) every point sits at 1.0 and the curve proves little; on
+      * a genuinely spread distribution (ScaleUp's `gauss` mode —
+      * clustered anisotropic Gaussians, no exact duplication) the
+      * low-knob points degrade and the curve shows the recall/cost
+      * trade-off an operator would actually tune. Output: one row per
+      * (method, param, value) — bounded by the static sweep grid.
+      */
+    def sweep(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      val truth = CosineTopK.run(corpus, queries, k, vecCol, idCol)
+        .select("query_id", "vec_id").localCheckpoint(false)
+      val nTrue = truth.count()
+      require(nTrue > 0,
+        s"recall sweep needs a non-empty ground truth: corpus/queries produced 0 true top-$k pairs")
+      val runs: Seq[(String, String, Int, DataFrame)] =
+        Seq(1, 2, 4, 8).map(p => ("ivf", "nProbe", p,
+          IvfAnn.topK(corpus, queries, k, nProbe = p,
+            vecCol = vecCol, idCol = idCol))) ++
+        Seq(1, 2, 4, 8).map(t => ("lsh", "tables", t,
+          LshAnn.topK(corpus, queries, k, dim, tables = t,
+            vecCol = vecCol, idCol = idCol))) ++
+        Seq(4, 8, 16).map(ks => ("pq", "ksub", ks,
+          PqAnn.topK(corpus, queries, k, ksub = ks,
+            vecCol = vecCol, idCol = idCol)))
+      val approx = runs.map { case (m, p, v, df) =>
+        df.select(lit(m).as("method"), lit(p).as("param"),
+          lit(v).as("value"), col("query_id"), col("vec_id"))
+      }.reduce(_ unionAll _)
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      // static grid anchor + left join, same vanished-row rule as run()
+      val grid = runs.map { case (m, p, v, _) => (m, p, v) }
+        .toDF("method", "param", "value")
+      val hitCounts = approx
+        .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("method", "param", "value")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      grid.join(hitCounts, Seq("method", "param", "value"), "left")
+        .select(col("method"), col("param"), col("value"),
+          lit(k).as("k"), lit(nTrue).as("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / nTrue, 4).as("recall"))
+        .orderBy("method", "param", "value")
+    }
   }
 }

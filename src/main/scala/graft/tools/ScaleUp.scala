@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   * Uniform replication keeps every per-key group at source size, so it
   * can never falsify the skew claims (AQE skew-join splitting, salting,
   * window-partition hot keys) — this mode exists to do exactly that.
+  *
+  * A `gauss` mode (round-14) regenerates the embeddings table as
+  * clustered anisotropic Gaussians ([[gaussEmbeddings]]) — the
+  * probative distribution for ANN recall curves, where neither exact
+  * duplication nor tie-degeneracy can mask index degradation;
+  * `gauss-only` writes just that table (reuse a scaled directory's
+  * other tables via copies/symlinks).
   */
 object ScaleUp {
 
@@ -146,6 +153,65 @@ object ScaleUp {
       .map(r => (r.getSeq[Float](r.fieldIndex("embedding")),
         r.getInt(r.fieldIndex("label")))).toSeq
 
+  /** splitmix64 step — the deterministic per-row PRNG for the gauss
+    * mode (no Math.random on executors: every row's vector is a pure
+    * function of its vec_id, so reruns and retries agree).
+    */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  /** Uniform in [0,1) from a splitmix state. */
+  @inline private def unit(z: Long): Double =
+    (z >>> 11).toDouble / (1L << 53).toDouble
+
+  /** Clustered anisotropic Gaussian embeddings — the round-14 recall-
+    * curve distribution (verdict-r13 #2): the zipf mode's exact-tie
+    * vector masses make ground truth tie-degenerate, so recall 1.0 is
+    * achievable by construction and under-probative. This mode keeps
+    * the scaled vec_ids/labels but REGENERATES every embedding as
+    * center[cluster] + sigma ⊙ noise with `nClusters` anisotropic
+    * clusters (per-cluster, per-dim sigmas), no exact duplication
+    * anywhere — approximate indexes genuinely trade recall for work.
+    * Deterministic: centers/sigmas from the cluster id, noise from the
+    * vec_id, both via splitmix64.
+    */
+  def gaussEmbeddings(df: DataFrame, dim: Int = 64,
+                      nClusters: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("vec_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        val cluster = ((mix(id) & Long.MaxValue) % nClusters).toInt
+        // per-cluster center on a radius-1 shell-ish; per-dim sigma in
+        // [0.02, 0.32], quadratically shaped so some axes are tight and
+        // some wide (anisotropy) — both keyed off the cluster id alone
+        val v = new Array[Float](dim)
+        var z = id * 0x5851F42D4C957F2DL + 0x14057B7EF767814FL // noise stream
+        var zc = cluster.toLong * 0x9E3779B97F4A7C15L + 1L // cluster stream
+        var i = 0
+        while (i < dim) {
+          zc = mix(zc)
+          val center = 2.0 * unit(zc) - 1.0
+          zc = mix(zc)
+          val su = unit(zc)
+          val sigma = 0.02 + 0.3 * su * su
+          // Box-Muller from two row-keyed uniforms
+          z = mix(z)
+          val u1 = math.max(unit(z), 1e-12)
+          z = mix(z)
+          val u2 = unit(z)
+          val n = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+          v(i) = (center + sigma * n).toFloat
+          i += 1
+        }
+        (id, cluster % 8, v)
+      }
+    }.toDF("vec_id", "label", "embedding")
+  }
+
   /** Skewed-mode FK redirects: (table, pk, fk, referenced table, key).
     * q3/q18-family joins see hot order/customer keys; the event family
     * (sessionize, as-of, hourly `n_users`) sees hot users.
@@ -155,9 +221,16 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleUp <inDir> <outDir> <factor> [zipf]")
+      "usage: ScaleUp <inDir> <outDir> <factor> [zipf|gauss|gauss-only]")
     val in = args(0); val out = args(1); val factor = args(2).toInt
+    require(args.length == 3 || Set("zipf", "gauss", "gauss-only")(args(3)),
+      s"unknown mode '${args(3)}': zipf, gauss or gauss-only")
     val zipf = args.length == 4 && args(3) == "zipf"
+    val gauss = args.length == 4 && args(3).startsWith("gauss")
+    // gauss-only: write JUST the regenerated embeddings table (the
+    // other tables are unchanged by the gauss mode — reuse an existing
+    // scaled directory beside it instead of duplicating 10+ GB)
+    val gaussOnly = args.length == 4 && args(3) == "gauss-only"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -169,7 +242,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    dims.foreach { t =>
+    if (!gaussOnly) dims.foreach { t =>
       spark.read.parquet(s"$in/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
@@ -186,10 +259,13 @@ object ScaleUp {
     val hotVecs =
       if (zipf) firstVectors(spark.read.parquet(s"$in/embeddings.parquet"), HotKeys)
       else Nil
-    keyCols.foreach { case (t, keys) =>
+    keyCols.filter { case (t, _) => !gaussOnly || t == "embeddings" }
+      .foreach { case (t, keys) =>
       val scaled0 = scaleTable(spark.read.parquet(s"$in/$t.parquet"), keys, factor)
       val scaled =
-        if (zipf && t == "embeddings") skewEmbeddings(scaled0, hotVecs) else scaled0
+        if (zipf && t == "embeddings") skewEmbeddings(scaled0, hotVecs)
+        else if (gauss && t == "embeddings") gaussEmbeddings(scaled0)
+        else scaled0
       val skewed = skews.find(_._1 == t) match {
         case Some((_, pk, fk, _, _)) =>
           // lineitem has no single-column pk: hash the (orderkey, line
@@ -204,7 +280,7 @@ object ScaleUp {
       }
       skewed.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    println(s"""{"scaled":"$out","factor":$factor,"zipf":$zipf}""")
+    println(s"""{"scaled":"$out","factor":$factor,"zipf":$zipf,"gauss":$gauss}""")
     spark.stop()
   }
 }

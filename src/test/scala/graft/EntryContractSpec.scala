@@ -17,7 +17,7 @@ class EntryContractSpec extends AnyFunSuite {
   private val RowsOnly = Set("dedup_minhash", "dedup_simhash", "dedup_candidates",
     "dedup_clusters_minhash", "dedup_embedding_lsh", "nullcheck_approx",
     "events_hourly_approx", "ann_lsh", "ann_ivf", "ann_pq", "ann_recall",
-    "text_bpe", "dedup_incremental_minhash")
+    "ann_recall_sweep", "text_bpe", "dedup_incremental_minhash")
 
   test("every oracle key has a query; rows-only set is exactly as documented") {
     val q = SparkEntry.queries.keySet

@@ -190,6 +190,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!top.map(_.getLong(1)).contains(5L))
   }
 
+  test("AudioDecoder seam: a fake-MP3 adapter lights up compressed audio end-to-end") {
+    import spark.implicits._
+    import graft.operators.multimodal.AudioDecoder
+    // "MP3" payload: an ID3v2-tagged shell whose post-header bytes the
+    // fake adapter reads as 8-bit signed samples — standing in for an
+    // ffmpeg/JNI decoder with zero native deps
+    object FakeMp3 extends AudioDecoder {
+      def supports(d: Array[Byte]): Boolean =
+        d.length >= 3 && d(0) == 'I' && d(1) == 'D' && d(2) == '3'
+      def decode(d: Array[Byte]): Option[Array[Double]] =
+        if (d.length <= 10) None
+        else Some(d.drop(10).map(b => b.toDouble / 128.0))
+    }
+    val fake = "ID3       ".getBytes("ISO-8859-1") ++
+      Array.tabulate(800)(i => (math.sin(i / 5.0) * 100).toByte)
+    val media = Seq(
+      (1L, "audio", fake),
+      (2L, "audio", "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "data")
+    // built-ins alone: the adapter boundary holds — no fabricated vectors
+    assert(BinaryPipeline.embedAudio(spark, media).count() === 0)
+    // adapter plugged in: the same embedding leg works unchanged
+    val rows = BinaryPipeline.embedAudio(spark, media,
+      decoders = AudioDecoder.builtins :+ FakeMp3).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    val vec = rows.head.getSeq[Float](1)
+    assert(vec.length == 16 && vec.take(8).exists(_ > 0.1f))
+    // and the adapter's samples match the direct decode
+    assert(BinaryPipeline.decodeAudioSamples(fake,
+      AudioDecoder.builtins :+ FakeMp3).get.length == 800)
+  }
+
+  test("AIFF payloads decode through the same built-in as WAV") {
+    // 16-bit big-endian mono PCM written as a real AIFF via javax.sound
+    val rate = 8000
+    val n = 400
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toInt
+      pcm(i * 2) = ((s >> 8) & 0xFF).toByte // big-endian per AIFF
+      pcm(i * 2 + 1) = (s & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, true)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val aiff = out.toByteArray
+    val s = BinaryPipeline.decodeAudioSamples(aiff).get
+    assert(s.length == n)
+    assert(math.abs(s(2) - math.sin(2 * math.Pi * 440 * 2 / rate) * 12000 / 32768.0) < 1e-3)
+  }
+
   test("decodeWavSamples: channels average to mono, 8-bit unsigned maps to [-1,1]") {
     // two-channel 8-bit unsigned: L=255 (≈+1), R=1 (≈-1) → mono ≈ 0;
     // and a DC L=R=192 frame lands at +0.5
