@@ -587,6 +587,16 @@ object Similarity {
             vecCol = vecCol, idCol = idCol))) ++
         Seq(4, 8, 16).map(ks => ("pq", "ksub", ks,
           PqAnn.topK(corpus, queries, k, ksub = ks,
+            vecCol = vecCol, idCol = idCol))) ++
+        // refine is PQ's second knob, and on clustered corpora the
+        // decisive one: a tight cluster collapses to a handful of PQ
+        // codes, so the ADC candidate pool is tie-degenerate and
+        // refine*k candidates must exceed the tie mass before the
+        // exact re-rank can see a true neighbor (measured at
+        // sf100-gauss: ksub alone reads 0.0 everywhere, refine
+        // recovers — BENCH_SF100.md round 14)
+        Seq(16, 64, 256).map(rf => ("pq", "refine", rf,
+          PqAnn.topK(corpus, queries, k, refine = rf,
             vecCol = vecCol, idCol = idCol)))
       val approx = runs.map { case (m, p, v, df) =>
         df.select(lit(m).as("method"), lit(p).as("param"),

@@ -212,14 +212,23 @@ object StreamSoak {
     val s3 = soak("corpus_dedup", spark, corpusDeduped,
       workingSet = 0, boundFactor = 1.0)
 
-    // --- curate-on-ingest THROUGHPUT (verdict-r13 #9): the source rate
-    // is cranked 10× past what the pipeline sustains, so every batch is
-    // compute-bound and steady_rows_per_sec measures the curation
-    // operator, not the rate source's faucet. Same pipeline, state
-    // bounds already proven by s2 — this run exists for the rows/sec
-    // and batch-latency numbers.
+    // --- curate-on-ingest THROUGHPUT (verdict-r13 #9): fixed-size
+    // batches from the rate-micro-batch source, produced as fast as
+    // the pipeline drains them — every batch is compute-bound, so
+    // steady_rows_per_sec = rowsPerBatch / batchDuration measures the
+    // curation operator, not the rate faucet. (The plain rate source
+    // is unusable here: when processing lags, each next batch covers
+    // ALL elapsed wall time, so batch sizes grow geometrically — the
+    // first attempt spent 180+ CPU-minutes inside one runaway batch.)
+    // Same pipeline and state bounds as s2; this run exists for the
+    // rows/sec and batch-latency numbers.
+    val fixedBatches = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 1000000)
+      .option("numPartitions", 8)
+      .load()
+      .withColumn("ts", timestamp_micros(col("value") * 10000L))
     val curatedFast = graft.streaming.CurateStream.run(
-      rateEvents(spark, 4000000)
+      fixedBatches
         .select(col("value").as("doc_id"), col("ts"),
           concat(lit("the quick brown fox jumps document number "),
             (col("value") % 100000).cast("string")).as("text")),

@@ -54,13 +54,15 @@ class AnnSweepSpec extends AnyFunSuite {
   test("recall sweep: monotone in the knob, degraded at the low end, strong at the high end") {
     val rows = Similarity.RecallReport.sweep(corpus, queries, k = 10, dim = 64)
       .collect()
-      .map(r => (r.getString(0), r.getInt(2)) -> r.getDouble(6)).toMap
-    def curve(m: String, vs: Seq[Int]) = vs.map(v => rows((m, v)))
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(6))
+      .toMap
+    def curve(m: String, p: String, vs: Seq[Int]) = vs.map(v => rows((m, p, v)))
 
-    val ivf = curve("ivf", Seq(1, 2, 4, 8))
-    info(s"ivf=$ivf lsh=${curve("lsh", Seq(1, 2, 4, 8))} pq=${curve("pq", Seq(4, 8, 16))}")
-    val lsh = curve("lsh", Seq(1, 2, 4, 8))
-    val pq = curve("pq", Seq(4, 8, 16))
+    val ivf = curve("ivf", "nProbe", Seq(1, 2, 4, 8))
+    val lsh = curve("lsh", "tables", Seq(1, 2, 4, 8))
+    val pq = curve("pq", "ksub", Seq(4, 8, 16))
+    val pqRefine = curve("pq", "refine", Seq(16, 64, 256))
+    info(s"ivf=$ivf lsh=$lsh pq=$pq pqRefine=$pqRefine")
 
     // candidate-superset methods are monotone non-decreasing: a vector
     // displaced from the approx top-k by a better-scoring candidate is
@@ -79,5 +81,12 @@ class AnnSweepSpec extends AnyFunSuite {
     assert(ivf.last >= 0.7, s"ivf nProbe=8 recall ${ivf.last}")
     assert(pq.last >= 0.6, s"pq ksub=16 recall ${pq.last}")
     assert(ivf.last > ivf.head, "more probes must buy recall on this corpus")
+
+    // refine is PQ's tie-mass knob (candidate-superset ⇒ monotone):
+    // the curve must be non-decreasing and reach at least the ksub
+    // curve's ceiling on this corpus
+    assert(pqRefine == pqRefine.sorted, s"pq refine curve not monotone: $pqRefine")
+    assert(pqRefine.last >= pq.last,
+      s"refine=256 (${pqRefine.last}) should not trail ksub=16 (${pq.last})")
   }
 }
