@@ -5,11 +5,13 @@ package graft.operators.multimodal
   * mono samples in [-1, 1] is the codec-dependent step; everything
   * downstream ([[BinaryPipeline.audioEmbedding]]'s band features, the
   * embedding→ANN/dedup legs) is codec-independent. The JDK decodes
-  * WAV/AIFF PCM natively ([[AudioDecoder.JavaSoundPcm]]); real-world
-  * audio corpora are MP3/AAC/FLAC, which need an external codec — a
-  * deployment drops an ffmpeg/JNI-backed implementation in beside the
-  * built-in and `embedAudio` works unchanged (the exact contract
-  * MultimodalSpec exercises with a fake compressed-codec decoder).
+  * WAV/AIFF PCM natively ([[AudioDecoder.JavaSoundPcm]]), and
+  * [[FlacDecoder]] covers FLAC — the mainstream lossless compressed
+  * format — in pure JVM arithmetic (round 14). The remaining lossy
+  * formats (MP3/AAC/Opus) need an external codec — a deployment drops
+  * an ffmpeg/JNI-backed implementation in beside the built-ins and
+  * `embedAudio` works unchanged (the exact contract MultimodalSpec
+  * exercises with a fake compressed-codec decoder).
   *
   * Implementations must be Serializable (they ship in task closures)
   * and stateless or cheaply re-initializable per JVM; `decode` returns
@@ -93,8 +95,11 @@ object AudioDecoder {
     }.toOption.flatten
   }
 
-  /** The decoders a pure JVM provides. First claimant wins, which the
-    * built-ins never contest.
+  /** The decoders a pure JVM provides: uncompressed PCM containers via
+    * `javax.sound`, plus [[FlacDecoder]] — a real compressed codec,
+    * decoded from the public RFC 9639 bitstream spec entirely in JVM
+    * integer arithmetic (round 14). First claimant wins, which the
+    * built-ins never contest (disjoint magic bytes).
     */
-  val builtins: Seq[AudioDecoder] = Seq(JavaSoundPcm)
+  val builtins: Seq[AudioDecoder] = Seq(JavaSoundPcm, FlacDecoder)
 }

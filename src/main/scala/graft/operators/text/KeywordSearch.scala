@@ -17,19 +17,28 @@ import org.apache.spark.sql.functions._
   * tokenizer contract, so |D| here equals [[TextOps.TokenCount]]'s
   * `ws_tokens` for the same document; avgdl is the corpus mean.
   *
-  * Scale shape (the part that matters at 100 TB): the query term set is
-  * tiny and known up-front, so an `isin` filter sits directly on the
-  * explode output — the per-(doc, term) aggregate only ever sees
-  * occurrences of query terms, never the full corpus vocabulary (and
-  * the explode is `explode_outer` so no inferred generate filters
-  * re-tokenize the corpus — see the comment at the tf stage);
-  * document length comes row-locally from the same frame (no second
-  * pass, no corpus-wide window); df(t) aggregates the already-filtered
-  * term rows; N and avgdl ride one 1-row crossJoin.
+  * Scale shape (the part that matters at 100 TB): the query term set
+  * is tiny and known up front, so tf(t, D) is a ROW-LOCAL fact —
+  * [[bm25]] executes through [[Bm25Kernel]] (round 14): one char-level
+  * pass per document computes dl and every query-term frequency with
+  * no tokenize-array, no explode and no per-hit shuffle; corpus
+  * statistics (N, avgdl, df per term) reduce to one bounded partial
+  * row per partition (collected like any scalar agg — `partitions ×
+  * |terms|` longs), and the scoring pass emits one row per (query,
+  * matching doc) straight into the top-k window. Two O(n) scans total,
+  * zero exchanges before the final window.
   * The final top-k is a rank window per query — Spark executes the
   * `rank <= k` filter as a WindowGroupLimit partial limit per input
   * partition, so only ~k·partitions rows reach the single-query-key
   * shuffle.
+  *
+  * [[exprBm25]] is the RETAINED CATALYST REFERENCE (the round-13
+  * production form): tokenize → `explode_outer` → `isin` filter →
+  * groupBy. It stays the single source of semantics — the DuckDB
+  * oracle mirrors it and Bm25KernelSpec fuzz-pins [[bm25]] against it
+  * — and documents two measured traps of the declarative form (the
+  * InferFiltersFromGenerate re-tokenization and the rejected
+  * containment gate, see inline comments).
   *
   * Determinism across engines: a BM25 score is a sum of per-term
   * doubles and aggregation order differs between Spark and DuckDB, so
@@ -44,14 +53,71 @@ import org.apache.spark.sql.functions._
   */
 object KeywordSearch {
 
+  /** Parse queries to (query_id, term) pairs — distinct terms per
+    * query, parse order preserved (the kernel's fixed summation order).
+    */
+  private def parseQueries(queries: Seq[(Int, String)]): Seq[(Int, String)] =
+    queries.flatMap { case (qid, text) =>
+      TextStatsKernel.catalystLower(text).trim.split(TextOps.WsClass + "+").filter(_.nonEmpty).distinct.map(qid -> _)
+    }
+
+  /** Shared ranking tail: round to 4 dp (the cross-engine guard), rank
+    * per query with the doc_id tie-break, cut at k.
+    */
+  private def rankTail(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("score", round(col("score_raw"), 4))
+      .withColumn("rank", rank().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Production path — executed by [[Bm25Kernel]] (see class doc for
+    * the scale shape and the exactness contract vs [[exprBm25]]).
+    */
   def bm25(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
            k1: Double = 1.2, b: Double = 0.75,
            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = queries.flatMap { case (qid, text) =>
-      TextStatsKernel.catalystLower(text).trim.split(TextOps.WsClass + "+").filter(_.nonEmpty).distinct.map(qid -> _)
-    }
+    TextOps.requireIntegralId(docs, idCol, "KeywordSearch.bm25")
+    val pairs = parseQueries(queries)
+    val terms = pairs.map(_._2).distinct.toArray
+    val termIdx = terms.zipWithIndex.toMap
+    val ts = new Bm25Kernel.TermSet(terms)
+    val base = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+
+    // pass 1: corpus statistics — one bounded partial row per
+    // partition (nDocs counts ALL rows like count(lit(1)); avg(dl)
+    // ignores null text like Catalyst avg ignores null dl)
+    val partials = base.mapPartitions(it =>
+      Bm25Kernel.partitionStats(it, ts)).collect()
+    val nDocs = partials.map(_.nDocs).sum
+    val nNonNull = partials.map(_.nNonNull).sum
+    val sumDl = partials.map(_.sumDl).sum
+    val avgdl = sumDl.toDouble / nNonNull.toDouble // NaN on empty corpus, like avg()=null
+    val df = new Array[Long](terms.length)
+    partials.foreach(p => (0 until terms.length).foreach(t => df(t) += p.df(t)))
+    val idf = Array.tabulate(terms.length)(t => Bm25Kernel.idfOf(nDocs, df(t)))
+    val queryTerms = pairs.groupBy(_._1).view
+      .mapValues(_.map(p => termIdx(p._2)).toArray).toArray.sortBy(_._1)
+
+    // pass 2: row-local scoring — no shuffle until the top-k window
+    val scored = base.mapPartitions(it =>
+      Bm25Kernel.scorePartition(it, ts, idf, avgdl, queryTerms, k1, b))
+      .toDF("query_id", "doc_id", "score_raw")
+    rankTail(scored, k)
+  }
+
+  /** Retained Catalyst reference (see class doc). */
+  private[graft] def exprBm25(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
+           k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = parseQueries(queries)
     val qterms = pairs.toDF("query_id", "term")
     val allTerms = pairs.map(_._2).distinct
 
@@ -98,13 +164,7 @@ object KeywordSearch {
         col("idf") * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("query_id", "doc_id").agg(sum(col("contrib")).as("score_raw"))
-      .withColumn("score", round(col("score_raw"), 4))
-
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", rank().over(w).cast("int"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
-      .orderBy("query_id", "rank")
+    rankTail(scored, k)
   }
 
   /** Convenience for the CLI: one ad-hoc query string. */

@@ -33,7 +33,7 @@ object TextStatsKernel {
     com.ibm.icu.lang.UCharacter.toLowerCase(com.ibm.icu.util.ULocale.ROOT, s)
 
   private val WsSet = " \t\n\u000B\f\r"
-  @inline private def isWs(c: Char): Boolean = WsSet.indexOf(c.toInt) >= 0
+  @inline private[text] def isWs(c: Char): Boolean = WsSet.indexOf(c.toInt) >= 0
   @inline private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
