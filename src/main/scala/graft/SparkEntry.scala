@@ -7,7 +7,7 @@ import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.{Dedup, SemanticDedup}
 import graft.operators.multimodal.BinaryPipeline
 import graft.operators.similarity.Similarity
-import graft.operators.text.{Bpe, Chunker, HtmlExtract, KeywordSearch, LineDedup, Perplexity, SpanDedup, TextOps, UrlDedup}
+import graft.operators.text.{Bpe, Chunker, HtmlExtract, KeywordSearch, LineDedup, Perplexity, SpanDedup, TextOps, TextVectors, UrlDedup}
 import graft.sources.{ParquetCombine, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, expr, lit, max, substring, when}
@@ -231,6 +231,14 @@ object SparkEntry {
       val docs = Tables(s, d, "documents")
       Bpe.tokenStats(docs, Bpe.learnFromCorpus(docs, BpeMerges))
     }),
+    // feature-hashed text vectors (SURVEY §2 #35n, round-14): the
+    // model-free documents→embeddings bridge — hashed signed
+    // unigram+bigram vector per doc, embeddings-table schema, feeds
+    // ANN/embedding-dedup/SemDeDup directly (rows-only: the 64-bit
+    // feature hash is not SQL-expressible; TextVectorsSpec pins the
+    // contracts end-to-end)
+    "text_vectorize" -> ((s, d) =>
+      TextVectors.run(Tables(s, d, "documents"))),
     // sliding-window passage chunking (SURVEY §2 #35l): window/stride
     // sized so the 10-99-token synthetic docs yield 1-4 chunks each,
     // with 8 tokens of overlap exercising every arm of the walk
@@ -361,6 +369,14 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
       Similarity.PqAnn.topK(emb, emb.where(col("vec_id") < AnnNumQueries), AnnK)
+    }),
+    // IVF-PQ (SURVEY §2 #31d, round-14): coarse cells + PQ of RESIDUALS
+    // (Jégou et al. IVFADC); wins when clusters-per-cell exceed code
+    // resolution (AnnSweepSpec's isolated pin) — see the class doc's
+    // measured two-regime note for where plain PQ/IVF win instead
+    "ann_ivfpq" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.IvfPqAnn.topK(emb, emb.where(col("vec_id") < AnnNumQueries), AnnK)
     }),
     // recall@k of the approximate indexes vs exact top-k, tracked
     // round-over-round like a perf number (rows-only: the indexes it

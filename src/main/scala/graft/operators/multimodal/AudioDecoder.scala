@@ -37,11 +37,12 @@ object AudioDecoder {
     d.length >= off + t.length &&
       t.indices.forall(i => d(off + i) == t(i).toByte)
 
-  /** WAV (RIFF/WAVE) and AIFF (FORM/AIFF) PCM via `javax.sound` —
+  /** WAV (RIFF/WAVE) and AIFF (FORM/AIFF) via `javax.sound` — PCM
     * 8/16-bit, signed/unsigned, either endianness, any channel count
-    * averaged to mono. The JDK's native coverage; compressed encodings
-    * inside these containers (e.g. mu-law beyond the PCM check) and
-    * MP3/AAC/FLAC yield None.
+    * averaged to mono; G.711 μ-law/A-law (the telephony-corpus
+    * encodings, WAVE format tags 6/7) are transcoded to 16-bit PCM
+    * through the JDK's own converter first (round 14). Other
+    * compressed encodings yield None.
     */
   object JavaSoundPcm extends AudioDecoder {
     def supports(d: Array[Byte]): Boolean =
@@ -49,11 +50,15 @@ object AudioDecoder {
         (tag(d, 0, "FORM") && tag(d, 8, "AIF"))
 
     def decode(data: Array[Byte]): Option[Array[Double]] = scala.util.Try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(data))
+      import javax.sound.sampled.AudioFormat.Encoding._
+      val in =
+        if (raw.getFormat.getEncoding == ULAW || raw.getFormat.getEncoding == ALAW)
+          javax.sound.sampled.AudioSystem.getAudioInputStream(PCM_SIGNED, raw)
+        else raw
       try {
         val fmt = in.getFormat
-        import javax.sound.sampled.AudioFormat.Encoding._
         val enc = fmt.getEncoding
         val bits = fmt.getSampleSizeInBits
         val ok = (enc == PCM_SIGNED || enc == PCM_UNSIGNED) &&
@@ -91,7 +96,7 @@ object AudioDecoder {
           }
           Some(out)
         }
-      } finally in.close()
+      } finally { in.close(); raw.close() }
     }.toOption.flatten
   }
 

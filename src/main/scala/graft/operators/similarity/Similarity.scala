@@ -105,7 +105,7 @@ object Similarity {
     val DefaultProbe = 4
 
     /** L2-normalized copy of a float vector. */
-    private def normalized(v: Array[Float]): Array[Double] = {
+    private[similarity] def normalized(v: Array[Float]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
       val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
@@ -118,7 +118,7 @@ object Similarity {
     /** Nearest centroid by squared Euclidean distance (lowest index on
       * ties — deterministic).
       */
-    private def nearest(x: Array[Double], ctrs: Array[Array[Double]]): Int = {
+    private[similarity] def nearest(x: Array[Double], ctrs: Array[Array[Double]]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < ctrs.length) {
         val ctr = ctrs(c)
@@ -358,7 +358,7 @@ object Similarity {
     val MaxTrainRows = 100000L
 
     /** Subspace slice boundaries: m near-equal spans of `dim`. */
-    private def bounds(dim: Int, m: Int): Array[(Int, Int)] = {
+    private[similarity] def bounds(dim: Int, m: Int): Array[(Int, Int)] = {
       val mm = math.min(m, dim)
       Array.tabulate(mm) { j =>
         (j * dim / mm, (j + 1) * dim / mm)
@@ -399,7 +399,7 @@ object Similarity {
     }
 
     /** L2-normalize to double (cosine ⇒ plain dot after this). */
-    private def normalize01(v: Array[Float]): Array[Double] = {
+    private[similarity] def normalize01(v: Array[Float]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
       val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
@@ -506,6 +506,202 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ ANN (Jégou et al. 2011 §IV, "IVFADC: coarse quantizer +
+    * product quantization of RESIDUALS"): coarse-quantize the corpus
+    * into `nCells` cells ([[IvfAnn.assignCells]]), then PQ-encode each
+    * vector's residual (normalized vector MINUS its cell centroid).
+    *
+    * When residuals win — MEASURED, two regimes (BENCH_SF100.md round
+    * 14): when the clusters assigned to one coarse cell outnumber the
+    * codebook's resolution, absolute-position PQ collapses whole
+    * clusters onto shared codes and residual coding genuinely
+    * discriminates — AnnSweepSpec's isolated test (probe effect held
+    * fixed, equal candidate budget) pins residual ADC beating absolute
+    * ADC in exactly this regime, the paper's SIFT-style many-diverse-
+    * neighborhoods case. But when ONE cluster's member count dwarfs
+    * refine·k and its radius sits below code resolution (sf100-gauss:
+    * 7,800-member Gaussians), NEITHER quantizer can rank inside the
+    * cluster: plain PQ's members share codes and its tie-block fills
+    * the candidate pool with true-cluster members (recall 0.50 at
+    * refine=256), while residual codes break the ties with noise-
+    * dominated fine structure that interleaves other clusters into
+    * the pool (0.24) — in that regime prefer [[IvfAnn]] (exact in-cell
+    * scoring, 1.0 at nProbe=1 there) or embedding DEDUP, which is what
+    * a 7,800-member near-identical ball actually calls for.
+    *
+    * Query path: probe the `nProbe` nearest cells; the ADC estimate of
+    * dot(q, x) decomposes as dot(q, centroid(cell)) — one scalar per
+    * probed cell — plus Σⱼ dot(qⱼ, residual_codebookⱼ[codeⱼ]) — one
+    * m × ksub LUT per query, CELL-INDEPENDENT (residual codebooks are
+    * shared across cells), so the per-row cost is m lookups + one
+    * scalar add, identical to plain ADC. Rows outside the probed cells
+    * are skipped with one hash-set check. Top refine·k per query
+    * (WindowGroupLimit partial top-k) then exact re-rank — returned
+    * scores are always exact; nCells/nProbe/m/ksub/refine govern
+    * recall only.
+    *
+    * Scale shape: train on the bounded value-hash sample; encode is
+    * one map-side pass; ADC is one map-side pass over (cell, codes)
+    * rows (8 bytes + a cell id per vector — the same 32× compression
+    * as [[PqAnn]]); the only corpus-derived shuffle is the partial
+    * top-k. QUERY-SIDE SIZE CONTRACT: same as [[PqAnn]] — the probe
+    * set rides the task closure.
+    */
+  object IvfPqAnn {
+    val DefaultCells = IvfAnn.DefaultCells
+    val DefaultProbe = IvfAnn.DefaultProbe
+    val DefaultM = PqAnn.DefaultM
+    val DefaultKsub = PqAnn.DefaultKsub
+    val DefaultRefine = PqAnn.DefaultRefine
+    val MaxTrainRows = PqAnn.MaxTrainRows
+
+    /** Train residual codebooks over the bounded value-hash sample
+      * (assigned by the SAME centroids the corpus uses) and PQ-encode
+      * every corpus vector's residual.
+      * Returns (`(vec_id, cell, codes)`, centroids, codebooks, bounds).
+      */
+    private[graft] def trainAndEncode(corpus: DataFrame, nCells: Int, m: Int,
+                                      ksub: Int, vecCol: String, idCol: String,
+                                      maxTrain: Long)
+        : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]], Array[(Int, Int)]) = {
+      require(m >= 1 && ksub >= 2 && ksub <= 256,
+        s"IVF-PQ needs 1 <= m and 2 <= ksub <= 256 (byte codes), got m=$m ksub=$ksub")
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val (assigned, ctrs) = IvfAnn.assignCells(corpus, nCells, vecCol, idCol, maxTrain)
+
+      // residual training sample: same value-hash selection discipline
+      // as PqAnn.train, assigned by the already-trained centroids
+      val c = corpus.select(col(idCol), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+      val n = c.count()
+      val sampleDs =
+        if (n <= maxTrain) c
+        else c.where(pmod(xxhash64(col(idCol)),
+          lit((n + maxTrain - 1) / maxTrain)) === 0)
+      val residuals = sampleDs.collect().sortBy(_._1).map { case (_, v) =>
+        val x = PqAnn.normalize01(v)
+        val ctr = ctrs(IvfAnn.nearest(x, ctrs))
+        Array.tabulate(x.length)(i => x(i) - (if (i < ctr.length) ctr(i) else 0.0))
+      }
+      require(residuals.nonEmpty, "IVF-PQ training needs a non-empty corpus")
+      val dim = residuals.head.length
+      val bs = PqAnn.bounds(dim, m)
+      val books = bs.zipWithIndex.map { case ((from, until), j) =>
+        val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, from, until))
+        IvfAnn.lloyd(sub, ksub, iters = 8, seed = PqAnn.Seed + 1000 + j)
+      }
+
+      // encode: one map-side pass over the assigned frame — residual
+      // against the row's own cell centroid, nearest codebook entry
+      // per subspace
+      val coded = assigned.as[(Long, Array[Float], Int)].mapPartitions { it =>
+        it.map { case (id, v, cell) =>
+          val x = PqAnn.normalize01(v)
+          val ctr = ctrs(cell)
+          val codes = new Array[Byte](bs.length)
+          var j = 0
+          while (j < bs.length) {
+            val (from, until) = bs(j)
+            val book = books(j)
+            var best = 0; var bestD = Double.MaxValue; var cIdx = 0
+            while (cIdx < book.length) {
+              val bk = book(cIdx)
+              var d = 0.0; var i = from
+              while (i < until && i < x.length) {
+                val r = x(i) - (if (i < ctr.length) ctr(i) else 0.0)
+                val diff = r - bk(i - from); d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = cIdx }
+              cIdx += 1
+            }
+            codes(j) = best.toByte
+            j += 1
+          }
+          (id, cell, codes)
+        }
+      }.toDF("vec_id", "cell", "codes")
+      (coded, ctrs, books, bs)
+    }
+
+    def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+             nCells: Int = DefaultCells, nProbe: Int = DefaultProbe,
+             m: Int = DefaultM, ksub: Int = DefaultKsub,
+             refine: Int = DefaultRefine,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             maxTrain: Long = MaxTrainRows): DataFrame = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val (coded, ctrs, books, bs) =
+        trainAndEncode(corpus, nCells, m, ksub, vecCol, idCol, maxTrain)
+
+      val qArr = queries.select(col(idCol), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+        .map { case (id, v) => (id, PqAnn.normalize01(v)) }
+
+      // per query, driver-side (bounded): nProbe nearest cells by
+      // cosine (desc, cell-asc tie-break — IvfAnn's probe ordering),
+      // the per-cell dot scalar, and the residual LUT
+      val probes = qArr.map { case (qid, q) =>
+        val cos = ctrs.indices.map { cIdx =>
+          val ctr = ctrs(cIdx)
+          var dot = 0.0; var nc = 0.0; var nq = 0.0; var i = 0
+          while (i < q.length && i < ctr.length) {
+            dot += q(i) * ctr(i); nc += ctr(i) * ctr(i); nq += q(i) * q(i); i += 1
+          }
+          (cIdx, dot, dot / math.sqrt(nc * nq)) // (cell, rawDot, cosine)
+        }
+        val probed = cos.filterNot(_._3.isNaN)
+          .sortBy { case (cIdx, _, cs) => (-cs, cIdx) }.take(nProbe)
+        val cellDot = probed.map { case (cIdx, dot, _) => cIdx -> dot }.toMap
+        val lut = Array.ofDim[Double](bs.length, books(0).length)
+        var j = 0
+        while (j < bs.length) {
+          val (from, until) = bs(j)
+          var cIdx = 0
+          while (cIdx < books(j).length) {
+            var dot = 0.0; var i = from
+            val bk = books(j)(cIdx)
+            while (i < until && i < q.length) { dot += q(i) * bk(i - from); i += 1 }
+            lut(j)(cIdx) = dot
+            cIdx += 1
+          }
+          j += 1
+        }
+        (qid, cellDot, lut)
+      }
+
+      // ADC pass: one map-side scan of (cell, codes); rows outside a
+      // query's probed cells cost one hash lookup
+      val adc = coded.as[(Long, Int, Array[Byte])].mapPartitions { it =>
+        it.flatMap { case (id, cell, codes) =>
+          probes.iterator.flatMap { case (qid, cellDot, lut) =>
+            if (qid == id) Iterator.empty
+            else cellDot.get(cell) match {
+              case Some(cd) =>
+                var s = cd; var j = 0
+                while (j < codes.length) { s += lut(j)(codes(j) & 0xff); j += 1 }
+                Iterator.single((qid, id, s))
+              case None => Iterator.empty
+            }
+          }
+        }
+      }.toDF("query_id", "vec_id", "adc")
+
+      val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+      val cands = adc.withColumn("r", rank().over(wAdc))
+        .where(col("r") <= refine * k).select("query_id", "vec_id")
+
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+      val scored = broadcast(cands).join(
+          corpus.select(col(idCol).as("vec_id"), col(vecCol).as("corpus_v")),
+          Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos_raw", EmbeddingDedup.cosine(col("query_v"), col("corpus_v")))
+      CosineTopK.rankTopK(scored, k)
+    }
+  }
+
   /** Recall@k report for the approximate indexes vs the exact
     * [[CosineTopK]] ground truth on the SAME corpus and queries — one
     * row per method, so index quality is tracked round-over-round in
@@ -541,6 +737,10 @@ object Similarity {
         .unionAll(
           PqAnn.topK(corpus, queries, k, vecCol = vecCol, idCol = idCol)
             .select(lit("pq").as("method"), col("query_id"), col("vec_id")))
+        .unionAll(
+          IvfPqAnn.topK(corpus, queries, k, nCells = nCells, nProbe = nProbe,
+              vecCol = vecCol, idCol = idCol)
+            .select(lit("ivfpq").as("method"), col("query_id"), col("vec_id")))
       // anchored on a STATIC method list with left joins, NOT an inner
       // join + groupBy: a method whose recall collapses to zero — or
       // whose index returns no rows at all — must still report its row
@@ -552,7 +752,7 @@ object Similarity {
         .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       val spark = corpus.sparkSession
       import spark.implicits._
-      Seq("ivf", "lsh", "pq").toDF("method")
+      Seq("ivf", "ivfpq", "lsh", "pq").toDF("method")
         .join(hitCounts, Seq("method"), "left")
         .select(col("method"), lit(k).as("k"), lit(nTrue).as("n_true"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -597,6 +797,25 @@ object Similarity {
         // recovers — BENCH_SF100.md round 14)
         Seq(16, 64, 256).map(rf => ("pq", "refine", rf,
           PqAnn.topK(corpus, queries, k, refine = rf,
+            vecCol = vecCol, idCol = idCol))) ++
+        // IVF-PQ, same refine grid as plain PQ so the curves compare
+        // directly. Measured honesty note (sf100-gauss, BENCH_SF100.md
+        // round 14): residual coding fixes the CROSS-cluster code
+        // collapse (the small-corpus regime where clusters per cell
+        // exceed code resolution — AnnSweepSpec's isolated test), but
+        // when a cluster's member count dwarfs refine·k and its radius
+        // is below codebook resolution, same-cluster members still
+        // share codes and BOTH quantizers are tie-starved — the
+        // decisive knobs are refine (candidate pool vs tie mass) and
+        // ksub (code resolution vs cluster radius), swept here
+        Seq(16, 64, 256).map(rf => ("ivfpq", "refine", rf,
+          IvfPqAnn.topK(corpus, queries, k, refine = rf,
+            vecCol = vecCol, idCol = idCol))) ++
+        Seq(16, 64, 256).map(ks => ("ivfpq", "ksub", ks,
+          IvfPqAnn.topK(corpus, queries, k, ksub = ks, refine = 16,
+            vecCol = vecCol, idCol = idCol))) ++
+        Seq(1, 2, 4, 8).map(p => ("ivfpq", "nProbe", p,
+          IvfPqAnn.topK(corpus, queries, k, nProbe = p,
             vecCol = vecCol, idCol = idCol)))
       val approx = runs.map { case (m, p, v, df) =>
         df.select(lit(m).as("method"), lit(p).as("param"),

@@ -88,5 +88,42 @@ class AnnSweepSpec extends AnyFunSuite {
     assert(pqRefine == pqRefine.sorted, s"pq refine curve not monotone: $pqRefine")
     assert(pqRefine.last >= pq.last,
       s"refine=256 (${pqRefine.last}) should not trail ksub=16 (${pq.last})")
+
+    // IVF-PQ (round-14): nProbe is a candidate-superset knob ⇒
+    // monotone; refine/ksub grids mirror plain PQ's so the sf100-gauss
+    // exhibit compares the quantizers directly (the residual-coding
+    // win itself is pinned by the isolated test below, where the probe
+    // effect is held fixed)
+    val ivfpqRefine = curve("ivfpq", "refine", Seq(16, 64, 256))
+    val ivfpqKsub = curve("ivfpq", "ksub", Seq(16, 64, 256))
+    val ivfpqProbe = curve("ivfpq", "nProbe", Seq(1, 2, 4, 8))
+    info(s"ivfpqRefine=$ivfpqRefine ivfpqKsub=$ivfpqKsub ivfpqProbe=$ivfpqProbe")
+    assert(ivfpqProbe == ivfpqProbe.sorted,
+      s"ivfpq nProbe curve not monotone: $ivfpqProbe")
+    assert(ivfpqRefine == ivfpqRefine.sorted,
+      s"ivfpq refine curve not monotone: $ivfpqRefine")
+    assert(ivfpqRefine.head >= 0.7, s"ivfpq refine=16 recall ${ivfpqRefine.head}")
+  }
+
+  test("residual coding beats absolute-position coding at equal candidate budget") {
+    // isolate the CODING difference from the probe effect: probe ALL
+    // cells (nProbe = nCells), shrink the candidate budget to refine=1
+    // so ADC ranking quality is what decides recall. Plain PQ codes
+    // absolute positions (a tight cluster collapses to few codes —
+    // ADC ties starve the re-rank); IVF-PQ codes residuals, which stay
+    // spread inside each cell. On this corpus (k=10 spans clusters)
+    // the difference must show at the tight budget.
+    val truth = Similarity.CosineTopK.run(corpus, queries, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "vec_id").collect()
+        .count(r => truth((r.getLong(0), r.getLong(1)))).toDouble / truth.size
+    val pq1 = recall(Similarity.PqAnn.topK(corpus, queries, 10, refine = 1))
+    val ivfpq1 = recall(Similarity.IvfPqAnn.topK(corpus, queries, 10,
+      nCells = 32, nProbe = 32, refine = 1))
+    info(s"refine=1 all-cells: pq=$pq1 ivfpq=$ivfpq1")
+    assert(ivfpq1 > pq1,
+      s"residual ADC ($ivfpq1) must out-rank absolute-position ADC ($pq1) at refine=1")
   }
 }

@@ -244,6 +244,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(s(2) - math.sin(2 * math.Pi * 440 * 2 / rate) * 12000 / 32768.0) < 1e-3)
   }
 
+  test("G.711 mu-law and A-law WAVs decode through the JDK transcoder") {
+    // telephony-corpus shape: 8 kHz mono G.711 inside a WAVE container.
+    // Encode a PCM sine through the JDK's own converter, then verify
+    // the decode path: defined, right length, and the waveform tracks
+    // the source within G.711's quantization error (it's lossy).
+    import javax.sound.sampled._
+    val rate = 8000
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toInt
+      pcm(i * 2) = (s & 0xFF).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val pcmFmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    Seq(AudioFormat.Encoding.ULAW, AudioFormat.Encoding.ALAW).foreach { enc =>
+      val g711 = AudioSystem.getAudioInputStream(
+        new AudioFormat(enc, rate.toFloat, 8, 1, 1, rate.toFloat, false),
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), pcmFmt, n.toLong))
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(g711, AudioFileFormat.Type.WAVE, out)
+      val got = BinaryPipeline.decodeAudioSamples(out.toByteArray)
+      assert(got.isDefined, s"$enc WAV must decode")
+      val s = got.get
+      assert(s.length == n)
+      var err = 0.0
+      for (i <- 0 until n)
+        err = math.max(err,
+          math.abs(s(i) - math.sin(2 * math.Pi * 440 * i / rate) * 12000 / 32768.0))
+      assert(err < 0.02, s"$enc max quantization error $err")
+    }
+  }
+
   test("decodeWavSamples: channels average to mono, 8-bit unsigned maps to [-1,1]") {
     // two-channel 8-bit unsigned: L=255 (≈+1), R=1 (≈-1) → mono ≈ 0;
     // and a DC L=R=192 frame lands at +0.5

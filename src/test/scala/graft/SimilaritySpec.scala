@@ -150,7 +150,7 @@ class SimilaritySpec extends AnyFunSuite {
       .run(clustered, queries, K, dim, nCells = 16, nProbe = 4)
       .collect().map(r => r.getString(0) ->
         (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
-    assert(report.keySet == Set("ivf", "lsh", "pq"))
+    assert(report.keySet == Set("ivf", "ivfpq", "lsh", "pq"))
     report.foreach { case (m, (k, nTrue, nHit, recall)) =>
       assert(k == K && nTrue > 0 && nHit <= nTrue, s"$m inconsistent")
       assert(math.abs(recall - nHit.toDouble / nTrue) < 1e-3)
@@ -159,6 +159,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(report("lsh")._4 >= 0.8, s"lsh recall ${report("lsh")._4}")
     assert(report("ivf")._4 >= 0.9, s"ivf recall ${report("ivf")._4}")
     assert(report("pq")._4 >= 0.8, s"pq recall ${report("pq")._4}")
+    assert(report("ivfpq")._4 >= 0.8, s"ivfpq recall ${report("ivfpq")._4}")
+  }
+
+  test("IVF-PQ ANN: exact scores after re-rank, recall floor, layout-independent codes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val dim = 64
+    val clustered = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(rng.nextGaussian())
+      (0 until 12).map { m =>
+        val v = center.map(x => (x + 0.07 * rng.nextGaussian()).toFloat)
+        ((c * 12 + m).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.where(col("vec_id") % 12 === 0 && col("vec_id") < 60)
+
+    val brute = asMap(Similarity.CosineTopK.run(clustered, queries, K).collect())
+    val ivfpq = asMap(Similarity.IvfPqAnn.topK(clustered, queries, K).collect())
+    // ADC (coarse dot + residual LUT) ranks candidates only; returned
+    // scores all come from the exact re-rank
+    ivfpq.keys.filter(brute.contains).foreach { p =>
+      assert(ivfpq(p)._1 == brute(p)._1, s"score mismatch on $p")
+    }
+    val recall = brute.keySet.count(ivfpq.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall below floor")
+
+    // compressed index shape: one cell id + m byte codes per vector,
+    // and training is value-sampled + id-sorted ⇒ layout-independent
+    val (coded, _, _, bs) = Similarity.IvfPqAnn.trainAndEncode(
+      clustered, 16, 8, 16, "embedding", "vec_id", 100000L)
+    val rows = coded.collect()
+    assert(rows.length === 480)
+    rows.foreach(r => assert(r.getAs[Array[Byte]](2).length === 8))
+    val (coded7, _, _, _) = Similarity.IvfPqAnn.trainAndEncode(
+      clustered.repartition(7), 16, 8, 16, "embedding", "vec_id", 100000L)
+    assert(coded7.collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getAs[Array[Byte]](2).toSeq))).toMap ===
+      rows.map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getAs[Array[Byte]](2).toSeq))).toMap)
   }
 
   test("IVF ANN accepts array<double> embeddings (cast, not reject)") {
