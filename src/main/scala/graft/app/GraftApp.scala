@@ -76,6 +76,8 @@ import org.apache.spark.sql.functions.expr
   *     [--window 512] [--stride 384] [--text-col text] [--id doc_id]
   * GraftApp html-extract    --dir /data/sf1 --table pages \
   *     [--min-line-words 4] [--html-col html] [--id doc_id]
+  * GraftApp vectorize       --dir /data/sf1 --table documents \
+  *     [--dim 64] [--text-col text] [--id doc_id]
   * }}}
   */
 object GraftApp {
@@ -114,7 +116,8 @@ object GraftApp {
     "values", "referential", "suite", "skew", "asof", "range-join", "split",
     "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "mixture",
     "pack", "sessionize", "line-dedup", "span-dedup", "search",
-    "semantic-dedup", "perplexity", "url-dedup", "bpe", "chunk", "html-extract")
+    "semantic-dedup", "perplexity", "url-dedup", "bpe", "chunk", "html-extract",
+    "vectorize")
 
   /** Tool-name aliases (reference: dbqt/tools/__init__.py:6
     * `TOOL_ALIASES`) mapped onto this CLI's tool names: `compare` →
@@ -456,6 +459,13 @@ object GraftApp {
         graft.operators.text.Chunker.run(table,
           window = f.getOrElse("window", "512").toInt,
           stride = f.getOrElse("stride", "384").toInt,
+          textCol = f.getOrElse("text-col", "text"),
+          idCol = f.getOrElse("id", "doc_id"))
+      case "vectorize" =>
+        // feature-hashed text vectors: the model-free docs→embeddings
+        // bridge (output = embeddings-table schema)
+        graft.operators.text.TextVectors.run(table,
+          dim = f.getOrElse("dim", "64").toInt,
           textCol = f.getOrElse("text-col", "text"),
           idCol = f.getOrElse("id", "doc_id"))
       case "html-extract" =>

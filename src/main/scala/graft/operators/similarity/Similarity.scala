@@ -592,10 +592,23 @@ object Similarity {
         IvfAnn.lloyd(sub, ksub, iters = 8, seed = PqAnn.Seed + 1000 + j)
       }
 
-      // encode: one map-side pass over the assigned frame — residual
-      // against the row's own cell centroid, nearest codebook entry
-      // per subspace
-      val coded = assigned.as[(Long, Array[Float], Int)].mapPartitions { it =>
+      val coded = encodeWith(assigned, ctrs, books, bs)
+      (coded, ctrs, books, bs)
+    }
+
+    /** Encode an assigned `(id, vec, cell)` frame against EXISTING
+      * centroids/codebooks — one map-side pass, residual against the
+      * row's own cell centroid, nearest codebook entry per subspace.
+      * Factored out so a persisted index ([[IvfPqIndex]]) can append
+      * new vectors without retraining.
+      */
+    private[similarity] def encodeWith(assigned: DataFrame,
+                                       ctrs: Array[Array[Double]],
+                                       books: Array[Array[Array[Double]]],
+                                       bs: Array[(Int, Int)]): DataFrame = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      assigned.as[(Long, Array[Float], Int)].mapPartitions { it =>
         it.map { case (id, v, cell) =>
           val x = PqAnn.normalize01(v)
           val ctr = ctrs(cell)
@@ -621,7 +634,6 @@ object Similarity {
           (id, cell, codes)
         }
       }.toDF("vec_id", "cell", "codes")
-      (coded, ctrs, books, bs)
     }
 
     def topK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -634,7 +646,23 @@ object Similarity {
       import spark.implicits._
       val (coded, ctrs, books, bs) =
         trainAndEncode(corpus, nCells, m, ksub, vecCol, idCol, maxTrain)
+      queryCoded(coded, ctrs, books, bs, corpus, queries, k, nProbe, refine,
+        vecCol, idCol)
+    }
 
+    /** The query half: ADC over an already-encoded `(vec_id, cell,
+      * codes)` frame + exact re-rank against `corpus`. Shared by
+      * [[topK]] and the persisted-index path ([[IvfPqIndex.topK]]).
+      */
+    private[similarity] def queryCoded(coded: DataFrame,
+                                       ctrs: Array[Array[Double]],
+                                       books: Array[Array[Array[Double]]],
+                                       bs: Array[(Int, Int)],
+                                       corpus: DataFrame, queries: DataFrame,
+                                       k: Int, nProbe: Int, refine: Int,
+                                       vecCol: String, idCol: String): DataFrame = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
       val qArr = queries.select(col(idCol), col(vecCol).cast("array<float>"))
         .as[(Long, Array[Float])].collect().sortBy(_._1)
         .map { case (id, v) => (id, PqAnn.normalize01(v)) }

@@ -254,6 +254,11 @@ class GraftAppSpec extends AnyFunSuite {
       "--table", "documents", "--merges", "20") > 0)
   }
 
+  test("vectorize tool emits the embeddings-table schema") {
+    assert(runToParquet("vectorize", "--dir", TestSpark.sf0001,
+      "--table", "documents", "--dim", "32") > 400)
+  }
+
   test("chunk and html-extract tools run end-to-end") {
     // docs are 10-99 tokens → window 16 guarantees multi-chunk output
     assert(runToParquet("chunk", "--dir", TestSpark.sf0001,
