@@ -85,38 +85,67 @@ object SpanDedup {
       .orderBy(idCol)
   }
 
-  /** Scale path: window hashes shuffle, text does not. See class doc. */
+  /** Scale path: window hashes shuffle, text does not. See class doc.
+    *
+    * Executed by a rolling-hash kernel since round 14: the r13
+    * Catalyst form computed `xxhash64(slice(t, i, w))` per window —
+    * O(tokens × w) interpreted lambda work plus one array slice
+    * allocation per window (measured 1.28× DuckDB at sf100) — and
+    * rebuilt with an O(tokens × covered) `array_contains` filter. The
+    * kernel hashes each token once and rolls a degree-(w-1) polynomial
+    * across the document (the same Rabin-Karp move
+    * [[Decontaminate]] uses), then rebuilds with a boolean cover mask:
+    * O(tokens) end to end. The window hash VALUE is internal (only
+    * equality matters, nothing downstream stores it), so swapping
+    * xxhash64-over-slice for the polynomial changes no output;
+    * SpanDedupSpec pins hashed ≡ exact ([[run]]) and both share one
+    * DuckDB oracle. Collision class is unchanged: distinct windows
+    * share a 64-bit value with P ≈ nWindows·nHot/2⁶⁴.
+    */
   def runHashed(df: DataFrame, w: Int = 50, minCount: Int = 2,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     // (doc, start, hash) triples — window text is never materialized,
-    // let alone shuffled; the hash is over the token-array slice
-    val winHashes = df
-      .select(col(idCol), split(col(textCol), " ").as("t"))
-      .select(col(idCol),
-        posexplode(
-          when(size(col("t")) >= w,
-            transform(sequence(lit(0), size(col("t")) - w),
-              i => xxhash64(slice(col("t"), i + 1, lit(w)))))
-            .otherwise(array().cast("array<bigint>"))).as(Seq("start", "wh")))
+    // let alone shuffled; one token-hash pass + one rolling pass per doc
+    val winHashes = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else SpanDedupKernel.windowHashes(text, w).zipWithIndex.iterator
+            .map { case (h, start) => (id, start, h) }
+        }
+      }.toDF(idCol, "start", "wh")
     val hot = winHashes.groupBy("wh").count()
       .where(col("count") >= minCount).select("wh")
     // inner join: output is duplicated-window HITS only — downstream is
-    // sized by the duplicated fraction, not the corpus
-    val removed = winHashes.join(hot, Seq("wh"))
+    // sized by the duplicated fraction, not the corpus.
+    // BOTH joins carry shuffle_hash hints: every leg exits the typed
+    // kernel, so the planner sees defaultSize-priced stats and would
+    // otherwise BROADCAST a corpus-sized side (measured: the unhinted
+    // rewrite broadcast `removed` — millions of rows with start
+    // arrays — at sf100 and regressed 28 s → 241 s; the hot set is
+    // O(distinct duplicated windows), also corpus-shaped at worst)
+    val removed = winHashes.join(hot.hint("shuffle_hash"), Seq("wh"))
       .groupBy(idCol).agg(collect_set(col("start")).as("rm"))
-    val toksArr = split(col(textCol), " ")
-    val coveredArr = when(col("rm").isNull, array().cast("array<int>"))
-      .otherwise(array_distinct(flatten(
-        transform(col("rm"), s => sequence(s, s + (w - 1))))))
-    df.select(col(idCol), col(textCol))
-      .join(removed, Seq(idCol), "left")
-      .withColumn("cov", coveredArr)
-      .select(col(idCol),
-        array_join(
-          filter(toksArr, (tk, i) => !array_contains(col("cov"), i)),
-          " ").as("text_clean"),
-        size(toksArr).as("n_tokens"),
-        size(col("cov")).as("n_removed"))
+    // rebuild: one kernel pass with a boolean cover mask — O(tokens),
+    // not O(tokens × covered)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .join(removed.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol), col(textCol), col("rm"))
+      .as[(Long, String, Option[Seq[Int]])]
+      .mapPartitions { it =>
+        it.map { case (id, text, rm) =>
+          if (text == null) // null-text rows: all-null like the r13 form
+            (id, Option.empty[String], Option.empty[Int], Option.empty[Int])
+          else {
+            val (clean, nTokens, nRemoved) =
+              SpanDedupKernel.rebuild(text, w, rm.getOrElse(Seq.empty))
+            (id, Some(clean), Some(nTokens), Some(nRemoved))
+          }
+        }
+      }.toDF(idCol, "text_clean", "n_tokens", "n_removed")
       .orderBy(idCol)
   }
 

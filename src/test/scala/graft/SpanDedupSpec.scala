@@ -75,4 +75,36 @@ class SpanDedupSpec extends AnyFunSuite {
       assert(hashed === exact, s"w=$w minCount=$k")
     }
   }
+
+  test("kernel: rolling window hash equals the direct per-window polynomial") {
+    import graft.operators.text.SpanDedupKernel
+    val text = "a bb ccc a bb ccc dddd e f g a bb ccc"
+    val w = 3
+    val rolled = SpanDedupKernel.windowHashes(text, w)
+    val toks = text.split(" ", -1)
+    assert(rolled.length === toks.length - w + 1)
+    // each window's rolled hash must equal hashing that window alone
+    // (the polynomial depends only on the w token hashes)
+    rolled.zipWithIndex.foreach { case (h, i) =>
+      val alone = SpanDedupKernel.windowHashes(
+        toks.slice(i, i + w).mkString(" "), w)
+      assert(alone.length === 1 && alone.head === h, s"window $i")
+    }
+    // equal token windows collide by design, shifted ones do not
+    assert(rolled(0) === rolled(3) && rolled(0) === rolled(10))
+    assert(rolled(0) !== rolled(1))
+    // short and empty docs produce no windows ('' is ONE empty token)
+    assert(SpanDedupKernel.windowHashes("a b", w).isEmpty)
+    assert(SpanDedupKernel.windowHashes("", 2).isEmpty)
+    assert(SpanDedupKernel.windowHashes("", 1).length === 1)
+  }
+
+  test("kernel: rebuild covers, joins with single spaces, preserves empty tokens") {
+    import graft.operators.text.SpanDedupKernel
+    assert(SpanDedupKernel.rebuild("a b c d e", 2, Seq.empty) === (("a b c d e", 5, 0)))
+    assert(SpanDedupKernel.rebuild("a b c d e", 2, Seq(1, 2)) === (("a e", 5, 3)))
+    assert(SpanDedupKernel.rebuild("a b", 2, Seq(0)) === (("", 2, 2)))
+    // double space = empty token in the single-space convention
+    assert(SpanDedupKernel.rebuild("a  b c", 2, Seq(2)) === (("a ", 4, 2)))
+  }
 }
