@@ -18,7 +18,11 @@ package graft.operators.multimodal
   * (orders 0-4) / LPC (orders 1-32) subframes, 4- and 5-bit Rice
   * residual partitions including escaped raw partitions, wasted bits,
   * independent channels (1-8) plus all three stereo decorrelation
-  * modes (left/side, right/side, mid/side), bit depths 4-32, fixed
+  * modes (left/side, right/side, mid/side), bit depths 4-32 for
+  * independent channels and 4-31 under stereo decorrelation (the side
+  * channel carries bps+1 bits and the sample lattice here is 32-bit
+  * Int, so a 32-bit decorrelated stream degrades to None rather than
+  * overflowing — a documented boundary, not a crash), fixed
   * and variable blocking, both CRCs verified (frame CRC-16 poly
   * 0x8005, header CRC-8 poly 0x07). Ogg-encapsulated FLAC and
   * metadata-only extras (cuesheets, pictures) are skipped structurally
@@ -41,12 +45,14 @@ object FlacDecoder extends AudioDecoder {
 
   /** MSB-first bit reader with byte-range access for the CRCs. */
   private final class Bits(d: Array[Byte]) {
-    var pos = 0 // bit position
-    def bytePos: Int = pos >> 3
+    // Long bit position: an Int wraps negative past ~268 MB of frame
+    // bytes, silently degrading a large valid stream to None
+    var pos = 0L
+    def bytePos: Int = (pos >> 3).toInt
     def atEnd: Boolean = (pos >> 3) >= d.length
     def u1(): Int = {
       if ((pos >> 3) >= d.length) throw new Malformed
-      val b = (d(pos >> 3) >> (7 - (pos & 7))) & 1
+      val b = (d((pos >> 3).toInt) >> (7 - (pos & 7).toInt)) & 1
       pos += 1
       b
     }
@@ -78,10 +84,10 @@ object FlacDecoder extends AudioDecoder {
       }
       q
     }
-    def byteAlign(): Unit = { pos = (pos + 7) & ~7 }
+    def byteAlign(): Unit = { pos = (pos + 7) & ~7L }
     def skipBytes(n: Int): Unit = {
       if ((pos & 7) != 0 || n < 0) throw new Malformed
-      pos += n << 3
+      pos += n.toLong << 3
       if ((pos >> 3) > d.length) throw new Malformed
     }
   }

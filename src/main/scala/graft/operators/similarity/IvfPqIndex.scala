@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *   - `dir/centroids` — `(cell, centroid)`: the coarse quantizer.
   *   - `dir/codebooks` — `(subspace, code, lo, hi, centroid)`: the
   *     residual codebooks with their slice bounds.
-  *   - `dir/params` — one row of `(n_cells, m, ksub)`.
+  *   - `dir/params` — one row of `(n_cells, m, ksub, dim)`.
   *
   * The model tables are bounded by construction (nCells + m·ksub
   * rows), so loading them to the driver is the same bounded-collect
@@ -61,7 +61,8 @@ object IvfPqIndex {
     } yield (j, code, bs(j)._1, bs(j)._2, books(j)(code))).toDF(
       "subspace", "code", "lo", "hi", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq((nCells, m, ksub)).toDF("n_cells", "m", "ksub")
+    Seq((nCells, m, ksub, ctrs.head.length))
+      .toDF("n_cells", "m", "ksub", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
@@ -93,6 +94,17 @@ object IvfPqIndex {
     val spark = newCorpus.sparkSession
     import spark.implicits._
     val (ctrs, books, bs) = loadModel(spark, dir)
+    // loud dimension check (code-review r14): the encode loops carry
+    // min-length guards, so dimension-drifted vectors would otherwise
+    // be silently coded over a truncated slice and corrupt every
+    // subsequent query's ADC ranking. One cheap agg over the NEW rows.
+    val dim = ctrs.head.length
+    val range = newCorpus
+      .select(size(col(vecCol).cast("array<float>")).as("d"))
+      .agg(min(col("d")), max(col("d"))).collect().head
+    require(!range.isNullAt(0) && range.getInt(0) == dim && range.getInt(1) == dim,
+      s"append: new vectors must be $dim-dimensional like the index, " +
+        s"got sizes [${range.get(0)}, ${range.get(1)}]")
     val assigned = newCorpus.select(col(idCol).as("corpus_id"),
         col(vecCol).cast("array<float>").as("corpus_v"))
       .as[(Long, Array[Float])]

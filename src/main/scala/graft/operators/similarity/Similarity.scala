@@ -172,6 +172,19 @@ object Similarity {
     private[graft] def assignCells(corpus: DataFrame, nCells: Int,
                                    vecCol: String, idCol: String,
                                    maxTrain: Long): (DataFrame, Array[Array[Double]]) = {
+      val (assigned, ctrs, _) = assignCellsSampled(corpus, nCells, vecCol, idCol, maxTrain)
+      (assigned, ctrs)
+    }
+
+    /** [[assignCells]] plus the normalized training sample it already
+      * collected — so a caller that needs the same value-hash sample
+      * (IVF-PQ residual training) doesn't re-scan the corpus for it
+      * (one count + one collect saved per build).
+      */
+    private[similarity] def assignCellsSampled(corpus: DataFrame, nCells: Int,
+                                   vecCol: String, idCol: String,
+                                   maxTrain: Long)
+        : (DataFrame, Array[Array[Double]], Array[Array[Double]]) = {
       val spark = corpus.sparkSession
       import spark.implicits._
       // accept any numeric array (array<double> from upstream UDFs or
@@ -202,7 +215,7 @@ object Similarity {
       val assigned = c.mapPartitions { it =>
         it.map { case (id, v) => (id, v, nearest(normalized(v), ctrs)) }
       }.toDF("corpus_id", "corpus_v", "cell")
-      (assigned, ctrs)
+      (assigned, ctrs, sample)
     }
 
     def topK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -568,19 +581,13 @@ object Similarity {
         s"IVF-PQ needs 1 <= m and 2 <= ksub <= 256 (byte codes), got m=$m ksub=$ksub")
       val spark = corpus.sparkSession
       import spark.implicits._
-      val (assigned, ctrs) = IvfAnn.assignCells(corpus, nCells, vecCol, idCol, maxTrain)
-
-      // residual training sample: same value-hash selection discipline
-      // as PqAnn.train, assigned by the already-trained centroids
-      val c = corpus.select(col(idCol), col(vecCol).cast("array<float>"))
-        .as[(Long, Array[Float])]
-      val n = c.count()
-      val sampleDs =
-        if (n <= maxTrain) c
-        else c.where(pmod(xxhash64(col(idCol)),
-          lit((n + maxTrain - 1) / maxTrain)) === 0)
-      val residuals = sampleDs.collect().sortBy(_._1).map { case (_, v) =>
-        val x = PqAnn.normalize01(v)
+      // residual training reuses the SAME normalized value-hash sample
+      // assignCells already collected (code-review r14: the first cut
+      // re-ran the count + collect — two redundant full-corpus passes
+      // per build)
+      val (assigned, ctrs, sample) =
+        IvfAnn.assignCellsSampled(corpus, nCells, vecCol, idCol, maxTrain)
+      val residuals = sample.map { x =>
         val ctr = ctrs(IvfAnn.nearest(x, ctrs))
         Array.tabulate(x.length)(i => x(i) - (if (i < ctr.length) ctr(i) else 0.0))
       }

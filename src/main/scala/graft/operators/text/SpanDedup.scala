@@ -104,6 +104,10 @@ object SpanDedup {
     */
   def runHashed(df: DataFrame, w: Int = 50, minCount: Int = 2,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // loud up-front id check (the TextOps kernel-path rule): the typed
+    // kernel casts the id to long, and a non-integral id would
+    // otherwise null-collapse every removal group mid-job
+    TextOps.requireIntegralId(df, idCol, "SpanDedup.runHashed")
     val spark = df.sparkSession
     import spark.implicits._
     // (doc, start, hash) triples — window text is never materialized,
@@ -125,7 +129,7 @@ object SpanDedup {
     // kernel, so the planner sees defaultSize-priced stats and would
     // otherwise BROADCAST a corpus-sized side (measured: the unhinted
     // rewrite broadcast `removed` — millions of rows with start
-    // arrays — at sf100 and regressed 28 s → 241 s; the hot set is
+    // arrays — at sf100 and regressed 140 s → 241 s; the hot set is
     // O(distinct duplicated windows), also corpus-shaped at worst)
     val removed = winHashes.join(hot.hint("shuffle_hash"), Seq("wh"))
       .groupBy(idCol).agg(collect_set(col("start")).as("rm"))
@@ -137,8 +141,8 @@ object SpanDedup {
       .as[(Long, String, Option[Seq[Int]])]
       .mapPartitions { it =>
         it.map { case (id, text, rm) =>
-          if (text == null) // null-text rows: all-null like the r13 form
-            (id, Option.empty[String], Option.empty[Int], Option.empty[Int])
+          if (text == null) // match run() exactly: coalesced '' text, null counts
+            (id, Some(""), Option.empty[Int], Option.empty[Int])
           else {
             val (clean, nTokens, nRemoved) =
               SpanDedupKernel.rebuild(text, w, rm.getOrElse(Seq.empty))

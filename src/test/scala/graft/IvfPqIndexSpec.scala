@@ -75,5 +75,9 @@ class IvfPqIndexSpec extends AnyFunSuite {
     val top = IvfPqIndex.topK(dir, full, queries, k = 3).collect()
     assert(top.head.getLong(1) === 7L, "appended vector's NN must be its source")
     assert(top.head.getDouble(2) > 0.99)
+    // dimension drift fails loudly, never encodes a truncated slice
+    val wrongDim = Seq((10000L, Array.fill(32)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](IvfPqIndex.append(wrongDim, dir))
+    assert(e.getMessage.contains("64-dimensional"))
   }
 }

@@ -69,7 +69,9 @@ class SpanDedupSpec extends AnyFunSuite {
         (if (id % 5 == 0) Seq(b2) else Nil)
       (id.toLong, parts.mkString(" "))
     }.toDF("doc_id", "text")
-    for (corpus <- Seq(docs, mixed); k <- Seq(2, 3); w <- Seq(4, 6)) {
+    val withNull = mixed.unionAll(
+      Seq((9999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    for (corpus <- Seq(docs, mixed, withNull); k <- Seq(2, 3); w <- Seq(4, 6)) {
       val exact = SpanDedup.run(corpus, w = w, minCount = k).collect().toSeq
       val hashed = SpanDedup.runHashed(corpus, w = w, minCount = k).collect().toSeq
       assert(hashed === exact, s"w=$w minCount=$k")
