@@ -48,7 +48,9 @@ object LineDedup {
       .select("line")
     // blank lines are absent from `hot` by construction, so the plain
     // anti-join keeps them
-    val kept = lines.join(hot, Seq("line"), "left_anti")
+    // same join hardening as SpanDedup.run (round-14): the rebuilt-text
+    // aggregate must never ride a size-guessed broadcast
+    val kept = lines.join(hot.hint("shuffle_hash"), Seq("line"), "left_anti")
     val rebuilt = kept.groupBy(idCol).agg(
       array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
@@ -56,7 +58,7 @@ object LineDedup {
         "\n").as("text_clean"),
       count(lit(1)).as("n_kept"))
     df.select(col(idCol), size(split(col(textCol), "\n")).as("n_lines"))
-      .join(rebuilt, Seq(idCol), "left")
+      .join(rebuilt.hint("shuffle_merge"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         col("n_lines"),
@@ -78,10 +80,10 @@ object LineDedup {
       .where(col("count") >= minCount).select("lh")
     // inner join: output is boilerplate HITS only, the fraction being
     // removed — everything downstream is sized by it, not the corpus
-    val removed = lineHashes.join(hot, Seq("lh"))
+    val removed = lineHashes.join(hot.hint("shuffle_hash"), Seq("lh"))
       .groupBy(idCol).agg(collect_set(col("pos")).as("rm"))
     df.select(col(idCol), col(textCol))
-      .join(removed, Seq(idCol), "left")
+      .join(removed.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         array_join(
           filter(split(col(textCol), "\n"),

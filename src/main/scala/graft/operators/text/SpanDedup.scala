@@ -64,11 +64,19 @@ object SpanDedup {
       posexplode(windows(col("t"), w)).as(Seq("start", "win")))
     val hot = wins.groupBy("win").count()
       .where(col("count") >= minCount).select("win")
-    val covered = wins.join(hot, Seq("win"), "left_semi")
+    // distribution hints on every join in this path (round-14): the
+    // honest toRdd bench action exposed that under .count() the
+    // text_clean rebuild had been PRUNED for eleven rounds — when the
+    // full plan finally executed at sf100, the planner broadcast the
+    // rebuilt-text aggregate (GBs of document text behind a defaultSize
+    // aggregate estimate) and died at the driver result cap. Audit path
+    // = robustness first: sort-merge for wide rows, shuffle-hash for
+    // key sets.
+    val covered = wins.join(hot.hint("shuffle_hash"), Seq("win"), "left_semi")
       .select(col(idCol), explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
       .distinct()
     val tokens = toks.select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
-    val rebuilt = tokens.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = tokens.join(covered.hint("shuffle_hash"), Seq(idCol, "pos"), "left_anti")
       .groupBy(idCol).agg(
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
@@ -76,7 +84,7 @@ object SpanDedup {
           " ").as("text_clean"),
         count(lit(1)).as("n_kept"))
     df.select(col(idCol), size(split(col(textCol), " ")).as("n_tokens"))
-      .join(rebuilt, Seq(idCol), "left")
+      .join(rebuilt.hint("shuffle_merge"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         col("n_tokens"),
