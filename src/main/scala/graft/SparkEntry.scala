@@ -237,8 +237,17 @@ object SparkEntry {
     // ANN/embedding-dedup/SemDeDup directly (rows-only: the 64-bit
     // feature hash is not SQL-expressible; TextVectorsSpec pins the
     // contracts end-to-end)
+    // gate-safe projection: the driver's rows-only compare sorts in
+    // pandas, which cannot hash an array<float> cell — so the gate row
+    // explodes to one scalar row per (vec_id, idx) with the value
+    // rounded to 4dp (verdict-r14 #1). Callers keep the array API
+    // (TextVectors.run); the exploded form attests every component.
     "text_vectorize" -> ((s, d) =>
-      TextVectors.run(Tables(s, d, "documents"))),
+      TextVectors.run(Tables(s, d, "documents"))
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("idx"),
+          org.apache.spark.sql.functions.round(col("col").cast("double"), 4).as("value"))),
     // sliding-window passage chunking (SURVEY §2 #35l): window/stride
     // sized so the 10-99-token synthetic docs yield 1-4 chunks each,
     // with 8 tokens of overlap exercising every arm of the walk

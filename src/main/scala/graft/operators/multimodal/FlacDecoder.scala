@@ -296,6 +296,11 @@ object FlacDecoder extends AudioDecoder {
       case 6 => 24
       case 7 => 32
     }
+    // normalization always divides by 2^(si.bps-1), so a spec-invalid
+    // stream whose frame header disagrees with STREAMINFO would decode
+    // at the wrong amplitude — degrade to None instead (advice-r14;
+    // RFC 9639 §9.1.3 requires the coded value to match STREAMINFO)
+    if (bps != si.bps) throw new Malformed
     val headerEnd = br.bytePos
     val hcrc = br.u(8)
     if (crc8(d, frameStart, headerEnd) != hcrc) throw new Malformed

@@ -83,6 +83,19 @@ object IvfPqIndex {
     val bySubspace = bookRows.groupBy(_._1).toArray.sortBy(_._1)
     val books = bySubspace.map(_._2.sortBy(_._2).map(_._5))
     val bs = bySubspace.map { case (_, rows) => (rows.head._3, rows.head._4) }
+    // dir/params is the index's declared shape; validate the model
+    // tables against it on every load (advice-r14: a params row that
+    // silently disagrees with centroids/codebooks — manual edit,
+    // partial overwrite — must fail here, not corrupt a query)
+    val p = spark.read.parquet(s"$dir/params")
+      .select("n_cells", "m", "ksub", "dim").collect().head
+    require(p.getInt(0) == ctrs.length && p.getInt(1) == books.length &&
+        books.forall(_.length == p.getInt(2)) && p.getInt(3) == ctrs.head.length,
+      s"$dir/params declares (n_cells=${p.get(0)}, m=${p.get(1)}, " +
+        s"ksub=${p.get(2)}, dim=${p.get(3)}) but the model tables hold " +
+        s"(${ctrs.length}, ${books.length}, " +
+        s"${books.map(_.length).distinct.mkString("/")}, ${ctrs.head.length}) " +
+        "— the index is internally inconsistent; rebuild it")
     (ctrs, books, bs)
   }
 
@@ -97,14 +110,16 @@ object IvfPqIndex {
     // loud dimension check (code-review r14): the encode loops carry
     // min-length guards, so dimension-drifted vectors would otherwise
     // be silently coded over a truncated slice and corrupt every
-    // subsequent query's ADC ranking. One cheap agg over the NEW rows.
+    // subsequent query's ADC ranking. The shared helper also rejects
+    // NULL vectors (advice-r14: min/max aggregates skip nulls, so a
+    // null row used to pass the check and NPE inside the encode task).
+    // One cheap agg over the NEW rows.
     val dim = ctrs.head.length
-    val range = newCorpus
-      .select(size(col(vecCol).cast("array<float>")).as("d"))
-      .agg(min(col("d")), max(col("d"))).collect().head
-    require(!range.isNullAt(0) && range.getInt(0) == dim && range.getInt(1) == dim,
-      s"append: new vectors must be $dim-dimensional like the index, " +
-        s"got sizes [${range.get(0)}, ${range.get(1)}]")
+    val vDf = newCorpus.select(col(vecCol).cast("array<float>").as("v"))
+    val (nNew, newDim) =
+      Similarity.requireUniformVectors(vDf, "v", vecCol, "IvfPqIndex.append")
+    require(nNew == 0 || newDim == dim,
+      s"append: new vectors must be $dim-dimensional like the index, got $newDim")
     val assigned = newCorpus.select(col(idCol).as("corpus_id"),
         col(vecCol).cast("array<float>").as("corpus_v"))
       .as[(Long, Array[Float])]
@@ -125,12 +140,13 @@ object IvfPqIndex {
   def topK(dir: String, corpus: DataFrame, queries: DataFrame, k: Int,
            nProbe: Int = Similarity.IvfPqAnn.DefaultProbe,
            refine: Int = Similarity.IvfPqAnn.DefaultRefine,
-           vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+           vecCol: String = "embedding", idCol: String = "vec_id",
+           maxQueryBatch: Long = Similarity.DefaultMaxQueryBatch): DataFrame = {
     val spark = corpus.sparkSession
     val (ctrs, books, bs) = loadModel(spark, dir)
     val coded = spark.read.parquet(s"$dir/codes")
       .select(col("vec_id"), col("cell"), col("codes"))
     Similarity.IvfPqAnn.queryCoded(coded, ctrs, books, bs, corpus, queries,
-      k, nProbe, refine, vecCol, idCol)
+      k, nProbe, refine, vecCol, idCol, maxQueryBatch)
   }
 }

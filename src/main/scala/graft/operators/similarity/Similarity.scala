@@ -23,10 +23,55 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The query-side size contract, ENFORCED (verdict-r14 #5): every ANN
+    * path here either broadcasts the query frame or rides it on the
+    * task closure, so a corpus-sized query set fails at the 8 GiB
+    * broadcast cap / driver heap with an opaque OOM. This makes the
+    * contract a loud check instead of a docstring: one count (columns
+    * prune to nothing) before the collect/broadcast, with the
+    * corpus-vs-corpus escape hatch named in the message.
+    */
+  val DefaultMaxQueryBatch = 1000000L
+
+  private[similarity] def requireBoundedQueries(queries: DataFrame,
+                                                maxQueryBatch: Long,
+                                                op: String): Long = {
+    val n = queries.count()
+    require(n <= maxQueryBatch,
+      s"$op query-side size contract: got $n query rows > maxQueryBatch=" +
+        s"$maxQueryBatch. The query frame is broadcast / driver-collected " +
+        "by design; for corpus-vs-corpus all-pairs similarity use " +
+        "Dedup.EmbeddingDedup (shuffle-shaped for two unbounded sides), " +
+        "or raise maxQueryBatch explicitly if the batch genuinely fits.")
+    n
+  }
+
+  /** One aggregate over the corpus frame: total rows, non-null vectors,
+    * min/max vector length — fails loudly on null vectors or mixed
+    * dimensions (advice-r14: the typed encode/nearest kernels guard
+    * with min-length, which would otherwise turn dimension drift into
+    * silent truncation and a null vector into an opaque task NPE).
+    * Returns (row count, shared dimension; -1 when empty) so callers
+    * reuse the pass they were already paying for.
+    */
+  private[similarity] def requireUniformVectors(df: DataFrame, vCol: String,
+                                                userCol: String, op: String): (Long, Int) = {
+    val r = df.agg(count(lit(1)), count(col(vCol)),
+      min(size(col(vCol))), max(size(col(vCol)))).collect().head
+    val n = r.getLong(0)
+    require(r.getLong(1) == n,
+      s"$op: ${n - r.getLong(1)} null $userCol rows — drop or impute them before indexing")
+    require(n == 0 || r.getInt(2) == r.getInt(3),
+      s"$op: mixed $userCol dimensions [${r.get(2)}, ${r.get(3)}] — every vector must share one dimension")
+    (n, if (n == 0) -1 else r.getInt(2))
+  }
+
   /** Exact brute-force top-k by cosine. Queries broadcast (small side). */
   object CosineTopK {
     def run(corpus: DataFrame, queries: DataFrame, k: Int,
-            vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+            vecCol: String = "embedding", idCol: String = "vec_id",
+            maxQueryBatch: Long = DefaultMaxQueryBatch): DataFrame = {
+      requireBoundedQueries(queries, maxQueryBatch, "CosineTopK")
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
@@ -190,17 +235,20 @@ object Similarity {
       // accept any numeric array (array<double> from upstream UDFs or
       // parquet written by another engine): an explicit cast to
       // array<float> — the typed encoder alone rejects double arrays
-      val c = corpus.select(col(idCol).as("corpus_id"),
-          col(vecCol).cast("array<float>").as("corpus_v"))
-        .as[(Long, Array[Float])]
+      val cDf = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<float>").as("corpus_v"))
+      val c = cDf.as[(Long, Array[Float])]
       // training sample selected by VALUE (hash of the id), never by
       // partition layout: limit()/sample() change contents when file
       // splits shift, which would silently change trained centroids —
       // and thus recall — between cluster runs over the same data.
-      // The count prunes to an empty schema (cheap pass); total corpus
-      // reads = count + sample-collect + assignment, versus one pass
-      // PER LLOYD ROUND for distributed training
-      val n = c.count()
+      // The count pass doubles as the dim/null validation (advice-r14:
+      // the encode/nearest loops carry min-length guards, so a
+      // dimension-drifted or null vector would otherwise be silently
+      // truncated/NPE'd) — one aggregate, zero extra corpus scans.
+      // Total corpus reads = stats-agg + sample-collect + assignment,
+      // versus one pass PER LLOYD ROUND for distributed training
+      val (n, _) = requireUniformVectors(cDf, "corpus_v", vecCol, "IVF train")
       val train =
         if (n <= maxTrain) c
         else c.where(pmod(xxhash64(col("corpus_id")),
@@ -221,7 +269,9 @@ object Similarity {
     def topK(corpus: DataFrame, queries: DataFrame, k: Int,
              nCells: Int = DefaultCells, nProbe: Int = DefaultProbe,
              vecCol: String = "embedding", idCol: String = "vec_id",
-             maxTrain: Long = MaxTrainRows): DataFrame = {
+             maxTrain: Long = MaxTrainRows,
+             maxQueryBatch: Long = DefaultMaxQueryBatch): DataFrame = {
+      requireBoundedQueries(queries, maxQueryBatch, "IvfAnn.topK")
       val spark = corpus.sparkSession
       val (assigned, ctrs) = assignCells(corpus, nCells, vecCol, idCol, maxTrain)
 
@@ -318,7 +368,9 @@ object Similarity {
       */
     def topK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
              bits: Int = DefaultBits, tables: Int = DefaultTables,
-             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             maxQueryBatch: Long = DefaultMaxQueryBatch): DataFrame = {
+      requireBoundedQueries(queries, maxQueryBatch, "LshAnn.topK")
       val planes = hyperplanes(dim, bits, tables)
       def bucketed(df: DataFrame, side: String) =
         withBuckets(df, side, planes, vecCol, idCol)
@@ -393,9 +445,11 @@ object Similarity {
         s"PQ needs 1 <= m and 2 <= ksub <= 256 (byte codes), got m=$m ksub=$ksub")
       val spark = corpus.sparkSession
       import spark.implicits._
-      val c = corpus.select(col(idCol), col(vecCol).cast("array<float>"))
-        .as[(Long, Array[Float])]
-      val n = c.count()
+      val cDf = corpus.select(col(idCol), col(vecCol).cast("array<float>").as(vecCol))
+      val c = cDf.as[(Long, Array[Float])]
+      // count pass doubles as the dim/null validation (advice-r14) —
+      // build now fails as loudly as IvfPqIndex.append does
+      val (n, _) = requireUniformVectors(cDf, vecCol, vecCol, "PQ train")
       val sampleDs =
         if (n <= maxTrain) c
         else c.where(pmod(xxhash64(col(idCol)),
@@ -461,7 +515,9 @@ object Similarity {
              m: Int = DefaultM, ksub: Int = DefaultKsub,
              refine: Int = DefaultRefine,
              vecCol: String = "embedding", idCol: String = "vec_id",
-             maxTrain: Long = MaxTrainRows): DataFrame = {
+             maxTrain: Long = MaxTrainRows,
+             maxQueryBatch: Long = DefaultMaxQueryBatch): DataFrame = {
+      requireBoundedQueries(queries, maxQueryBatch, "PqAnn.topK")
       val spark = corpus.sparkSession
       import spark.implicits._
       val (books, bs) = train(corpus, m, ksub, vecCol, idCol, maxTrain)
@@ -648,13 +704,14 @@ object Similarity {
              m: Int = DefaultM, ksub: Int = DefaultKsub,
              refine: Int = DefaultRefine,
              vecCol: String = "embedding", idCol: String = "vec_id",
-             maxTrain: Long = MaxTrainRows): DataFrame = {
+             maxTrain: Long = MaxTrainRows,
+             maxQueryBatch: Long = DefaultMaxQueryBatch): DataFrame = {
       val spark = corpus.sparkSession
       import spark.implicits._
       val (coded, ctrs, books, bs) =
         trainAndEncode(corpus, nCells, m, ksub, vecCol, idCol, maxTrain)
       queryCoded(coded, ctrs, books, bs, corpus, queries, k, nProbe, refine,
-        vecCol, idCol)
+        vecCol, idCol, maxQueryBatch)
     }
 
     /** The query half: ADC over an already-encoded `(vec_id, cell,
@@ -667,7 +724,9 @@ object Similarity {
                                        bs: Array[(Int, Int)],
                                        corpus: DataFrame, queries: DataFrame,
                                        k: Int, nProbe: Int, refine: Int,
-                                       vecCol: String, idCol: String): DataFrame = {
+                                       vecCol: String, idCol: String,
+                                       maxQueryBatch: Long = DefaultMaxQueryBatch): DataFrame = {
+      requireBoundedQueries(queries, maxQueryBatch, "IvfPqAnn.queryCoded")
       val spark = corpus.sparkSession
       import spark.implicits._
       val qArr = queries.select(col(idCol), col(vecCol).cast("array<float>"))

@@ -104,10 +104,15 @@ object KeywordSearch {
     val queryTerms = pairs.groupBy(_._1).view
       .mapValues(_.map(p => termIdx(p._2)).toArray).toArray.sortBy(_._1)
 
-    // pass 2: row-local scoring — no shuffle until the top-k window
+    // pass 2: row-local scoring — no shuffle until the top-k window.
+    // doc_id is cast back to the input column's type so the kernel and
+    // Catalyst paths share one output schema (advice-r14: an int/short
+    // id frame would otherwise come back LongType here but
+    // original-typed from exprBm25, breaking the pinned equality)
     val scored = base.mapPartitions(it =>
       Bm25Kernel.scorePartition(it, ts, idf, avgdl, queryTerms, k1, b))
       .toDF("query_id", "doc_id", "score_raw")
+      .withColumn("doc_id", col("doc_id").cast(docs.schema(idCol).dataType))
     rankTail(scored, k)
   }
 

@@ -118,6 +118,12 @@ object SpanDedup {
     TextOps.requireIntegralId(df, idCol, "SpanDedup.runHashed")
     val spark = df.sparkSession
     import spark.implicits._
+    // the kernel works on long ids; cast the OUTPUT id back to the
+    // input column's type so both paths share one output schema
+    // (advice-r14: an int/short doc_id frame would otherwise come back
+    // LongType here but original-typed from run(), silently breaking
+    // the pinned hashed ≡ exact row equality)
+    val idType = df.schema(idCol).dataType
     // (doc, start, hash) triples — window text is never materialized,
     // let alone shuffled; one token-hash pass + one rolling pass per doc
     val winHashes = df.select(col(idCol).cast("long"), col(textCol))
@@ -158,6 +164,7 @@ object SpanDedup {
           }
         }
       }.toDF(idCol, "text_clean", "n_tokens", "n_removed")
+      .withColumn(idCol, col(idCol).cast(idType))
       .orderBy(idCol)
   }
 

@@ -179,4 +179,19 @@ class FlacDecoderSpec extends AnyFunSuite {
       blockSize = 128, totalSamplesOverride = 0L)
     assert(decodeFlac(unknown).length === 300)
   }
+
+  test("frame-header bps disagreeing with STREAMINFO degrades to None") {
+    // RFC 9639 §9.1.3: the frame's coded sample size must match
+    // STREAMINFO. A spec-invalid stream whose frames honestly code
+    // 8-bit samples under a 12-bit STREAMINFO would otherwise decode
+    // cleanly (CRCs pass — they cover bytes, not interpretation) at
+    // 1/16th the true amplitude. advice-r14.
+    val pcm = signal(256, 7, amp = 20) // ±20+7+100 < 128: fits 8 bits
+    val bad = encode(Array(pcm), bps = 8, sampleRate = 8000,
+      blockSize = 128, siBpsOverride = 12)
+    assert(FlacDecoder.decode(bad).isEmpty)
+    // sanity: the same stream without the override decodes
+    val good = encode(Array(pcm), bps = 8, sampleRate = 8000, blockSize = 128)
+    assert(decodeFlac(good).length === 256)
+  }
 }

@@ -202,7 +202,8 @@ object FlacTestEncoder {
   def encode(channels: Array[Array[Int]], bps: Int, sampleRate: Int,
              blockSize: Int, stereo: StereoMode = Independent,
              sub: (Int, Int) => Sub = (_, _) => Verbatim,
-             totalSamplesOverride: Long = -1L): Array[Byte] = {
+             totalSamplesOverride: Long = -1L,
+             siBpsOverride: Int = -1): Array[Byte] = {
     require(channels.nonEmpty && channels.forall(_.length == channels(0).length))
     val total = channels(0).length
     val head = new BitWriter
@@ -213,7 +214,11 @@ object FlacTestEncoder {
     head.bits(0, 24); head.bits(0, 24)
     head.bits(sampleRate, 20)
     head.bits(channels.length - 1, 3)
-    head.bits(bps - 1, 5)
+    // siBpsOverride lets a spec construct the RFC-9639-invalid case
+    // where STREAMINFO bps disagrees with every frame header's coded
+    // sample size — the decoder must degrade to None, not decode at
+    // the wrong amplitude
+    head.bits((if (siBpsOverride > 0) siBpsOverride else bps) - 1, 5)
     head.bits(if (totalSamplesOverride >= 0) totalSamplesOverride else total.toLong, 36)
     for (_ <- 0 until 16) head.bits(0, 8) // MD5 unset
     val out = new ArrayBuffer[Byte]()

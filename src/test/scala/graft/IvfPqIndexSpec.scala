@@ -79,5 +79,28 @@ class IvfPqIndexSpec extends AnyFunSuite {
     val wrongDim = Seq((10000L, Array.fill(32)(0.1f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException](IvfPqIndex.append(wrongDim, dir))
     assert(e.getMessage.contains("64-dimensional"))
+    // a null vector used to slip past the min/max aggregates (they
+    // skip nulls) and NPE inside the encode task — now rejected with
+    // the same loud message class (advice-r14)
+    val withNull = Seq((10001L, Some(Array.fill(64)(0.1f))), (10002L, None))
+      .toDF("vec_id", "embedding")
+    val eNull = intercept[IllegalArgumentException](IvfPqIndex.append(withNull, dir))
+    assert(eNull.getMessage.contains("null"))
+  }
+
+  test("params disagreeing with the model tables fails on load, not in a query") {
+    val corpus = clustered(53)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_params").toString
+    IvfPqIndex.build(corpus, dir)
+    // sanity: consistent index loads and answers
+    assert(IvfPqIndex.topK(dir, corpus, corpus.where(col("vec_id") < 2), 3).count() > 0)
+    // tamper params (manual edit / partial overwrite): dir/params is
+    // the declared shape, and a second source of truth must be
+    // VALIDATED against the model tables on every load (advice-r14)
+    Seq((99, 8, 16, 64)).toDF("n_cells", "m", "ksub", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val e = intercept[IllegalArgumentException](
+      IvfPqIndex.topK(dir, corpus, corpus.where(col("vec_id") < 2), 3))
+    assert(e.getMessage.contains("internally inconsistent"))
   }
 }

@@ -81,4 +81,16 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
     assert(out.head.schema.fieldNames.toSeq === Seq("doc_id", "score", "rank"))
   }
+
+  test("int doc_id: kernel path returns the input's id type, like exprBm25") {
+    // advice-r14: the kernel casts ids to long internally; the output
+    // must come back in the input column's type so the fuzz-pinned
+    // kernel ≡ expression equality holds for int/short id frames too
+    val intDocs = corpus.map { case (id, t) => (id.toInt, t) }.toDF("doc_id", "text")
+    val q = Seq(0 -> "spark merge")
+    val kernel = KeywordSearch.bm25(intDocs, q, k = 5)
+    val expr = KeywordSearch.exprBm25(intDocs, q, k = 5)
+    assert(kernel.schema("doc_id").dataType === expr.schema("doc_id").dataType)
+    assert(kernel.collect().toSeq === expr.collect().toSeq)
+  }
 }

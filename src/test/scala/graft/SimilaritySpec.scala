@@ -228,4 +228,43 @@ class SimilaritySpec extends AnyFunSuite {
     // the antipodal vector has the complement signature — never bucketed
     assert(!res.contains(3L))
   }
+
+  test("query-side size contract fails fast, not at the broadcast cap") {
+    // verdict-r14 #5: every ANN path broadcasts / driver-collects the
+    // query frame, so a corpus-sized query set must be rejected with a
+    // message naming the escape hatch — before any collect happens
+    val q = emb.where(col("vec_id") < NQ)
+    for ((name, thunk) <- Seq[(String, () => Any)](
+      "cosine" -> (() => Similarity.CosineTopK.run(emb, q, K, maxQueryBatch = 1)),
+      "ivf"    -> (() => Similarity.IvfAnn.topK(emb, q, K, maxQueryBatch = 1)),
+      "lsh"    -> (() => Similarity.LshAnn.topK(emb, q, K, dim = 64, maxQueryBatch = 1)),
+      "pq"     -> (() => Similarity.PqAnn.topK(emb, q, K, maxQueryBatch = 1)),
+      "ivfpq"  -> (() => Similarity.IvfPqAnn.topK(emb, q, K, maxQueryBatch = 1)))) {
+      val e = intercept[IllegalArgumentException](thunk())
+      assert(e.getMessage.contains("query-side size contract"), name)
+      assert(e.getMessage.contains("EmbeddingDedup"), name)
+    }
+  }
+
+  test("null vectors and mixed dimensions are rejected loudly at train time") {
+    import spark.implicits._
+    val q = Seq((0L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    // a null embedding row: min/max aggregates would skip it, so the
+    // shared validator counts non-null vectors explicitly (advice-r14)
+    val withNull = Seq((0L, Some(Array.fill(8)(0.5f))), (1L, None))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.IvfAnn.topK(withNull, q, 1))
+    assert(e1.getMessage.contains("null"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.PqAnn.topK(withNull, q, 1))
+    assert(e2.getMessage.contains("null"))
+    // dimension drift: the encode/nearest kernels carry min-length
+    // guards, so without the check this would silently truncate
+    val mixed = Seq((0L, Array.fill(8)(0.5f)), (1L, Array.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.IvfPqAnn.topK(mixed, q, 1))
+    assert(e3.getMessage.contains("mixed"))
+  }
 }

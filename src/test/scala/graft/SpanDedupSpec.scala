@@ -109,4 +109,21 @@ class SpanDedupSpec extends AnyFunSuite {
     // double space = empty token in the single-space convention
     assert(SpanDedupKernel.rebuild("a  b c", 2, Seq(2)) === (("a ", 4, 2)))
   }
+
+  test("int doc_id: hashed path returns the input's id type, like the exact path") {
+    // advice-r14: the kernel works on longs, so without the output
+    // cast an int-id frame came back LongType from runHashed but
+    // IntegerType from run() — schema drift that silently broke the
+    // pinned hashed ≡ exact equality for exactly the integral types
+    // requireIntegralId admits
+    import spark.implicits._
+    val phrase = (1 to 6).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1, s"$phrase unique one"), (2, s"$phrase unique two"), (3, "short doc"))
+      .toDF("doc_id", "text")
+    val exact = SpanDedup.run(docs, w = 4)
+    val hashed = SpanDedup.runHashed(docs, w = 4)
+    assert(hashed.schema("doc_id").dataType === exact.schema("doc_id").dataType)
+    assert(hashed.collect().toSeq === exact.collect().toSeq)
+  }
 }
