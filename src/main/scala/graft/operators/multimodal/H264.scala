@@ -11,11 +11,14 @@ import java.awt.image.BufferedImage
   *  - Annex-B byte streams: start-code NAL parsing with emulation-
   *    prevention removal (spec 7.3/7.4, B.1).
   *  - SPS/PPS for Baseline/Main-style streams: `frame_mbs_only`,
-  *    4:2:0, CAVLC entropy coding, one slice group.
-  *  - IDR / I slices only: I_4x4, I_16x16 and I_PCM macroblocks with
-  *    full CAVLC residual decoding (spec 9.2), intra prediction
-  *    (8.3.1-8.3.4), dequantization and the integer inverse transforms
-  *    (8.5.10-8.5.12). Inter (P/B) slices and CABAC are NOT decoded:
+  *    4:2:0, one slice group; BOTH entropy codings — CAVLC (spec 9.2,
+  *    in this file) and, since round 15, CABAC (spec 9.3, the
+  *    Main/High-profile coding real corpora overwhelmingly use —
+  *    [[H264Cabac]], behind the [[MbSyntax]] seam).
+  *  - IDR / I slices only: I_4x4, I_16x16 and I_PCM macroblocks
+  *    (I_PCM under CAVLC only) with full residual decoding, intra
+  *    prediction (8.3.1-8.3.4), dequantization and the integer inverse
+  *    transforms (8.5.10-8.5.12). Inter (P/B) slices are NOT decoded:
   *    [[decode]] skips such NAL units, yielding the keyframes — which
   *    is exactly what a frame-sampling training-data pipeline wants
   *    from a video corpus. A full-GOP decoder remains adapter
@@ -40,8 +43,10 @@ object H264 {
 
   /** Thrown internally on truncated/invalid input; every public entry
     * catches it and degrades to None (the decode-leg contract).
+    * `private[multimodal]` so the CABAC layer ([[H264Cabac]]) shares the
+    * same degrade signal.
     */
-  private final class BitstreamEnd extends RuntimeException
+  private[multimodal] final class BitstreamEnd extends RuntimeException
 
   final class BitReader(val d: Array[Byte]) {
     private var pos = 0 // bit position
@@ -141,7 +146,8 @@ object H264 {
   }
 
   final case class Pps(picInitQp: Int, chromaQpIndexOffset: Int,
-                       deblockingControlPresent: Boolean)
+                       deblockingControlPresent: Boolean,
+                       cabac: Boolean = false)
 
   /** Parse an SPS RBSP. None for profiles/features outside the
     * baseline-intra scope (the degrade contract, not an error).
@@ -181,12 +187,15 @@ object H264 {
       mbW, mbHUnits, cl, cr, ct, cb))
   } catch { case _: BitstreamEnd => None }
 
-  /** Parse a PPS RBSP; None for CABAC / slice groups (out of scope). */
+  /** Parse a PPS RBSP; None for slice groups (out of scope). CABAC
+    * streams are decoded since round 15 (entropy layer in
+    * [[H264Cabac]]).
+    */
   def parsePps(rbsp: Array[Byte]): Option[Pps] = try {
     val r = new BitReader(rbsp)
     r.ue() // pic_parameter_set_id
     r.ue() // seq_parameter_set_id
-    if (r.u1() == 1) return None // entropy_coding_mode_flag: CABAC
+    val cabac = r.u1() == 1 // entropy_coding_mode_flag
     r.u1() // bottom_field_pic_order_in_frame_present_flag
     if (r.ue() != 0) return None // num_slice_groups_minus1
     r.ue(); r.ue() // num_ref_idx defaults
@@ -198,7 +207,7 @@ object H264 {
     val deblock = r.u1() == 1
     r.u1() // constrained_intra_pred_flag (all-intra: no effect here)
     r.u1() // redundant_pic_cnt_present_flag
-    Some(Pps(picInitQp, chromaQpOff, deblock))
+    Some(Pps(picInitQp, chromaQpOff, deblock, cabac))
   } catch { case _: BitstreamEnd => None }
 
   // ---------------------------------------------------------------
@@ -456,78 +465,144 @@ object H264 {
   @inline private def clip255(v: Int): Int =
     if (v < 0) 0 else if (v > 255) 255 else v
 
-  /** Per-frame decode state and the slice/macroblock layers. */
-  private def decodeSlice(rbsp: Array[Byte], sps: Sps,
-                          pps: Pps): Option[Frame] = {
-    val r = new BitReader(rbsp)
-    // ---- slice header (7.3.3), IDR shape ----
-    if (r.ue() != 0) return None // first_mb_in_slice: single-slice frames only
-    val sliceType = r.ue()
-    if (sliceType != 2 && sliceType != 7) return None // I slices only
-    r.ue() // pic_parameter_set_id
-    r.u(sps.log2MaxFrameNum) // frame_num
-    r.ue() // idr_pic_id
-    if (sps.pocType == 0) r.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
-    // (bottom_field_poc absent: frame_mbs_only + no field flag in PPS scope)
-    // dec_ref_pic_marking, IDR arm (7.3.3.3): IDR NALs have
-    // nal_ref_idc != 0, so the two flags are always present
-    r.u1() // no_output_of_prior_pics_flag
-    r.u1() // long_term_reference_flag
-    val sliceQpDelta = r.se()
-    var qpY = pps.picInitQp + sliceQpDelta
-    if (qpY < 0 || qpY > 51) return None
-    if (pps.deblockingControlPresent) {
-      val idc = r.ue()
-      if (idc != 1) { r.se(); r.se() }
-      // NOTE: the in-loop deblocking filter is NOT applied (boundary
-      // documented in SURVEY §2 #36c) — streams produced with
-      // disable_deblocking_filter_idc == 1 reconstruct exactly.
-    }
+  // ---------------------------------------------------------------
+  // Entropy-syntax seam (round 15): the MB-layer SYNTAX differs between
+  // CAVLC and CABAC, the reconstruction does not. decodeSlice drives
+  // one MB loop against this trait; [[CavlcSyntax]] is the baseline
+  // implementation, [[H264Cabac.Syntax]] the Main-profile one. Each
+  // implementation owns its OWN neighbor bookkeeping (CAVLC: per-block
+  // totalCoeff for nC; CABAC: per-block coded_block_flags, per-MB
+  // type/cbp/chroma-mode/qp-delta context).
+  // ---------------------------------------------------------------
 
-    val mbW = sps.mbWidth
-    val mbH = sps.mbHeight
-    val lumaW = mbW * 16
-    val chromaW = mbW * 8
-    val y = new Array[Int](lumaW * mbH * 16)
-    val cb = new Array[Int](chromaW * mbH * 8)
-    val cr = new Array[Int](chromaW * mbH * 8)
+  /** Residual block categories (spec ctxBlockCat, also used to pick the
+    * CAVLC nC rule): 0 Intra16x16DC, 1 Intra16x16AC, 2 Luma4x4,
+    * 3 ChromaDC, 4 ChromaAC.
+    */
+  private[multimodal] trait MbSyntax {
+    /** I-slice mb_type (0 I_4x4, 1..24 I_16x16, 25 I_PCM). */
+    def readMbType(mbX: Int, mbY: Int): Int
+    /** Whether I_PCM macroblocks are decodable in this entropy mode. */
+    def pcmSupported: Boolean
+    /** Record an I_PCM MB in the neighbor state. */
+    def markPcm(mbX: Int, mbY: Int): Unit
+    def readIntra4x4ModeFlag(): Boolean
+    def readRemIntra4x4Mode(): Int
+    def readChromaPredMode(mbX: Int, mbY: Int): Int
+    /** coded_block_pattern for an I_4x4 MB (luma | chroma << 4). */
+    def readCbpI4x4(mbX: Int, mbY: Int): Int
+    def readQpDelta(): Int
+    /** One residual block in zigzag order (length maxCoeff). `coded`
+      * false = the cbp gates this block off: record the
+      * no-residual state and return zeros without consuming bits
+      * (CAVLC) / without a coded_block_flag (CABAC). (bx, by) are grid
+      * coords in the category's block grid (luma 4x4 / chroma 2x2 per
+      * MB); comp selects Cb/Cr for chroma categories.
+      */
+    def residual(cat: Int, comp: Int, bx: Int, by: Int, mbX: Int, mbY: Int,
+                 coded: Boolean, maxCoeff: Int): Array[Int]
+    /** End-of-MB hook: neighbor-state updates and (CABAC) the
+      * end_of_slice_flag, which must match `lastMb` in the one-slice-
+      * per-frame scope.
+      */
+    def endMb(mbX: Int, mbY: Int, mbType: Int, cbp: Int, chromaMode: Int,
+              qpDeltaNonZero: Boolean, lastMb: Boolean): Unit
+  }
 
-    // per-4x4-block CAVLC totalCoeff state for nC derivation (9.2.1):
-    // luma indexed [mbH*4][mbW*4], chroma per component [mbH*2][mbW*2]
-    val lumaNz = Array.fill(mbH * 4, mbW * 4)(-1) // -1 = not yet decoded
-    val cbNz = Array.fill(mbH * 2, mbW * 2)(-1)
-    val crNz = Array.fill(mbH * 2, mbW * 2)(-1)
-    // per-MB record of intra4x4 pred modes (-1 for non-I4x4 MBs), for
-    // predIntra4x4PredMode derivation (8.3.1.1)
-    val predModes = Array.fill(mbH * 4, mbW * 4)(-1)
-    // per-MB "is decoded" for intra-pred sample availability
-    var curMbAddr = 0
+  /** Baseline CAVLC syntax — the round-14 parse, now behind the seam.
+    * Owns the per-block totalCoeff grids that drive nC (9.2.1).
+    */
+  private final class CavlcSyntax(r: BitReader, mbW: Int, mbH: Int) extends MbSyntax {
+    private val lumaNz = Array.fill(mbH * 4, mbW * 4)(-1) // -1 = not yet decoded
+    private val cbNz = Array.fill(mbH * 2, mbW * 2)(-1)
+    private val crNz = Array.fill(mbH * 2, mbW * 2)(-1)
 
-    /** nC for a luma 4x4 at block coords (bx, by) (9.2.1). */
-    def lumaNC(bx: Int, by: Int): Int = {
+    private def lumaNC(bx: Int, by: Int): Int = {
       val nA = if (bx > 0) lumaNz(by)(bx - 1) else -1
       val nB = if (by > 0) lumaNz(by - 1)(bx) else -1
-      val availA = nA >= 0
-      val availB = nB >= 0
-      if (availA && availB) (nA + nB + 1) >> 1
-      else if (availA) nA
-      else if (availB) nB
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA
+      else if (nB >= 0) nB
       else 0
     }
-    def chromaNC(nz: Array[Array[Int]], bx: Int, by: Int): Int = {
+    private def chromaNC(nz: Array[Array[Int]], bx: Int, by: Int): Int = {
       val nA = if (bx > 0) nz(by)(bx - 1) else -1
       val nB = if (by > 0) nz(by - 1)(bx) else -1
-      val availA = nA >= 0
-      val availB = nB >= 0
-      if (availA && availB) (nA + nB + 1) >> 1
-      else if (availA) nA
-      else if (availB) nB
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA
+      else if (nB >= 0) nB
       else 0
     }
+
+    def readMbType(mbX: Int, mbY: Int): Int = {
+      val t = r.ue()
+      if (t > 25) throw new BitstreamEnd
+      t
+    }
+    def pcmSupported: Boolean = true
+    def markPcm(mbX: Int, mbY: Int): Unit = {
+      // nC state: PCM macroblocks count as 16 per block (9.2.1)
+      var b = 0
+      while (b < 16) {
+        val (px, py) = Luma4x4Pos(b)
+        lumaNz(mbY * 4 + py / 4)(mbX * 4 + px / 4) = 16
+        b += 1
+      }
+      var cy = 0
+      while (cy < 2) {
+        var cx = 0
+        while (cx < 2) {
+          cbNz(mbY * 2 + cy)(mbX * 2 + cx) = 16
+          crNz(mbY * 2 + cy)(mbX * 2 + cx) = 16
+          cx += 1
+        }
+        cy += 1
+      }
+    }
+    def readIntra4x4ModeFlag(): Boolean = r.u1() == 1
+    def readRemIntra4x4Mode(): Int = r.u(3)
+    def readChromaPredMode(mbX: Int, mbY: Int): Int = {
+      val m = r.ue()
+      if (m > 3) throw new BitstreamEnd
+      m
+    }
+    def readCbpI4x4(mbX: Int, mbY: Int): Int = {
+      val code = r.ue()
+      if (code > 47) throw new BitstreamEnd
+      CbpIntra(code)
+    }
+    def readQpDelta(): Int = r.se()
+
+    def residual(cat: Int, comp: Int, bx: Int, by: Int, mbX: Int, mbY: Int,
+                 coded: Boolean, maxCoeff: Int): Array[Int] = cat match {
+      case 0 => // Intra16x16 DC: nC as for luma block 0, no nz record
+        residualBlock(lumaNC(bx, by), 16)._1
+      case 1 | 2 =>
+        if (!coded) { lumaNz(by)(bx) = 0; new Array[Int](maxCoeff) }
+        else {
+          val (zz, tc) = residualBlock(lumaNC(bx, by), maxCoeff)
+          lumaNz(by)(bx) = tc
+          zz
+        }
+      case 3 =>
+        if (!coded) new Array[Int](4) else residualBlock(-1, 4)._1
+      case 4 =>
+        val nz = if (comp == 0) cbNz else crNz
+        if (!coded) { nz(by)(bx) = 0; new Array[Int](15) }
+        else {
+          val (zz, tc) = residualBlock(chromaNC(nz, bx, by), 15)
+          nz(by)(bx) = tc
+          zz
+        }
+      case _ => throw new BitstreamEnd
+    }
+
+    def endMb(mbX: Int, mbY: Int, mbType: Int, cbp: Int, chromaMode: Int,
+              qpDeltaNonZero: Boolean, lastMb: Boolean): Unit = ()
 
     // ---- CAVLC residual block (9.2) ----
     // returns (coeffLevel in zigzag order, totalCoeff)
-    def residualBlock(nC: Int, maxNumCoeff: Int): (Array[Int], Int) = {
+    private def residualBlock(nC: Int, maxNumCoeff: Int): (Array[Int], Int) = {
       val tokenVlc =
         if (nC == -1) CoeffTokenChromaDc
         else if (nC < 2) CoeffTokenNc0
@@ -601,6 +676,58 @@ object H264 {
       }
       (coeffLevel, totalCoeff)
     }
+  }
+
+  /** Per-frame decode state and the slice/macroblock layers. */
+  private def decodeSlice(rbsp: Array[Byte], sps: Sps,
+                          pps: Pps): Option[Frame] = {
+    val r = new BitReader(rbsp)
+    // ---- slice header (7.3.3), IDR shape ----
+    if (r.ue() != 0) return None // first_mb_in_slice: single-slice frames only
+    val sliceType = r.ue()
+    if (sliceType != 2 && sliceType != 7) return None // I slices only
+    r.ue() // pic_parameter_set_id
+    r.u(sps.log2MaxFrameNum) // frame_num
+    r.ue() // idr_pic_id
+    if (sps.pocType == 0) r.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
+    // (bottom_field_poc absent: frame_mbs_only + no field flag in PPS scope)
+    // dec_ref_pic_marking, IDR arm (7.3.3.3): IDR NALs have
+    // nal_ref_idc != 0, so the two flags are always present
+    r.u1() // no_output_of_prior_pics_flag
+    r.u1() // long_term_reference_flag
+    val sliceQpDelta = r.se()
+    var qpY = pps.picInitQp + sliceQpDelta
+    if (qpY < 0 || qpY > 51) return None
+    if (pps.deblockingControlPresent) {
+      val idc = r.ue()
+      if (idc != 1) { r.se(); r.se() }
+      // NOTE: the in-loop deblocking filter is NOT applied (boundary
+      // documented in SURVEY §2 #36c) — streams produced with
+      // disable_deblocking_filter_idc == 1 reconstruct exactly.
+    }
+
+    val mbW = sps.mbWidth
+    val mbH = sps.mbHeight
+    val lumaW = mbW * 16
+    val chromaW = mbW * 8
+    val y = new Array[Int](lumaW * mbH * 16)
+    val cb = new Array[Int](chromaW * mbH * 8)
+    val cr = new Array[Int](chromaW * mbH * 8)
+
+    // per-4x4-block "decoded" state for intra-pred mode derivation and
+    // sample availability (entropy-independent); per-block intra4x4
+    // pred modes (-1 for non-I4x4 MBs), for predIntra4x4PredMode
+    // derivation (8.3.1.1)
+    val blockDecoded = Array.fill(mbH * 4, mbW * 4)(false)
+    val predModes = Array.fill(mbH * 4, mbW * 4)(-1)
+    // per-MB "is decoded" for intra-pred sample availability
+    var curMbAddr = 0
+
+    // the entropy seam: CAVLC inline VLCs, or the CABAC engine
+    // (cabac_alignment_one_bit: the slice data starts byte-aligned)
+    val syntax: MbSyntax =
+      if (pps.cabac) { r.byteAlign(); new H264Cabac.Syntax(r, qpY, mbW, mbH) }
+      else new CavlcSyntax(r, mbW, mbH)
 
     // ---- inverse transforms (8.5.10-8.5.12) ----
     /** In-place 4x4 inverse core transform on raster block d; output
@@ -1089,11 +1216,19 @@ object H264 {
       curMbAddr = mbAddr
       val mbX = mbAddr % mbW
       val mbY = mbAddr / mbW
-      val mbType = r.ue()
+      val mbType = syntax.readMbType(mbX, mbY)
       if (mbType > 25) throw new BitstreamEnd
+      var qpDeltaNonZero = false
+      // per-MB facts for the endMb neighbor bookkeeping (I_PCM infers
+      // cbp 15|2<<4 and chroma mode 0 per 7.4.5)
+      var mbCbp = 15 | (2 << 4)
+      var mbChromaMode = 0
 
       if (mbType == 25) {
         // ---------- I_PCM (7.3.5, 8.3.5) ----------
+        // CABAC I_PCM needs the engine re-initialization rule
+        // (9.3.1.2) — out of scope, degrade (ROUND15_NOTES)
+        if (!syntax.pcmSupported) throw new BitstreamEnd
         r.byteAlign()
         var i = 0
         while (i < 256) {
@@ -1110,23 +1245,7 @@ object H264 {
           cr((mbY * 8 + i / 8) * chromaW + mbX * 8 + i % 8) = r.u8Aligned()
           i += 1
         }
-        // nC state: PCM macroblocks count as 16 per block (9.2.1)
-        var b = 0
-        while (b < 16) {
-          val (px, py) = Luma4x4Pos(b)
-          lumaNz(mbY * 4 + py / 4)(mbX * 4 + px / 4) = 16
-          b += 1
-        }
-        var cby = 0
-        while (cby < 2) {
-          var cbx = 0
-          while (cbx < 2) {
-            cbNz(mbY * 2 + cby)(mbX * 2 + cbx) = 16
-            crNz(mbY * 2 + cby)(mbX * 2 + cbx) = 16
-            cbx += 1
-          }
-          cby += 1
-        }
+        syntax.markPcm(mbX, mbY)
       } else {
         // ---------- I_4x4 / I_16x16 ----------
         val isI4x4 = mbType == 0
@@ -1145,18 +1264,18 @@ object H264 {
             // predIntra4x4PredMode (8.3.1.1): min of neighbors, 2 when
             // a neighbor is unavailable or not I4x4-coded
             val mA = if (bx > 0 && predModes(by)(bx - 1) >= 0) predModes(by)(bx - 1)
-                     else if (bx > 0 && lumaNz(by)(bx - 1) >= 0) 2 // decoded non-I4x4
-                     else if (bx == 0) -1 else -1
+                     else if (bx > 0 && blockDecoded(by)(bx - 1)) 2 // decoded non-I4x4
+                     else -1
             val mB = if (by > 0 && predModes(by - 1)(bx) >= 0) predModes(by - 1)(bx)
-                     else if (by > 0 && lumaNz(by - 1)(bx) >= 0) 2
+                     else if (by > 0 && blockDecoded(by - 1)(bx)) 2
                      else -1
             val predMode =
               if (mA < 0 || mB < 0) 2
               else math.min(mA, mB)
             val mode =
-              if (r.u1() == 1) predMode
+              if (syntax.readIntra4x4ModeFlag()) predMode
               else {
-                val rem = r.u(3)
+                val rem = syntax.readRemIntra4x4Mode()
                 if (rem < predMode) rem else rem + 1
               }
             blockModes(b) = mode
@@ -1164,21 +1283,19 @@ object H264 {
             b += 1
           }
         }
-        val chromaPredMode = r.ue()
+        val chromaPredMode = syntax.readChromaPredMode(mbX, mbY)
         if (chromaPredMode > 3) throw new BitstreamEnd
 
         // -- coded_block_pattern / mb_qp_delta --
         val cbp =
-          if (isI4x4) {
-            val code = r.ue()
-            if (code > 47) throw new BitstreamEnd
-            CbpIntra(code)
-          } else i16CbpLuma | (i16CbpChroma << 4)
+          if (isI4x4) syntax.readCbpI4x4(mbX, mbY)
+          else i16CbpLuma | (i16CbpChroma << 4)
         val cbpLuma = cbp & 15
         val cbpChroma = (cbp >> 4) & 3
         if (cbp > 0 || !isI4x4) {
           // I_16x16 always carries mb_qp_delta (DC residual always coded)
-          val delta = r.se()
+          val delta = syntax.readQpDelta()
+          qpDeltaNonZero = delta != 0
           qpY += delta
           if (qpY < 0 || qpY > 51) {
             // spec wraps via modulo; keep simple and strict for our scope
@@ -1192,8 +1309,9 @@ object H264 {
         val lumaBlocks = Array.fill(16)(new Array[Int](16)) // raster per block
         var dcRaster: Array[Int] = null
         if (!isI4x4) {
-          // Intra16x16DCLevel: nC as for luma block 0
-          val (zz, tc) = residualBlock(lumaNC(mbX * 4, mbY * 4), 16)
+          // Intra16x16DCLevel (CAVLC: nC as for luma block 0)
+          val zz = syntax.residual(0, 0, mbX * 4, mbY * 4, mbX, mbY,
+            coded = true, 16)
           // inverse zigzag into raster, Hadamard, then scale
           val d = new Array[Int](16)
           var i = 0
@@ -1202,60 +1320,49 @@ object H264 {
           i = 0
           while (i < 16) { d(i) = scaleLumaDc(d(i), qpY); i += 1 }
           dcRaster = d
-          // the DC block's totalCoeff does NOT set spatial nC state;
-          // that comes from the AC blocks below (9.2.1) — but blocks
-          // with no AC parse still need a 0 entry, set below.
-          val _ = tc
         }
         var b = 0
         while (b < 16) {
           val (px, py) = Luma4x4Pos(b)
           val bx = mbX * 4 + px / 4
           val by = mbY * 4 + py / 4
-          val has8x8 = (cbpLuma >> (b / 4)) & 1
-          if (has8x8 == 1) {
-            val nC = lumaNC(bx, by)
-            if (isI4x4) {
-              val (zz, tc) = residualBlock(nC, 16)
+          val coded = ((cbpLuma >> (b / 4)) & 1) == 1
+          if (isI4x4) {
+            val zz = syntax.residual(2, 0, bx, by, mbX, mbY, coded, 16)
+            if (coded) {
               var i = 0
               while (i < 16) { lumaBlocks(b)(Zigzag4x4(i)) = zz(i); i += 1 }
-              lumaNz(by)(bx) = tc
-            } else {
-              val (zz, tc) = residualBlock(nC, 15) // AC: 15 coeffs
-              var i = 0
-              while (i < 15) { lumaBlocks(b)(Zigzag4x4(i + 1)) = zz(i); i += 1 }
-              lumaNz(by)(bx) = tc
             }
           } else {
-            lumaNz(by)(bx) = 0
+            val zz = syntax.residual(1, 0, bx, by, mbX, mbY, coded, 15)
+            if (coded) {
+              var i = 0
+              while (i < 15) { lumaBlocks(b)(Zigzag4x4(i + 1)) = zz(i); i += 1 }
+            }
           }
           b += 1
         }
-        // chroma DC (nC = -1), then chroma AC
+        // chroma DC, then chroma AC
         val cbDc = new Array[Int](4)
         val crDc = new Array[Int](4)
         if (cbpChroma != 0) {
-          val (zzB, _) = residualBlock(-1, 4)
-          val (zzR, _) = residualBlock(-1, 4)
+          val zzB = syntax.residual(3, 0, mbX, mbY, mbX, mbY, coded = true, 4)
+          val zzR = syntax.residual(3, 1, mbX, mbY, mbX, mbY, coded = true, 4)
           System.arraycopy(zzB, 0, cbDc, 0, 4)
           System.arraycopy(zzR, 0, crDc, 0, 4)
         }
         val chromaBlocks = Array.fill(2, 4)(new Array[Int](16))
         var comp = 0
         while (comp < 2) {
-          val nz = if (comp == 0) cbNz else crNz
           var cbIdx = 0
           while (cbIdx < 4) {
             val bx = mbX * 2 + cbIdx % 2
             val by = mbY * 2 + cbIdx / 2
+            val zz = syntax.residual(4, comp, bx, by, mbX, mbY,
+              coded = cbpChroma == 2, 15)
             if (cbpChroma == 2) {
-              val nC = chromaNC(nz, bx, by)
-              val (zz, tc) = residualBlock(nC, 15)
               var i = 0
               while (i < 15) { chromaBlocks(comp)(cbIdx)(Zigzag4x4(i + 1)) = zz(i); i += 1 }
-              nz(by)(bx) = tc
-            } else {
-              nz(by)(bx) = 0
             }
             cbIdx += 1
           }
@@ -1280,7 +1387,19 @@ object H264 {
           chromaBlocks(0), qpC, cbpChroma)
         reconChroma(cr, chromaW, mbX, mbY, chromaPredMode, crDc,
           chromaBlocks(1), qpC, cbpChroma)
+        mbCbp = cbp
+        mbChromaMode = chromaPredMode
       }
+      // entropy-independent decoded state + the entropy impl's own
+      // neighbor bookkeeping (CABAC also checks end_of_slice_flag here)
+      var dby = 0
+      while (dby < 4) {
+        var dbx = 0
+        while (dbx < 4) { blockDecoded(mbY * 4 + dby)(mbX * 4 + dbx) = true; dbx += 1 }
+        dby += 1
+      }
+      syntax.endMb(mbX, mbY, mbType, mbCbp, mbChromaMode, qpDeltaNonZero,
+        mbAddr == mbCount - 1)
       mbAddr += 1
     }
 

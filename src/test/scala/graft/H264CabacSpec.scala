@@ -1,0 +1,216 @@
+package graft
+
+import graft.operators.multimodal.{H264, H264Cabac}
+import H264Fixture.{I16, I4, Mb, encodeFrame}
+import H264CabacFixture.encodeFrameCabac
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CABAC I-frame entropy layer (SURVEY §2 #36c, round 15).
+  *
+  * Pinning structure (ROUND15_NOTES.md has the epistemic boundary):
+  *  1. engine tables vs the PUBLIC Marpe/Schwarz/Wiegand 2003
+  *     derivation: geometric α-decay, monotonicity, terminal states —
+  *     catches transcription typos in the 256+64 constants;
+  *  2. randomized coded frames: the independent test-side arithmetic
+  *     ENCODER (own low/range/outstanding machinery, contexts derived
+  *     globally from the Mb data rather than the decoder's incremental
+  *     grids) → production decoder → pixel-exact vs H264RefRecon AND
+  *     vs the CAVLC twin of the same Mb descriptions;
+  *  3. mb_qp_delta binarization vs the CAVLC twin with nonzero deltas;
+  *  4. corruption fuzz: degrade, never throw.
+  */
+class H264CabacSpec extends AnyFunSuite {
+
+  // ---------------- 1. engine-table structural validation ----------------
+
+  test("rangeTabLPS follows the public CABAC-paper shape: monotone, α-decay, terminal") {
+    val t = H264Cabac.RangeLps
+    assert(t.length == 64 && t.forall(_.length == 4))
+    // rows strictly increasing across the four range quantiles
+    for (s <- 0 until 63; q <- 0 until 3)
+      assert(t(s)(q) < t(s)(q + 1), s"row $s not increasing at $q")
+    // columns non-increasing down the states (except the terminal row)
+    for (s <- 0 until 62; q <- 0 until 4)
+      assert(t(s + 1)(q) <= t(s)(q), s"col $q not decreasing at state $s")
+    assert(t(63).toSeq == Seq(2, 2, 2, 2), "terminal LPS row")
+    // α-decay: p_σ = 0.5·α^σ with α = (0.01875/0.5)^(1/63); entries
+    // approximate Q_ρ·p_σ with Q_ρ = 288 + 64ρ (the paper's quantized-
+    // range cell MIDPOINTS {288, 352, 416, 480}), clipped at 128 so
+    // rLPS <= R/2 at the 256 range floor. The published table deviates
+    // from plain rounding by at most ~1.5 — a digit typo or a
+    // transposition lands far outside the band. (Verified tight: the
+    // max |table − model| over all 248 unclipped entries is < 1.6.)
+    val alpha = math.pow(0.01875 / 0.5, 1.0 / 63)
+    val qRep = Array(288.0, 352.0, 416.0, 480.0)
+    for (s <- 0 until 63; q <- 0 until 4) {
+      val raw = qRep(q) * 0.5 * math.pow(alpha, s)
+      // the clip bites only in quantile 0 (range < 320, floor 256)
+      val exact = if (q == 0) math.min(raw, 128.0) else raw
+      assert(math.abs(t(s)(q) - exact) <= 1.6,
+        s"state $s quantile $q: table ${t(s)(q)} vs model $exact")
+    }
+  }
+
+  test("transIdxLPS follows the α-adaptation law; MPS transition is +1 capped") {
+    val t = H264Cabac.TransIdxLps
+    assert(t.length == 64)
+    assert(t(63) == 63, "terminal state maps to itself")
+    val alpha = math.pow(0.01875 / 0.5, 1.0 / 63)
+    for (s <- 0 until 63) {
+      // after an LPS at state s: p' = α·p_s + (1 − α); the new state is
+      // the nearest on the α-grid (published table rounds within ~1.3)
+      val p = 0.5 * math.pow(alpha, s)
+      val pNew = alpha * p + (1 - alpha)
+      val exact = math.log(pNew / 0.5) / math.log(alpha)
+      assert(t(s) <= s || s == 0, s"LPS transition must not move toward MPS at $s")
+      assert(math.abs(t(s) - math.max(0.0, exact)) <= 1.3,
+        s"state $s: table ${t(s)} vs model $exact")
+    }
+  }
+
+  test("every ctxIdx the I-slice decode uses carries a real init; preCtxState in range") {
+    for (r <- H264Cabac.usedCtx; i <- r) {
+      val (m, n) = H264Cabac.CtxInit(i)
+      assert((m, n) != ((0, 0)) || i == 276, s"ctx $i uninitialized")
+      for (qp <- 0 to 51) {
+        val pre = ((m * qp) >> 4) + n
+        // the 9.3.1.1 clip keeps it legal; sanity: no init may clip to
+        // the degenerate ends across the WHOLE qp range (that would
+        // mean a nonsense transcription)
+        assert(pre >= -128 && pre <= 255, s"ctx $i qp $qp: preCtxState $pre wild")
+      }
+    }
+  }
+
+  // ---------------- 2. roundtrip fuzz ----------------
+
+  private def sparseZz(rng: scala.util.Random, n: Int, maxCoeffs: Int): Array[Int] = {
+    val zz = new Array[Int](n)
+    for (_ <- 0 until rng.nextInt(maxCoeffs + 1)) {
+      // wide levels: exercise the UEG0 escape (abs-1 >= 14) sometimes
+      val mag = if (rng.nextInt(8) == 0) 10 + rng.nextInt(40) else 1 + rng.nextInt(8)
+      zz(rng.nextInt(n)) = mag * (if (rng.nextBoolean()) 1 else -1)
+    }
+    zz
+  }
+
+  /** Random legal non-PCM MB (same legality rules as H264Spec's). */
+  private def randMb(rng: scala.util.Random, mbX: Int, mbY: Int): Mb = {
+    val left = mbX > 0
+    val top = mbY > 0
+    val cbpChroma = rng.nextInt(3)
+    def chromaMode = {
+      val legal = Seq(0) ++ (if (left) Seq(1) else Nil) ++
+        (if (top) Seq(2) else Nil) ++ (if (left && top) Seq(3) else Nil)
+      legal(rng.nextInt(legal.size))
+    }
+    def chromaData(): (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]]) = {
+      if (cbpChroma == 0) (new Array[Int](4), new Array[Int](4), null, null)
+      else if (cbpChroma == 1) (sparseZz(rng, 4, 3), sparseZz(rng, 4, 3), null, null)
+      else (sparseZz(rng, 4, 3), sparseZz(rng, 4, 3),
+        Array.fill(4)(sparseZz(rng, 15, 4)), Array.fill(4)(sparseZz(rng, 15, 4)))
+    }
+    if (rng.nextBoolean()) {
+      val legal16 = Seq(2) ++ (if (top) Seq(0) else Nil) ++
+        (if (left) Seq(1) else Nil) ++ (if (left && top) Seq(3) else Nil)
+      val (cbDc, crDc, cbAc, crAc) = chromaData()
+      I16(legal16(rng.nextInt(legal16.size)),
+        dc = sparseZz(rng, 16, 6),
+        ac = if (rng.nextBoolean()) Array.fill(16)(sparseZz(rng, 15, 4)) else null,
+        cbpChroma, cbDc, crDc, cbAc, crAc, chromaMode)
+    } else {
+      val modes = (0 until 16).map { b =>
+        val (px, py) = H264.Luma4x4Pos(b)
+        val aT = top || py > 0
+        val aL = left || px > 0
+        val legal = Seq(2) ++ (if (aT) Seq(0, 3, 7) else Nil) ++
+          (if (aL) Seq(1, 8) else Nil) ++ (if (aT && aL) Seq(4, 5, 6) else Nil)
+        legal(rng.nextInt(legal.size))
+      }.toArray
+      val cbpLuma = rng.nextInt(16)
+      val blocks = (0 until 16).map { b =>
+        if (((cbpLuma >> (b / 4)) & 1) == 1) sparseZz(rng, 16, 5)
+        else new Array[Int](16)
+      }.toArray
+      val (cbDc, crDc, cbAc, crAc) = chromaData()
+      I4(modes, chromaMode, cbpLuma, cbpChroma, blocks, cbDc, crDc, cbAc, crAc)
+    }
+  }
+
+  test("fuzz: CABAC frames decode pixel-exact vs the independent reference AND the CAVLC twin") {
+    val rng = new scala.util.Random(20260816L)
+    val qps = Array(8, 10, 16, 22, 26, 30, 35, 40)
+    for (iter <- 1 to 250) {
+      val mbW = 1 + rng.nextInt(3)
+      val mbH = 1 + rng.nextInt(2)
+      val qp = qps(rng.nextInt(qps.length))
+      val mbs = (0 until mbW * mbH).map(a => randMb(rng, a % mbW, a / mbW))
+      val stream = encodeFrameCabac(mbW, mbH, mbs, qp)
+      val f = H264.decodeFrame(stream, 0, stream.length)
+        .getOrElse(fail(s"iter $iter (${mbW}x$mbH qp=$qp): no CABAC decode"))
+      // anchor 1: the entropy-independent reference reconstruction
+      val (ry, rcb, rcr) = H264RefRecon.recon(mbW, mbH, mbs, qp)
+      assert(f.y.toSeq == ry.toSeq, s"iter $iter luma (${mbW}x$mbH qp=$qp)")
+      assert(f.cb.toSeq == rcb.toSeq, s"iter $iter cb")
+      assert(f.cr.toSeq == rcr.toSeq, s"iter $iter cr")
+      // anchor 2: the CAVLC coding of the SAME descriptions — the two
+      // entropy layers must reconstruct identical frames
+      val twin = encodeFrame(mbW, mbH, mbs, qp)
+      val g = H264.decodeFrame(twin, 0, twin.length)
+        .getOrElse(fail(s"iter $iter: no CAVLC twin decode"))
+      assert(f.y.toSeq == g.y.toSeq && f.cb.toSeq == g.cb.toSeq &&
+        f.cr.toSeq == g.cr.toSeq, s"iter $iter: CABAC != CAVLC twin")
+    }
+  }
+
+  // ---------------- 3. mb_qp_delta binarization ----------------
+
+  test("nonzero mb_qp_delta: CABAC decode equals the CAVLC twin decode") {
+    val rng = new scala.util.Random(77L)
+    for (iter <- 1 to 40) {
+      val mbW = 2 + rng.nextInt(2)
+      val mbH = 2
+      val qp = 26
+      val mbs = (0 until mbW * mbH).map(a => randMb(rng, a % mbW, a / mbW))
+      // deltas keep qp within [0, 51] cumulatively; both positive and
+      // negative arms, including the multi-bin unary tail (|δ| up to 4)
+      val deltas = mbs.indices.map(i => Seq(0, 1, -1, 2, -2, 4)(rng.nextInt(6)))
+      val cab = encodeFrameCabac(mbW, mbH, mbs, qp, qpDeltas = deltas)
+      val cav = encodeFrame(mbW, mbH, mbs, qp, qpDeltas = deltas)
+      val fCab = H264.decodeFrame(cab, 0, cab.length)
+        .getOrElse(fail(s"iter $iter: no CABAC decode"))
+      val fCav = H264.decodeFrame(cav, 0, cav.length)
+        .getOrElse(fail(s"iter $iter: no CAVLC decode"))
+      assert(fCab.y.toSeq == fCav.y.toSeq && fCab.cb.toSeq == fCav.cb.toSeq &&
+        fCab.cr.toSeq == fCav.cr.toSeq, s"iter $iter: qp-delta twin mismatch")
+    }
+  }
+
+  // ---------------- 4. corruption + scope boundaries ----------------
+
+  test("corruption fuzz: flipped/truncated CABAC streams degrade, never throw") {
+    val rng = new scala.util.Random(99L)
+    val mbs = (0 until 4).map(a => randMb(rng, a % 2, a / 2))
+    val stream = encodeFrameCabac(2, 2, mbs, 26)
+    for (_ <- 1 to 300) {
+      val c = stream.clone()
+      val flips = 1 + rng.nextInt(4)
+      for (_ <- 0 until flips)
+        c(rng.nextInt(c.length)) = (rng.nextInt(256) - 128).toByte
+      H264.decodeFrame(c, 0, c.length) // any Option is fine; no throw
+    }
+    for (len <- 1 until stream.length by 7)
+      H264.decodeFrame(stream, 0, len)
+  }
+
+  test("CABAC streams ride the FrameDecoder seam (H264IntraDecoder)") {
+    val rng = new scala.util.Random(5L)
+    val mbs = (0 until 2).map(a => randMb(rng, a, 0))
+    val stream = encodeFrameCabac(2, 1, mbs, 26)
+    val img = graft.operators.multimodal.H264IntraDecoder.decode(
+      stream, 0, stream.length,
+      graft.operators.multimodal.AviFrames.VideoFormat("H264", 32, 16, 24, 0, false))
+    assert(img.isDefined, "CABAC stream must decode through the seam")
+    assert(img.get.getWidth == 32 && img.get.getHeight == 16)
+  }
+}

@@ -48,6 +48,8 @@ object H264Fixture {
     }
     def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
     def byteAlignZeros(): Unit = while (nbits != 0) u1(0)
+    /** cabac_alignment_one_bit padding (7.3.4). */
+    def byteAlignOnes(): Unit = while (nbits != 0) u1(1)
     def alignedByte(v: Int): Unit = {
       require(nbits == 0, "not byte aligned")
       bytes += v.toByte
@@ -98,11 +100,11 @@ object H264Fixture {
     nal(7, 3, w.toRbsp)
   }
 
-  def ppsNal(picInitQp: Int): Array[Byte] = {
+  def ppsNal(picInitQp: Int, cabac: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(0) // pic_parameter_set_id
     w.ue(0) // seq_parameter_set_id
-    w.u1(0) // entropy_coding_mode_flag: CAVLC
+    w.u1(if (cabac) 1 else 0) // entropy_coding_mode_flag
     w.u1(0) // bottom_field_pic_order_in_frame_present_flag
     w.ue(0) // num_slice_groups_minus1
     w.ue(0); w.ue(0) // num_ref_idx defaults
@@ -228,9 +230,15 @@ object H264Fixture {
                       cbDc: Array[Int], crDc: Array[Int],
                       cbAc: Array[Array[Int]], crAc: Array[Array[Int]]) extends Mb
 
-  /** Encode a one-IDR-frame Annex-B stream (SPS + PPS + slice). */
+  /** Encode a one-IDR-frame Annex-B stream (SPS + PPS + slice).
+    * `qpDeltas(addr)` (optional) emits nonzero mb_qp_delta for MBs that
+    * carry the element — the CABAC/CAVLC cross-twin spec uses it to
+    * exercise both entropy codings of the delta against each other.
+    */
   def encodeFrame(mbW: Int, mbH: Int, mbs: Seq[Mb], qp: Int,
-                  cropR: Int = 0, cropB: Int = 0): Array[Byte] = {
+                  cropR: Int = 0, cropB: Int = 0,
+                  qpDeltas: Seq[Int] = null): Array[Byte] = {
+    def deltaOf(addr: Int): Int = if (qpDeltas == null) 0 else qpDeltas(addr)
     require(mbs.length == mbW * mbH)
     val w = new BitWriter
     // slice header (IDR)
@@ -284,7 +292,7 @@ object H264Fixture {
           val cbpLuma15 = m.ac != null
           w.ue(1 + m.predMode + 4 * m.cbpChroma + (if (cbpLuma15) 12 else 0))
           w.ue(m.chromaMode)
-          w.se(0) // mb_qp_delta (I_16x16 always carries it)
+          w.se(deltaOf(addr)) // mb_qp_delta (I_16x16 always carries it)
           // DC: nC as for luma block 0
           writeResidual(w, m.dc, lumaNC(mbX * 4, mbY * 4), 16)
           for (b <- 0 until 16) {
@@ -325,7 +333,7 @@ object H264Fixture {
           w.ue(m.chromaMode)
           val cbp = m.cbpLuma | (m.cbpChroma << 4)
           w.ue(H264.CbpIntraInv(cbp))
-          if (cbp > 0) w.se(0) // mb_qp_delta
+          if (cbp > 0) w.se(deltaOf(addr)) // mb_qp_delta
           for (b <- 0 until 16) {
             val (px, py) = H264.Luma4x4Pos(b)
             val bx = mbX * 4 + px / 4
