@@ -404,6 +404,25 @@ object SparkEntry {
       Similarity.RecallReport.sweep(emb, emb.where(col("vec_id") < AnnNumQueries),
         AnnK, dim = 64)
     }),
+    // recall on a CLUSTERED corpus derived deterministically from the
+    // embeddings table (verdict-r14 #8): near-uniform vectors make
+    // recall read trivially high; the derived gauss-like distribution
+    // carries non-trivial numbers the driver can trend across rounds.
+    // Queries are cluster MEMBERS (ids >= nCenters), so each has true
+    // in-cluster neighbors. Floors asserted in AnnSweepSpec.
+    "ann_recall_gauss" -> ((s, d) => {
+      val g = Similarity.deriveClustered(Tables(s, d, "embeddings"))
+      Similarity.RecallReport.run(g,
+        g.where(col("vec_id") >= 40 && col("vec_id") < 40 + AnnNumQueries),
+        AnnK, dim = 64)
+    }),
+    // per-cell tie-mass advisor (verdict-r14 #7): operationalizes the
+    // IVF-PQ two-regime guidance as a report — which cells' codes
+    // discriminate, which need a bigger refine pool, which are
+    // sub-resolution near-dup balls that want IVF or dedup instead
+    "ann_advisor" -> ((s, d) =>
+      Similarity.AnnAdvisor.run(
+        Similarity.deriveClustered(Tables(s, d, "embeddings")), AnnK)),
     // --- multimodal binary pipeline (SURVEY §2 #36) ---
     "multimodal_meta" -> ((s, d) =>
       BinaryPipeline.extractMeta(s, BinaryPipeline.fromDocuments(Tables(s, d, "documents")))

@@ -261,6 +261,45 @@ object KeyFinder {
     }
   }
 
+  /** Round-15 A/B lever (verdict-r14 #6): fold ALL of a size's
+    * surviving exact hash-witness jobs into ONE multi-countDistinct
+    * aggregate. Catalyst plans n distinct groups as an Expand (n× the
+    * rows) feeding one shuffle — the shape round 6 measured 10× slower
+    * over TUPLES — but here every distinct argument is an 8-byte
+    * xxhash64, so the expanded row is (gid, long) and the map-side
+    * partial distinct dedups each group before the shuffle. One shared
+    * scan replaces n scans of the cached projection. Verdict semantics
+    * are identical: same hash counts, same [[HashDeficitBand]], same
+    * exact fallback per ambiguous combo.
+    * Toggle: SPARK_GRAFT_KEYFINDER_FUSED=on. Measured at sf100 and
+    * REJECTED as the default (BENCH_SF100.md round 15): 599.6 s
+    * per-combo vs 900.2 s fused — RewriteDistinctAggregates expands
+    * 600 M rows × groups before the partial aggregate, and the
+    * concurrent per-combo jobs already overlap their scans of the
+    * cached projection, so the fused plan serializes ~3× the aggregate
+    * work. The round-6 Expand verdict holds at the hash shape too.
+    */
+  private def fusedEnabled: Boolean =
+    sys.env.get("SPARK_GRAFT_KEYFINDER_FUSED").contains("on")
+
+  private[graft] def keysByHashFused(proj: DataFrame, combos: Seq[Seq[String]],
+                                     total: Long): Seq[Seq[String]] = {
+    if (combos.isEmpty) return Nil
+    val aggs = combos.zipWithIndex.map { case (cb, i) =>
+      countDistinct(xxhash64(cb.map(col): _*)).as(s"d_$i")
+    }
+    val row = proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+    combos.zipWithIndex.filter { case (cb, i) =>
+      val hashed = row.getLong(i)
+      if (hashed == total) true
+      else if (total - hashed > HashDeficitBand) false
+      else // collisions possible: exact tuple-distinct decides
+        proj.select(cb.map(col): _*)
+          .agg(countDistinct(cb.head, cb.tail: _*))
+          .collect()(0).getLong(0) == total
+    }.map(_._1)
+  }
+
   /** Size-ascending minimal-key search with the reference's early stop:
     * the first size that yields any key wins and larger sizes are never
     * evaluated, so results are exactly the minimal keys.
@@ -295,9 +334,10 @@ object KeyFinder {
         val survivors =
           if (prefilterEnabled) plausibleByHll(proj, combos, total)
           else combos
-        val keys = survivors.par
-          .filter(cb => isKeyByHash(proj, cb, total))
-          .seq.map(_.mkString(",")).sorted
+        val keyCombos =
+          if (fusedEnabled) keysByHashFused(proj, survivors, total)
+          else survivors.par.filter(cb => isKeyByHash(proj, cb, total)).seq
+        val keys = keyCombos.map(_.mkString(",")).sorted
         (size, keys)
       }.collectFirst { case (size, keys) if keys.nonEmpty => (size, keys) }
     }

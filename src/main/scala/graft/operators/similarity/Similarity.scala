@@ -932,4 +932,79 @@ object Similarity {
         .orderBy("method", "param", "value")
     }
   }
+
+  /** Deterministically derive a CLUSTERED corpus from an embedding
+    * table (verdict-r14 #8): the first `nCenters` vectors become
+    * cluster centers and every row is pulled toward its
+    * `vec_id % nCenters` center — `v' = 0.95·center + 0.12·v`,
+    * elementwise, all in one broadcast join + zip_with (no collect, no
+    * RNG, layout-independent). Near-uniform synthetic embeddings make
+    * recall curves trivially flat (ties mask degradation); this
+    * transform gives the gate's `ann_recall_gauss` row genuinely
+    * clustered anisotropic neighborhoods so the recall numbers TREND —
+    * the same distribution shape the sf100 gauss exhibit used
+    * (BENCH_SF100.md round 14).
+    */
+  def deriveClustered(emb: DataFrame, nCenters: Int = 40,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    val centers = emb.where(col(idCol) < nCenters)
+      .select(pmod(col(idCol), lit(nCenters)).as("__c"),
+        col(vecCol).cast("array<float>").as("__cv"))
+    emb.select(col(idCol), col(vecCol).cast("array<float>").as(vecCol),
+        pmod(col(idCol), lit(nCenters)).as("__c"))
+      .join(broadcast(centers), Seq("__c"))
+      .select(col(idCol),
+        zip_with(col("__cv"), col(vecCol),
+          (c, v) => (c * lit(0.95f) + v * lit(0.12f)).cast("float"))
+          .as(vecCol))
+  }
+
+  /** Per-cell tie-mass diagnostic for the IVF-PQ two-regime guidance
+    * (verdict-r14 #7 — operationalizes the [[IvfPqAnn]] scaladoc the
+    * way SkewReport did for join keys): code an IVF-PQ index, then ONE
+    * aggregation over the coded frame reports, per coarse cell, how
+    * much the byte codes actually discriminate:
+    *
+    *   - `distinct_ratio` = distinct codes / vectors — high means the
+    *     quantizer separates the cell's members (IVF-PQ fine);
+    *   - `max_code_mass` = the largest single-code tie block — when it
+    *     dwarfs `refine·k`, the ADC candidate pool fills with
+    *     indistinguishable members and the exact re-rank never sees a
+    *     true neighbor (the measured sf100-gauss failure regime).
+    *
+    * Advice per cell: `ivfpq_fine` (ratio ≥ 0.5), else
+    * `raise_refine_to_N` with N = ceil(max_code_mass / k) (the pool
+    * must cover the tie block), else — when even that N is
+    * impractical (> 1024) — `use_ivf_or_dedup` (a sub-resolution
+    * near-duplicate ball: exact in-cell scoring or embedding dedup is
+    * the right tool). Cost: the same train+encode as one IVF-PQ build
+    * plus one map-side-combined aggregation of (cell, codes) pairs —
+    * nothing driver-side beyond the bounded report.
+    */
+  object AnnAdvisor {
+    def run(corpus: DataFrame, k: Int = 10,
+            nCells: Int = IvfPqAnn.DefaultCells, m: Int = IvfPqAnn.DefaultM,
+            ksub: Int = IvfPqAnn.DefaultKsub,
+            vecCol: String = "embedding", idCol: String = "vec_id",
+            maxTrain: Long = IvfPqAnn.MaxTrainRows): DataFrame = {
+      val (coded, _, _, _) =
+        IvfPqAnn.trainAndEncode(corpus, nCells, m, ksub, vecCol, idCol, maxTrain)
+      val perCode = coded.groupBy("cell", "codes")
+        .agg(count(lit(1)).as("mass"))
+      perCode.groupBy("cell").agg(
+          sum(col("mass")).as("n_vectors"),
+          count(lit(1)).as("n_distinct_codes"),
+          max(col("mass")).as("max_code_mass"))
+        .select(col("cell"), col("n_vectors"), col("n_distinct_codes"),
+          round(col("n_distinct_codes") / col("n_vectors"), 4).as("distinct_ratio"),
+          col("max_code_mass"),
+          when(col("n_distinct_codes") / col("n_vectors") >= 0.5, lit("ivfpq_fine"))
+            .when(ceil(col("max_code_mass") / k) <= 1024,
+              concat(lit("raise_refine_to_"),
+                ceil(col("max_code_mass") / k).cast("long").cast("string")))
+            .otherwise(lit("use_ivf_or_dedup")).as("advice"))
+        .orderBy("cell")
+    }
+  }
 }

@@ -46,9 +46,13 @@ object Materialize {
     spark.range(1000000).selectExpr("sum(id)").collect()
     args.tail.foreach { name =>
       def onePass(): (Long, Double) = {
-        val df = graft.SparkEntry.queries(name)(spark, args.head)
+        // construction INSIDE the timer, exactly like Bench.onePass:
+        // operators such as keyfinder do their cluster work eagerly at
+        // DataFrame-construction time and return a tiny materialized
+        // frame — timing only the materialize would report 0.03 s for
+        // a 600-second job (caught round 15)
         val t0 = System.nanoTime()
-        val n = materializeCount(df)
+        val n = materializeCount(graft.SparkEntry.queries(name)(spark, args.head))
         (n, (System.nanoTime() - t0) / 1e9)
       }
       val (n1, t1) = onePass()

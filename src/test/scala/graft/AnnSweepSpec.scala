@@ -126,4 +126,68 @@ class AnnSweepSpec extends AnyFunSuite {
     assert(ivfpq1 > pq1,
       s"residual ADC ($ivfpq1) must out-rank absolute-position ADC ($pq1) at refine=1")
   }
+
+  // ---- the gate's gauss fixture (verdict-r14 #8) ----
+
+  test("deriveClustered: deterministic, genuinely clustered, and the gate row carries floors") {
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    val g = Similarity.deriveClustered(emb).localCheckpoint(true)
+    // deterministic: rerun agrees row-for-row
+    val again = Similarity.deriveClustered(emb)
+    assert(g.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq)
+    // clustered: same-center members are closer than cross-center
+    val rows = g.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def cos(u: Array[Float], v: Array[Float]): Double = {
+      var d = 0.0; var nu = 0.0; var nv = 0.0; var i = 0
+      while (i < u.length) { d += u(i) * v(i); nu += u(i) * u(i); nv += v(i) * v(i); i += 1 }
+      d / math.sqrt(nu * nv)
+    }
+    val byCenter = rows.groupBy(_._1 % 40)
+    val within = byCenter.values.filter(_.length >= 2).take(20)
+      .map(gr => cos(gr(0)._2, gr(1)._2)).sum / 20
+    val cross = cos(rows(0)._2, rows(1)._2) // centers 0 and 1
+    assert(within > 0.9, s"in-cluster cosine $within must be high")
+    assert(within > cross + 0.1, s"in-cluster $within vs cross $cross")
+    // the gate row: recall floors the driver can trend (same call as
+    // SparkEntry's ann_recall_gauss)
+    val rep = Similarity.RecallReport.run(g,
+      g.where(col("vec_id") >= 40 && col("vec_id") < 45), 10, dim = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    info(s"gauss recall: $rep")
+    assert(rep.keySet == Set("ivf", "ivfpq", "lsh", "pq"))
+    // floors: clustered data is LSH/IVF's model — they must be strong;
+    // the PQ family is allowed lower (tie-regime) but not collapsed
+    assert(rep("lsh") >= 0.8, s"lsh ${rep("lsh")}")
+    assert(rep("ivf") >= 0.5, s"ivf ${rep("ivf")}")
+    assert(rep("pq") >= 0.1 && rep("ivfpq") >= 0.1,
+      s"pq ${rep("pq")} ivfpq ${rep("ivfpq")}")
+  }
+
+  test("AnnAdvisor: flags sub-resolution duplicate balls, passes discriminating cells") {
+    // 2000 copies of ONE vector (a sub-resolution near-dup ball) plus
+    // 1000 spread gauss vectors: the ball's cell must be flagged, the
+    // spread cells must read ivfpq_fine
+    val ball = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val dup = spark.range(2000).toDF("vec_id")
+      .withColumn("embedding",
+        array(ball.map(x => lit(x)): _*).cast("array<float>"))
+    val spread = ScaleUp.gaussEmbeddings(
+      spark.range(2000, 3000).toDF("vec_id"), dim = 64, nClusters = 200)
+      .select(col("vec_id"), col("embedding"))
+    val report = Similarity.AnnAdvisor.run(dup.unionAll(spread), k = 1)
+      .collect()
+    val byAdvice = report.groupBy(_.getString(5))
+    info(s"advisor: ${report.length} cells, advice mix ${byAdvice.view.mapValues(_.length).toMap}")
+    // the ball: one cell holds >= 2000 vectors under one code
+    val flagged = report.filter(r => r.getLong(4) >= 2000)
+    assert(flagged.nonEmpty, "the duplicate ball must dominate one cell")
+    assert(flagged.forall(_.getString(5) == "use_ivf_or_dedup"),
+      s"ball advice: ${flagged.map(_.getString(5)).toSeq}")
+    // spread cells discriminate
+    assert(report.count(_.getString(5) == "ivfpq_fine") >= 5,
+      "spread cells must read ivfpq_fine")
+  }
 }

@@ -17,8 +17,8 @@ class EntryContractSpec extends AnyFunSuite {
   private val RowsOnly = Set("dedup_minhash", "dedup_simhash", "dedup_candidates",
     "dedup_clusters_minhash", "dedup_embedding_lsh", "nullcheck_approx",
     "events_hourly_approx", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
-    "ann_recall", "ann_recall_sweep", "text_bpe", "text_vectorize",
-    "dedup_incremental_minhash")
+    "ann_recall", "ann_recall_sweep", "ann_recall_gauss", "ann_advisor",
+    "text_bpe", "text_vectorize", "dedup_incremental_minhash")
 
   test("every oracle key has a query; rows-only set is exactly as documented") {
     val q = SparkEntry.queries.keySet
