@@ -1,0 +1,176 @@
+package graft.operators.multimodal
+
+/** Pure-JVM IMA/DVI ADPCM decoder (WAVE format tag 0x0011) — round 15.
+  *
+  * Why it earns a built-in: IMA ADPCM is the WAV compression that
+  * legacy speech corpora and telephony datasets actually ship (4 bits
+  * per sample, fixed 4:1 over 16-bit PCM), and `javax.sound` does NOT
+  * decode it — such payloads previously degraded to the stub path.
+  * The codec is tiny and fully public (the IMA "Recommended Practices
+  * for Enhancing Digital Audio Compatibility" algorithm, also specified
+  * in Microsoft's WAVE format registry for tag 0x11).
+  *
+  * Verification (AdpcmSpec): the 89-entry step table follows a
+  * geometric ~1.1008× growth law (7 → 32767 over 88 steps) — every
+  * entry is pinned within 10% of the analytic curve plus strict
+  * monotonicity and exact endpoints, the same transcription-falsifier
+  * discipline as the CABAC engine tables; the decoder is pinned
+  * BIT-EXACT against the in-repo test encoder's own reconstruction
+  * trace (ADPCM encoders track the decoder state, so encode-side
+  * reconstruction ≡ decode output exactly, lossy codec or not), plus
+  * SNR sanity vs the original signal, stereo de-interleave, multi-block
+  * streams, and corruption fuzz.
+  *
+  * Block layout (per the WAVE spec for tag 0x11): each `blockAlign`
+  * bytes hold, per channel, a 4-byte header (initial predictor int16
+  * LE — which IS the block's first output sample — then step index,
+  * then a reserved byte), followed by the channels' nibble data
+  * interleaved in 4-byte groups; low nibble first within each byte.
+  */
+object AdpcmDecoder extends AudioDecoder {
+
+  /** IMA step-size table (89 entries, index clamped to [0, 88]). */
+  val StepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Step-index adjustment per 3-bit magnitude (sign bit excluded). */
+  val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One nibble through the IMA update: returns the new (sample,
+    * index). Shared by decoder and the test encoder's reconstruction.
+    */
+  @inline def step(nibble: Int, pred: Int, index: Int): (Int, Int) = {
+    val st = StepTable(index)
+    var diff = st >> 3
+    if ((nibble & 1) != 0) diff += st >> 2
+    if ((nibble & 2) != 0) diff += st >> 1
+    if ((nibble & 4) != 0) diff += st
+    var p = if ((nibble & 8) != 0) pred - diff else pred + diff
+    if (p > 32767) p = 32767
+    if (p < -32768) p = -32768
+    var ix = index + IndexTable(nibble & 7)
+    if (ix < 0) ix = 0
+    if (ix > 88) ix = 88
+    (p, ix)
+  }
+
+  private def u16(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+  private def s16(d: Array[Byte], o: Int): Int = {
+    val v = u16(d, o)
+    if (v >= 0x8000) v - 0x10000 else v
+  }
+  private def u32(d: Array[Byte], o: Int): Long =
+    (u16(d, o).toLong) | (u16(d, o + 2).toLong << 16)
+
+  private def tag(d: Array[Byte], off: Int, t: String): Boolean =
+    d.length >= off + t.length &&
+      t.indices.forall(i => d(off + i) == t(i).toByte)
+
+  /** RIFF/WAVE whose fmt chunk carries format tag 0x0011 — checked
+    * cheaply so [[AudioDecoder.JavaSoundPcm]] (which claims all other
+    * RIFF/WAVE) and this decoder stay disjoint claimants.
+    */
+  def supports(d: Array[Byte]): Boolean =
+    tag(d, 0, "RIFF") && tag(d, 8, "WAVE") && findFmt(d).exists {
+      case (off, _) => u16(d, off) == 0x0011
+    }
+
+  /** Locate (payload offset, payload size) of a chunk id. */
+  private def findChunk(d: Array[Byte], id: String): Option[(Int, Int)] = {
+    var o = 12
+    while (o + 8 <= d.length) {
+      val size = u32(d, o + 4)
+      if (size < 0 || size > Int.MaxValue) return None
+      if (tag(d, o, id)) {
+        val s = math.min(size, (d.length - o - 8).toLong).toInt
+        return Some((o + 8, s))
+      }
+      o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
+  private def findFmt(d: Array[Byte]) = findChunk(d, "fmt ")
+
+  def decode(data: Array[Byte]): Option[Array[Double]] = try {
+    if (!supports(data)) return None
+    val (fmtOff, fmtSize) = findFmt(data).get
+    if (fmtSize < 16) return None
+    val channels = u16(data, fmtOff + 2)
+    val blockAlign = u16(data, fmtOff + 12)
+    val bitsPerSample = u16(data, fmtOff + 14)
+    if (channels < 1 || channels > 8 || bitsPerSample != 4) return None
+    if (blockAlign < 4 * channels || blockAlign % (4 * channels) != 0) return None
+    val (dataOff, dataSize) = findChunk(data, "data").getOrElse(return None)
+    val samplesPerBlock = (blockAlign - 4 * channels) * 2 / channels + 1
+    val nBlocks = dataSize / blockAlign
+    val totalSamples = nBlocks.toLong * samplesPerBlock
+    if (totalSamples > (1 << 26)) return None // same bound as JavaSoundPcm
+
+    val out = new Array[Double](totalSamples.toInt)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = dataOff + blk * blockAlign
+      val pred = new Array[Int](channels)
+      val index = new Array[Int](channels)
+      var c = 0
+      while (c < channels) {
+        pred(c) = s16(data, base + 4 * c)
+        index(c) = data(base + 4 * c + 2) & 0xff
+        if (index(c) > 88) return None
+        c += 1
+      }
+      val blockOut = Array.ofDim[Int](channels, samplesPerBlock)
+      c = 0
+      while (c < channels) { blockOut(c)(0) = pred(c); c += 1 }
+      // nibble data: channels interleaved in 4-byte groups
+      val dataBytesPerChannel = (blockAlign - 4 * channels) / channels
+      val groups = dataBytesPerChannel / 4
+      var g = 0
+      while (g < groups) {
+        c = 0
+        while (c < channels) {
+          val off = base + 4 * channels + g * 4 * channels + c * 4
+          var b = 0
+          while (b < 4) {
+            val byte = data(off + b) & 0xff
+            var n = 0
+            while (n < 2) {
+              val nib = if (n == 0) byte & 0xf else byte >> 4
+              val si = 1 + g * 8 + b * 2 + n
+              val (p, ix) = step(nib, pred(c), index(c))
+              pred(c) = p; index(c) = ix
+              if (si < samplesPerBlock) blockOut(c)(si) = p
+              n += 1
+            }
+            b += 1
+          }
+          c += 1
+        }
+        g += 1
+      }
+      // mono mix, the JavaSoundPcm convention: average / 32768
+      var s = 0
+      while (s < samplesPerBlock) {
+        var sum = 0.0
+        c = 0
+        while (c < channels) { sum += blockOut(c)(s) / 32768.0; c += 1 }
+        out(blk * samplesPerBlock + s) = sum / channels
+        s += 1
+      }
+      blk += 1
+    }
+    Some(out)
+  } catch {
+    case _: ArrayIndexOutOfBoundsException | _: NoSuchElementException |
+         _: NegativeArraySizeException => None
+  }
+}

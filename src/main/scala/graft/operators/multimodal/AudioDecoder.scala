@@ -101,10 +101,13 @@ object AudioDecoder {
   }
 
   /** The decoders a pure JVM provides: uncompressed PCM containers via
-    * `javax.sound`, plus [[FlacDecoder]] — a real compressed codec,
-    * decoded from the public RFC 9639 bitstream spec entirely in JVM
-    * integer arithmetic (round 14). First claimant wins, which the
-    * built-ins never contest (disjoint magic bytes).
+    * `javax.sound`, [[FlacDecoder]] — a real compressed codec, decoded
+    * from the public RFC 9639 bitstream spec entirely in JVM integer
+    * arithmetic (round 14) — and [[AdpcmDecoder]] for IMA ADPCM WAV
+    * (round 15). First claimant wins, which the built-ins never
+    * contest: AdpcmDecoder claims only RIFF/WAVE with format tag 0x11,
+    * which JavaSoundPcm cannot decode (it is listed first so the
+    * generic RIFF sniff never shadows it).
     */
-  val builtins: Seq[AudioDecoder] = Seq(JavaSoundPcm, FlacDecoder)
+  val builtins: Seq[AudioDecoder] = Seq(AdpcmDecoder, JavaSoundPcm, FlacDecoder)
 }
