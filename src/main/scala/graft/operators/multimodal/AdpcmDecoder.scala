@@ -100,6 +100,13 @@ object AdpcmDecoder extends AudioDecoder {
   }
   private def findFmt(d: Array[Byte]) = findChunk(d, "fmt ")
 
+  private[multimodal] def u16x(d: Array[Byte], o: Int): Int = u16(d, o)
+  private[multimodal] def s16x(d: Array[Byte], o: Int): Int = s16(d, o)
+  private[multimodal] def findChunkx(d: Array[Byte], id: String): Option[(Int, Int)] =
+    findChunk(d, id)
+  private[multimodal] def riffWave(d: Array[Byte]): Boolean =
+    tag(d, 0, "RIFF") && tag(d, 8, "WAVE")
+
   def decode(data: Array[Byte]): Option[Array[Double]] = try {
     if (!supports(data)) return None
     val (fmtOff, fmtSize) = findFmt(data).get
@@ -164,6 +171,124 @@ object AdpcmDecoder extends AudioDecoder {
         c = 0
         while (c < channels) { sum += blockOut(c)(s) / 32768.0; c += 1 }
         out(blk * samplesPerBlock + s) = sum / channels
+        s += 1
+      }
+      blk += 1
+    }
+    Some(out)
+  } catch {
+    case _: ArrayIndexOutOfBoundsException | _: NoSuchElementException |
+         _: NegativeArraySizeException => None
+  }
+}
+
+/** Pure-JVM Microsoft ADPCM decoder (WAVE format tag 0x0002) — the
+  * OTHER legacy WAV compression (round 15, same rationale as
+  * [[AdpcmDecoder]]: real corpora carry it, `javax.sound` cannot read
+  * it). Second-order linear prediction with 7 standard coefficient
+  * pairs, a per-block predictor choice, and a multiplicative delta
+  * adaptation table.
+  *
+  * Verification (AdpcmSpec): the adaptation table carries two exact
+  * structural invariants — symmetry `a(n) == a(16 - n)` for n in 1..7
+  * (adaptation depends on nibble MAGNITUDE only) and the floor value
+  * 230 on the small-magnitude arm — and every coefficient pair
+  * satisfies the predictor stability bound `coef1 + coef2 <= 256`
+  * (DC gain <= 1), with pair 0 the exact identity predictor (256, 0).
+  * The decoder is pinned bit-exact against the in-repo test encoder's
+  * reconstruction trace across all 7 predictors, plus routing and
+  * corruption fuzz. Integer semantics follow the WAVE spec's C
+  * arithmetic: prediction `/ 256` truncates toward zero, the delta
+  * update `>> 8` floors (delta is non-negative).
+  *
+  * Block layout: per channel a predictor index byte, then per channel
+  * int16 initial delta, sample1 (newer), sample2 (older); the block's
+  * first two output samples are sample2 then sample1; nibble data is
+  * high-nibble-first with channels alternating per nibble.
+  */
+object MsAdpcmDecoder extends AudioDecoder {
+
+  /** delta adaptation per nibble (Microsoft WAVE spec). */
+  val AdaptationTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** The 7 standard predictor coefficient pairs (×256). */
+  val Coef1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  val Coef2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+
+  def supports(d: Array[Byte]): Boolean =
+    AdpcmDecoder.riffWave(d) && AdpcmDecoder.findChunkx(d, "fmt ").exists {
+      case (off, _) => AdpcmDecoder.u16x(d, off) == 0x0002
+    }
+
+  def decode(data: Array[Byte]): Option[Array[Double]] = try {
+    if (!supports(data)) return None
+    val (fmtOff, fmtSize) = AdpcmDecoder.findChunkx(data, "fmt ").get
+    if (fmtSize < 16) return None
+    val channels = AdpcmDecoder.u16x(data, fmtOff + 2)
+    val blockAlign = AdpcmDecoder.u16x(data, fmtOff + 12)
+    val bitsPerSample = AdpcmDecoder.u16x(data, fmtOff + 14)
+    if (channels < 1 || channels > 8 || bitsPerSample != 4) return None
+    val headerBytes = 7 * channels
+    if (blockAlign <= headerBytes) return None
+    if ((blockAlign - headerBytes) * 2 % channels != 0) return None
+    val (dataOff, dataSize) =
+      AdpcmDecoder.findChunkx(data, "data").getOrElse(return None)
+    val samplesPerBlock = (blockAlign - headerBytes) * 2 / channels + 2
+    val nBlocks = dataSize / blockAlign
+    val totalSamples = nBlocks.toLong * samplesPerBlock
+    if (totalSamples > (1 << 26)) return None
+
+    val out = new Array[Double](totalSamples.toInt)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = dataOff + blk * blockAlign
+      val coef1 = new Array[Int](channels)
+      val coef2 = new Array[Int](channels)
+      val delta = new Array[Int](channels)
+      val s1 = new Array[Int](channels)
+      val s2 = new Array[Int](channels)
+      var c = 0
+      while (c < channels) {
+        val p = data(base + c) & 0xff
+        if (p >= Coef1.length) return None
+        coef1(c) = Coef1(p); coef2(c) = Coef2(p)
+        delta(c) = AdpcmDecoder.s16x(data, base + channels + 2 * c)
+        if (delta(c) < 16) delta(c) = 16
+        s1(c) = AdpcmDecoder.s16x(data, base + 3 * channels + 2 * c)
+        s2(c) = AdpcmDecoder.s16x(data, base + 5 * channels + 2 * c)
+        c += 1
+      }
+      val o0 = blk * samplesPerBlock
+      val block = Array.ofDim[Int](channels, samplesPerBlock)
+      c = 0
+      while (c < channels) { block(c)(0) = s2(c); block(c)(1) = s1(c); c += 1 }
+      // nibbles: high first, channels alternating per nibble
+      val nNibbles = (samplesPerBlock - 2) * channels
+      var i = 0
+      while (i < nNibbles) {
+        val byte = data(base + headerBytes + (i >> 1)) & 0xff
+        val nib = if ((i & 1) == 0) byte >> 4 else byte & 0xf
+        val ch = i % channels
+        val si = 2 + i / channels
+        val signed = if (nib >= 8) nib - 16 else nib
+        var pred = (s1(ch) * coef1(ch) + s2(ch) * coef2(ch)) / 256
+        pred += signed * delta(ch)
+        if (pred > 32767) pred = 32767
+        if (pred < -32768) pred = -32768
+        s2(ch) = s1(ch); s1(ch) = pred
+        delta(ch) = (AdaptationTable(nib) * delta(ch)) >> 8
+        if (delta(ch) < 16) delta(ch) = 16
+        block(ch)(si) = pred
+        i += 1
+      }
+      var s = 0
+      while (s < samplesPerBlock) {
+        var sum = 0.0
+        c = 0
+        while (c < channels) { sum += block(c)(s) / 32768.0; c += 1 }
+        out(o0 + s) = sum / channels
         s += 1
       }
       blk += 1

@@ -109,5 +109,6 @@ object AudioDecoder {
     * which JavaSoundPcm cannot decode (it is listed first so the
     * generic RIFF sniff never shadows it).
     */
-  val builtins: Seq[AudioDecoder] = Seq(AdpcmDecoder, JavaSoundPcm, FlacDecoder)
+  val builtins: Seq[AudioDecoder] =
+    Seq(AdpcmDecoder, MsAdpcmDecoder, JavaSoundPcm, FlacDecoder)
 }

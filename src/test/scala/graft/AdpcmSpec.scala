@@ -198,3 +198,170 @@ class AdpcmSpec extends AnyFunSuite {
       AdpcmDecoder.decode(java.util.Arrays.copyOf(wav, len))
   }
 }
+
+/** Test-side Microsoft ADPCM encoder: tables shared (they define the
+  * bitstream), quantize/reconstruct arithmetic written independently,
+  * reconstruction trace returned — the [[AdpcmTestEncoder]] discipline.
+  * Exhaustive 16-nibble search per sample (it is a test encoder; only
+  * the DECODER is the product).
+  */
+object MsAdpcmTestEncoder {
+  import graft.operators.multimodal.MsAdpcmDecoder.{AdaptationTable, Coef1, Coef2}
+
+  def encode(channels: Array[Array[Int]], sampleRate: Int,
+             samplesPerBlock: Int,
+             predictorOf: Int => Int = _ => 0): (Array[Byte], Array[Array[Int]]) = {
+    val ch = channels.length
+    require(ch >= 1 && channels.forall(_.length == channels(0).length))
+    require(samplesPerBlock >= 2 && (samplesPerBlock - 2) * ch % 2 == 0)
+    val total = channels(0).length
+    val nBlocks = (total + samplesPerBlock - 1) / samplesPerBlock
+    val blockAlign = 7 * ch + (samplesPerBlock - 2) * ch / 2
+    val recon = Array.fill(ch)(new Array[Int](nBlocks * samplesPerBlock))
+    def sampleAt(c: Int, i: Int): Int =
+      if (i < total) channels(c)(i) else if (total == 0) 0 else channels(c)(total - 1)
+
+    val data = new ArrayBuffer[Byte]()
+    var blk = 0
+    while (blk < nBlocks) {
+      val s0 = blk * samplesPerBlock
+      val p = predictorOf(blk) % 7
+      val c1 = Coef1(p); val c2 = Coef2(p)
+      val s2 = new Array[Int](ch); val s1 = new Array[Int](ch)
+      val delta = new Array[Int](ch)
+      for (c <- 0 until ch) {
+        s2(c) = sampleAt(c, s0); s1(c) = sampleAt(c, s0 + 1)
+        delta(c) = math.max(16,
+          math.abs(sampleAt(c, s0 + 2) - s1(c)) / 4 + 16)
+        recon(c)(s0) = s2(c)
+        recon(c)(s0 + 1) = s1(c)
+      }
+      for (c <- 0 until ch) data += p.toByte
+      for (c <- 0 until ch) { data += (delta(c) & 0xff).toByte; data += ((delta(c) >> 8) & 0xff).toByte }
+      for (c <- 0 until ch) { data += (s1(c) & 0xff).toByte; data += ((s1(c) >> 8) & 0xff).toByte }
+      for (c <- 0 until ch) { data += (s2(c) & 0xff).toByte; data += ((s2(c) >> 8) & 0xff).toByte }
+      // nibbles: high first, channels alternating per nibble
+      val nNibbles = (samplesPerBlock - 2) * ch
+      var pendingHigh = -1
+      var i = 0
+      while (i < nNibbles) {
+        val c = i % ch
+        val si = 2 + i / ch
+        val target = sampleAt(c, s0 + si)
+        // independent reconstruction arithmetic (toward-zero /256,
+        // >>8 delta floor, clamps) — pick the nibble whose decode
+        // lands closest to the target
+        val predBase = (s1(c) * c1 + s2(c) * c2) / 256
+        var bestNib = 0; var bestErr = Long.MaxValue; var bestSample = 0
+        var nib = 0
+        while (nib < 16) {
+          val signed = if (nib >= 8) nib - 16 else nib
+          var v = predBase + signed * delta(c)
+          if (v > 32767) v = 32767
+          if (v < -32768) v = -32768
+          val err = math.abs(v.toLong - target)
+          if (err < bestErr) { bestErr = err; bestNib = nib; bestSample = v }
+          nib += 1
+        }
+        s2(c) = s1(c); s1(c) = bestSample
+        delta(c) = math.max(16, (AdaptationTable(bestNib) * delta(c)) >> 8)
+        recon(c)(s0 + si) = bestSample
+        if (pendingHigh < 0) pendingHigh = bestNib
+        else { data += ((pendingHigh << 4) | bestNib).toByte; pendingHigh = -1 }
+        i += 1
+      }
+      require(pendingHigh < 0, "odd nibble count")
+      blk += 1
+    }
+
+    val out = new ArrayBuffer[Byte]()
+    def w16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    def tg(t: String): Unit = t.foreach(cc => out += cc.toByte)
+    tg("RIFF"); w32(4 + 8 + 50 + 8 + data.length); tg("WAVE")
+    tg("fmt "); w32(50)
+    w16(0x0002); w16(ch); w32(sampleRate)
+    w32(sampleRate.toLong * blockAlign / samplesPerBlock)
+    w16(blockAlign); w16(4)
+    w16(32) // cbSize
+    w16(samplesPerBlock); w16(7)
+    for (k <- 0 until 7) {
+      w16(graft.operators.multimodal.MsAdpcmDecoder.Coef1(k) & 0xffff)
+      w16(graft.operators.multimodal.MsAdpcmDecoder.Coef2(k) & 0xffff)
+    }
+    tg("data"); w32(data.length)
+    out ++= data
+    (out.toArray, recon)
+  }
+}
+
+/** Microsoft ADPCM decode (SURVEY §2 #36d, round 15). */
+class MsAdpcmSpec extends AnyFunSuite {
+  import graft.operators.multimodal.MsAdpcmDecoder
+
+  test("tables carry their structural invariants: symmetry, floor, stability, identity pair") {
+    val a = MsAdpcmDecoder.AdaptationTable
+    assert(a.length == 16)
+    // adaptation depends on nibble magnitude only: a(n) == a(16 - n)
+    for (n <- 1 to 7) assert(a(n) == a(16 - n), s"asymmetry at $n")
+    assert(a(8) == a.max, "max growth at the largest magnitude")
+    assert(a.take(4).forall(_ == 230) && a.min == 230, "shrink floor 230")
+    assert(a.zipWithIndex.forall { case (v, i) => i > 8 || i == 0 || v >= a(i - 1) },
+      "monotone over positive magnitudes")
+    // predictor stability: DC gain (coef1 + coef2)/256 <= 1; pair 0 is
+    // the exact identity predictor
+    val c1 = MsAdpcmDecoder.Coef1; val c2 = MsAdpcmDecoder.Coef2
+    assert(c1.length == 7 && c2.length == 7)
+    assert(c1(0) == 256 && c2(0) == 0)
+    for (k <- 0 until 7) assert(c1(k) + c2(k) <= 256, s"unstable pair $k")
+  }
+
+  private def signal(n: Int, seed: Long, amp: Double = 9000): Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(n) { i =>
+      (math.sin(i / 9.0) * amp + math.sin(i / 2.3) * amp / 4 +
+        rnd.nextInt(401) - 200).toInt.max(-32768).min(32767)
+    }
+  }
+
+  test("fuzz: decode is bit-exact against the encoder's reconstruction trace, all 7 predictors") {
+    val rng = new scala.util.Random(20260817L)
+    for (iter <- 1 to 60) {
+      val ch = 1 + rng.nextInt(2)
+      val spb = if (ch == 2) Seq(9, 18, 33)(rng.nextInt(3))
+                else Seq(8, 18, 34)(rng.nextInt(3))
+      val n = spb * (1 + rng.nextInt(4))
+      val pcm = Array.fill(ch)(signal(n, rng.nextLong()))
+      val pred = rng.nextInt(7)
+      val (wav, recon) = MsAdpcmTestEncoder.encode(pcm, 8000, spb,
+        predictorOf = b => (pred + b) % 7)
+      val got = MsAdpcmDecoder.decode(wav)
+        .getOrElse(fail(s"iter $iter (ch=$ch spb=$spb): no decode"))
+      assert(got.length == n, s"iter $iter length")
+      val expected = Array.tabulate(n) { i =>
+        (0 until ch).map(c => recon(c)(i) / 32768.0).sum / ch
+      }
+      assert(got.toSeq == expected.toSeq, s"iter $iter (ch=$ch spb=$spb pred=$pred)")
+    }
+  }
+
+  test("routing: tag 0x02 claimed here, disjoint from IMA and PCM; corruption degrades") {
+    import graft.operators.multimodal.{AdpcmDecoder, AudioDecoder}
+    val pcm = signal(512, 3L)
+    val (msWav, _) = MsAdpcmTestEncoder.encode(Array(pcm), 8000, 34)
+    assert(MsAdpcmDecoder.supports(msWav))
+    assert(!AdpcmDecoder.supports(msWav))
+    assert(AudioDecoder.builtins.find(_.supports(msWav)).get eq MsAdpcmDecoder)
+    val (imaWav, _) = AdpcmTestEncoder.encode(Array(pcm), 8000, 9)
+    assert(!MsAdpcmDecoder.supports(imaWav))
+    val rng = new scala.util.Random(13L)
+    for (_ <- 1 to 200) {
+      val c = msWav.clone()
+      for (_ <- 0 until 1 + rng.nextInt(4))
+        c(rng.nextInt(c.length)) = (rng.nextInt(256) - 128).toByte
+      MsAdpcmDecoder.decode(c)
+    }
+    for (len <- 1 until msWav.length by 13)
+      MsAdpcmDecoder.decode(java.util.Arrays.copyOf(msWav, len))
+  }
+}
