@@ -141,8 +141,10 @@ class H264CabacSpec extends AnyFunSuite {
     val rng = new scala.util.Random(20260816L)
     val qps = Array(8, 10, 16, 22, 26, 30, 35, 40)
     for (iter <- 1 to 250) {
-      val mbW = 1 + rng.nextInt(3)
-      val mbH = 1 + rng.nextInt(2)
+      // up to 4x3 MBs: wide frames exercise the cross-MB neighbor
+      // contexts (cbp/cbf/chroma/type) over longer rasters
+      val mbW = 1 + rng.nextInt(4)
+      val mbH = 1 + rng.nextInt(3)
       val qp = qps(rng.nextInt(qps.length))
       val mbs = (0 until mbW * mbH).map(a => randMb(rng, a % mbW, a / mbW))
       val stream = encodeFrameCabac(mbW, mbH, mbs, qp)
