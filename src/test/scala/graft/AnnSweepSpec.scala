@@ -190,4 +190,26 @@ class AnnSweepSpec extends AnyFunSuite {
     assert(report.count(_.getString(5) == "ivfpq_fine") >= 5,
       "spread cells must read ivfpq_fine")
   }
+
+  test("AnnAdvisor: middle arm names the refine target that covers the tie block") {
+    // same duplicate ball, but at k=10 the pool only needs
+    // ceil(2000/10) = 200 candidates — the advice must be the concrete
+    // refine number, not the give-up arm
+    val ball = Array.tabulate(64)(i => math.cos(i * 0.3).toFloat)
+    val dup = spark.range(2000).toDF("vec_id")
+      .withColumn("embedding",
+        array(ball.map(x => lit(x)): _*).cast("array<float>"))
+    val spread = ScaleUp.gaussEmbeddings(
+      spark.range(2000, 3000).toDF("vec_id"), dim = 64, nClusters = 200)
+      .select(col("vec_id"), col("embedding"))
+    val report = Similarity.AnnAdvisor.run(dup.unionAll(spread), k = 10)
+      .collect()
+    val flagged = report.filter(r => r.getLong(4) >= 2000)
+    assert(flagged.nonEmpty, "the duplicate ball must dominate one cell")
+    flagged.foreach { r =>
+      val expected = s"raise_refine_to_${(r.getLong(4) + 9) / 10}"
+      assert(r.getString(5) == expected,
+        s"cell ${r.getInt(0)}: ${r.getString(5)} != $expected")
+    }
+  }
 }
