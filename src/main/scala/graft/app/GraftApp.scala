@@ -117,7 +117,7 @@ object GraftApp {
     "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "mixture",
     "pack", "sessionize", "line-dedup", "span-dedup", "search",
     "semantic-dedup", "perplexity", "url-dedup", "bpe", "chunk", "html-extract",
-    "vectorize")
+    "vectorize", "ann-advisor")
 
   /** Tool-name aliases (reference: dbqt/tools/__init__.py:6
     * `TOOL_ALIASES`) mapped onto this CLI's tool names: `compare` →
@@ -468,6 +468,14 @@ object GraftApp {
           dim = f.getOrElse("dim", "64").toInt,
           textCol = f.getOrElse("text-col", "text"),
           idCol = f.getOrElse("id", "doc_id"))
+      case "ann-advisor" =>
+        // per-cell tie-mass diagnostic over an embedding table: which
+        // ANN index fits each neighborhood regime (round 15)
+        graft.operators.similarity.Similarity.AnnAdvisor.run(table,
+          k = f.getOrElse("k", "10").toInt,
+          nCells = f.getOrElse("cells", "32").toInt,
+          vecCol = f.getOrElse("vec-col", "embedding"),
+          idCol = f.getOrElse("id", "vec_id"))
       case "html-extract" =>
         // HTML → main text (tag strip + entity decode + short-line rule)
         graft.operators.text.HtmlExtract.run(table,

@@ -259,6 +259,12 @@ class GraftAppSpec extends AnyFunSuite {
       "--table", "documents", "--dim", "32") > 400)
   }
 
+  test("ann-advisor tool reports one row per coarse cell") {
+    val n = runToParquet("ann-advisor", "--dir", TestSpark.sf0001,
+      "--table", "embeddings", "--cells", "8", "--k", "5")
+    assert(n > 0 && n <= 8, s"$n cells")
+  }
+
   test("chunk and html-extract tools run end-to-end") {
     // docs are 10-99 tokens → window 16 guarantees multi-chunk output
     assert(runToParquet("chunk", "--dir", TestSpark.sf0001,
