@@ -84,17 +84,26 @@ object AdpcmDecoder extends AudioDecoder {
       case (off, _) => u16(d, off) == 0x0011
     }
 
-  /** Locate (payload offset, payload size) of a chunk id. */
+  /** Locate (payload offset, payload size) of a chunk id.
+    *
+    * Total on malformed input — `supports` calls this with no try/catch
+    * inside Spark task closures (BinaryPipeline routing), so one
+    * truncated WAV must never throw: the cursor is a Long (a declared
+    * chunk size near Int.MaxValue can't overflow it negative), and a
+    * clamped payload shorter than 2 bytes is treated as absent because
+    * every caller immediately reads u16 fields out of it.
+    */
   private def findChunk(d: Array[Byte], id: String): Option[(Int, Int)] = {
-    var o = 12
+    var o = 12L
     while (o + 8 <= d.length) {
-      val size = u32(d, o + 4)
+      val oi = o.toInt
+      val size = u32(d, oi + 4)
       if (size < 0 || size > Int.MaxValue) return None
-      if (tag(d, o, id)) {
-        val s = math.min(size, (d.length - o - 8).toLong).toInt
-        return Some((o + 8, s))
+      if (tag(d, oi, id)) {
+        val s = math.min(size, d.length - o - 8).toInt
+        return if (s >= 2) Some((oi + 8, s)) else None
       }
-      o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      o += 8 + size + (size & 1) // chunks are word-aligned
     }
     None
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.multimodal.{AdpcmDecoder, AudioDecoder}
+import graft.operators.multimodal.{AdpcmDecoder, AudioDecoder, MsAdpcmDecoder}
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.collection.mutable.ArrayBuffer
@@ -196,6 +196,51 @@ class AdpcmSpec extends AnyFunSuite {
     }
     for (len <- 1 until wav.length by 13)
       AdpcmDecoder.decode(java.util.Arrays.copyOf(wav, len))
+  }
+
+  test("supports() is total on malformed RIFF — the unguarded routing path (advice-r15)") {
+    // supports() runs inside BinaryPipeline task closures with NO
+    // try/catch (decode() has one, routing does not), so one truncated
+    // WAV in a corpus must not fail the whole job.
+    val decoders = Seq[Array[Byte] => Boolean](
+      AdpcmDecoder.supports, MsAdpcmDecoder.supports)
+    // payload ending exactly at the fmt header: 'RIFF....WAVEfmt ' + size
+    val prefix = {
+      val out = new ArrayBuffer[Byte]()
+      def tg(t: String): Unit = t.foreach(c => out += c.toByte)
+      tg("RIFF"); out ++= Array[Byte](0x24, 0, 0, 0); tg("WAVE"); tg("fmt ")
+      out.toArray
+    }
+    for (f <- decoders) {
+      assert(!f(prefix)) // 20 bytes: chunk header incomplete
+      // declared fmt size 16 but zero payload bytes present
+      assert(!f(prefix ++ Array[Byte](16, 0, 0, 0)))
+      // declared fmt size 16, ONE payload byte present (clamped to 1 <
+      // the 2 bytes u16 reads)
+      assert(!f(prefix ++ Array[Byte](16, 0, 0, 0, 0x11)))
+      // a non-fmt chunk whose size is near Int.MaxValue: the cursor
+      // advance must not overflow negative and loop/read out of bounds
+      val huge = {
+        val out = new ArrayBuffer[Byte]()
+        def tg(t: String): Unit = t.foreach(c => out += c.toByte)
+        tg("RIFF"); out ++= Array[Byte](0x24, 0, 0, 0); tg("WAVE")
+        tg("JUNK"); out ++= Array[Byte](-1, -1, -1, 0x7f) // 0x7fffffff
+        out ++= Array.fill[Byte](64)(0)
+        out.toArray
+      }
+      assert(!f(huge))
+    }
+    // randomized header fuzz over the whole routing chain
+    val rng = new scala.util.Random(23L)
+    val pcm = signal(256, 5L)
+    val (wav, _) = AdpcmTestEncoder.encode(Array(pcm), 8000, 9)
+    for (_ <- 1 to 300) {
+      val len = 1 + rng.nextInt(wav.length)
+      val c = java.util.Arrays.copyOf(wav, len)
+      for (_ <- 0 until 1 + rng.nextInt(6))
+        c(rng.nextInt(c.length)) = (rng.nextInt(256) - 128).toByte
+      decoders.foreach(f => f(c)) // must not throw
+    }
   }
 }
 
