@@ -38,6 +38,11 @@ object SparkEntry {
     // rsd-bound agreement with the exact rollup asserted in
     // RelationalQueriesSpec (the nullcheck_approx pattern)
     "events_hourly_approx" -> ((s, d) => RelationalQueries.eventsHourlyApprox(s, d)),
+    // derived agreement oracle for the HLL twin (verdict-r15 #7): the
+    // rsd bound becomes a hash-checked claim — DuckDB recomputes the
+    // exact distinct per bucket and asserts the verdict column is TRUE
+    "events_hourly_approx_agreement" -> ((s, d) =>
+      RelationalQueries.eventsHourlyApproxAgreement(s, d)),
     "events_sessions" -> ((s, d) =>
       Sessionize.sessions(Tables(s, d, "events"), SessionGapMinutes)),
     "range_join" -> ((s, d) => {
@@ -324,6 +329,25 @@ object SparkEntry {
         docs.where(col("doc_id") < IncrementalSplitId),
         NgramJaccardThreshold)
     }),
+    // derived agreement oracle for the near-dup membership path
+    // (verdict-r15 #7): plant exact copies of corpus docs into the
+    // batch (the testdata has no natural cross-split duplicates) and
+    // assert the minhash verdict/best-match/score on them against the
+    // SQL-replayable equality ground truth — identical text ⇒ identical
+    // gram set ⇒ jaccard 1.0 ⇒ must be flagged with the equality
+    // match's minimal corpus id. A banding/signature/verify regression
+    // that drops exact duplicates now flips a hash.
+    "dedup_incremental_minhash_agreement" -> ((s, d) => {
+      val aug = incrementalMinhashFixture(s, d)
+      val batch = aug.where(col("doc_id") >= IncrementalSplitId)
+      val corpus = aug.where(col("doc_id") < IncrementalSplitId)
+      val near = Dedup.MinHashDedup.againstCorpus(batch, corpus, NgramJaccardThreshold)
+      batch.join(corpus.select("text").distinct(), Seq("text"), "left_semi")
+        .select("doc_id")
+        .join(near, Seq("doc_id"))
+        .select(col("doc_id"), col("near_dup"), col("best_corpus_id"), col("jaccard"))
+        .orderBy("doc_id")
+    }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.NgramJaccard.allPairs(Tables(s, d, "documents"), NgramJaccardThreshold)),
     "dedup_minhash" -> ((s, d) =>
@@ -411,9 +435,10 @@ object SparkEntry {
     // Queries are cluster MEMBERS (ids >= nCenters), so each has true
     // in-cluster neighbors. Floors asserted in AnnSweepSpec.
     "ann_recall_gauss" -> ((s, d) => {
+      val nc = Similarity.DefaultClusterCenters
       val g = Similarity.deriveClustered(Tables(s, d, "embeddings"))
       Similarity.RecallReport.run(g,
-        g.where(col("vec_id") >= 40 && col("vec_id") < 40 + AnnNumQueries),
+        g.where(col("vec_id") >= nc && col("vec_id") < nc + AnnNumQueries),
         AnnK, dim = 64)
     }),
     // per-cell tie-mass advisor (verdict-r14 #7): operationalizes the
@@ -541,6 +566,20 @@ object SparkEntry {
     * `text_fingerprint`/`dedup_exact` goes red. Mirrored verbatim in
     * [[WsFixtureDocsSql]].
     */
+  // dedup_incremental_minhash_agreement fixture: the documents table
+  // plus exact copies of corpus docs 0..4 planted in the batch id space
+  // (mirrored verbatim in IncrementalMinhashFixtureSql)
+  private val MinhashCopyBase = 10000L
+  private def incrementalMinhashFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionAll(docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + MinhashCopyBase).as("doc_id"), col("text")))
+  }
+  private val IncrementalMinhashFixtureSql =
+    s"""(SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id + $MinhashCopyBase, text
+       | FROM documents WHERE doc_id < 5)""".stripMargin
+
   private def wsFixtureDocs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables(s, d, "documents").select(col("doc_id"), col("text"))
@@ -739,6 +778,16 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    // the HLL twin's accuracy claim: DuckDB recomputes the exact
+    // distinct and asserts every bucket's verdict TRUE (the sketch
+    // itself is not SQL-expressible; its bound is)
+    "events_hourly_approx_agreement" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  TRUE AS within_bound
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
     "rowcount" ->
       Tables.all.sorted.map(t => s"SELECT '$t' AS table_name, count(*) AS row_count FROM $t")
         .mkString("", "\nUNION ALL\n", "\nORDER BY table_name"),
@@ -877,6 +926,18 @@ object SparkEntry {
       "documents", "doc_id", "(doc_id % 100) / 100.0"),
     "dedup_exact" -> Dedup.ExactDedup.oracleSql(WsFixtureDocsSql),
     "dedup_incremental" -> Dedup.IncrementalDedup.oracleSql("documents", IncrementalSplitId),
+    // equality ground truth for the planted exact copies: identical text
+    // must be near-flagged with jaccard 1.0 and the minimal equal-text
+    // corpus id as best match (see the queries entry)
+    "dedup_incremental_minhash_agreement" ->
+      s"""SELECT b.doc_id, TRUE AS near_dup, min(c.doc_id) AS best_corpus_id,
+         |  CAST(1.0 AS DOUBLE) AS jaccard
+         |FROM $IncrementalMinhashFixtureSql b
+         |JOIN (SELECT doc_id, text FROM documents WHERE doc_id < $IncrementalSplitId) c
+         |  ON c.text = b.text
+         |WHERE b.doc_id >= $IncrementalSplitId
+         |GROUP BY b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     "pack_sequences" -> graft.operators.Packing.oracleSql(
       "documents", PackCapacity, "n_chars // 4 + 1"),
     "text_decontaminate" -> graft.operators.text.Decontaminate.oracleSql(

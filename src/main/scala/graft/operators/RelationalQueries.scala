@@ -273,4 +273,26 @@ object RelationalQueries {
       .orderBy("hour", "event_type")
   }
 
+  /** [[eventsHourlyApprox]]'s DERIVED ORACLE twin (round-16,
+    * verdict-r15 #7): the HLL sketch itself is not SQL-expressible, but
+    * its accuracy CLAIM is — per bucket, |approx − exact| must sit
+    * within 3·rsd of the exact distinct (plus one for the tiny-count
+    * sparse regime, where HLL++ is exact anyway). Emitting the exact
+    * count and the boolean verdict makes the row hash-checkable: DuckDB
+    * recomputes the exact distinct and asserts TRUE, so a sketch
+    * regression flips the hash instead of hiding behind a rows-only
+    * count. One pass, both aggregates share the scan.
+    */
+  def eventsHourlyApproxAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.05 // approx_count_distinct's default
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(col("hour"), col("event_type"), col("n_users"),
+        (abs(col("approx") - col("n_users")) <=
+          greatest(lit(1.0), lit(3 * rsd) * col("n_users"))).as("within_bound"))
+      .orderBy("hour", "event_type")
+  }
+
 }

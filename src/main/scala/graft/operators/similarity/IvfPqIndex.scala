@@ -61,7 +61,13 @@ object IvfPqIndex {
     } yield (j, code, bs(j)._1, bs(j)._2, books(j)(code))).toDF(
       "subspace", "code", "lo", "hi", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq((nCells, m, ksub, ctrs.head.length))
+    // params records the ACTUAL trained shapes, not the declared knobs
+    // (advice-r15: lloyd returns min(k, sampleSize) centroids, so a
+    // corpus smaller than nCells/ksub yields fewer rows — writing the
+    // declared values would make loadModel's consistency check reject
+    // every freshly built small-corpus index, and rebuilding couldn't
+    // fix it)
+    Seq((ctrs.length, books.length, books.head.length, ctrs.head.length))
       .toDF("n_cells", "m", "ksub", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
@@ -141,12 +147,23 @@ object IvfPqIndex {
            nProbe: Int = Similarity.IvfPqAnn.DefaultProbe,
            refine: Int = Similarity.IvfPqAnn.DefaultRefine,
            vecCol: String = "embedding", idCol: String = "vec_id",
-           maxQueryBatch: Long = Similarity.DefaultMaxQueryBatch): DataFrame = {
+           maxQueryBatch: Long = Similarity.DefaultMaxQueryBatch,
+           cellRefine: Map[Int, Int] = Map.empty): DataFrame = {
     val spark = corpus.sparkSession
     val (ctrs, books, bs) = loadModel(spark, dir)
     val coded = spark.read.parquet(s"$dir/codes")
       .select(col("vec_id"), col("cell"), col("codes"))
     Similarity.IvfPqAnn.queryCoded(coded, ctrs, books, bs, corpus, queries,
-      k, nProbe, refine, vecCol, idCol, maxQueryBatch)
+      k, nProbe, refine, vecCol, idCol, maxQueryBatch, cellRefine)
   }
+
+  /** [[Similarity.AnnAdvisor]] report over the STORED codes — no
+    * retrain, one aggregation (round-16): the deployment-shape control
+    * loop is `advise(dir)` → [[Similarity.AnnAdvisor.refineOverrides]]
+    * → `topK(..., cellRefine = ...)`, all against one persisted index,
+    * and cell ids trivially align because the codes ARE the index's.
+    */
+  def advise(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Similarity.AnnAdvisor.fromCoded(
+      spark.read.parquet(s"$dir/codes").select(col("cell"), col("codes")), k)
 }

@@ -705,18 +705,31 @@ object Similarity {
              refine: Int = DefaultRefine,
              vecCol: String = "embedding", idCol: String = "vec_id",
              maxTrain: Long = MaxTrainRows,
-             maxQueryBatch: Long = DefaultMaxQueryBatch): DataFrame = {
+             maxQueryBatch: Long = DefaultMaxQueryBatch,
+             cellRefine: Map[Int, Int] = Map.empty): DataFrame = {
       val spark = corpus.sparkSession
       import spark.implicits._
       val (coded, ctrs, books, bs) =
         trainAndEncode(corpus, nCells, m, ksub, vecCol, idCol, maxTrain)
       queryCoded(coded, ctrs, books, bs, corpus, queries, k, nProbe, refine,
-        vecCol, idCol, maxQueryBatch)
+        vecCol, idCol, maxQueryBatch, cellRefine)
     }
 
     /** The query half: ADC over an already-encoded `(vec_id, cell,
       * codes)` frame + exact re-rank against `corpus`. Shared by
       * [[topK]] and the persisted-index path ([[IvfPqIndex.topK]]).
+      *
+      * `cellRefine` (round-16, verdict-r15 #4 — closes the [[AnnAdvisor]]
+      * control loop): per-cell refine overrides, keyed by coarse-cell
+      * id, typically [[AnnAdvisor.refineOverrides]] over the advisor
+      * report for THIS index. A query probing an overridden cell gets a
+      * candidate pool of `max(refine, overrides of its probed cells)·k`
+      * — sized to cover that cell's ADC tie block, which is exactly the
+      * sub-resolution regime where the fixed pool starves the exact
+      * re-rank (the measured sf100-gauss 0.24). Only the tie-heavy
+      * queries pay the bigger pool; the partial top-k stays a
+      * WindowGroupLimit under the constant max cap, with the bounded
+      * per-query cap applied behind it.
       */
     private[similarity] def queryCoded(coded: DataFrame,
                                        ctrs: Array[Array[Double]],
@@ -725,7 +738,8 @@ object Similarity {
                                        corpus: DataFrame, queries: DataFrame,
                                        k: Int, nProbe: Int, refine: Int,
                                        vecCol: String, idCol: String,
-                                       maxQueryBatch: Long = DefaultMaxQueryBatch): DataFrame = {
+                                       maxQueryBatch: Long = DefaultMaxQueryBatch,
+                                       cellRefine: Map[Int, Int] = Map.empty): DataFrame = {
       requireBoundedQueries(queries, maxQueryBatch, "IvfPqAnn.queryCoded")
       val spark = corpus.sparkSession
       import spark.implicits._
@@ -783,8 +797,28 @@ object Similarity {
       }.toDF("query_id", "vec_id", "adc")
 
       val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
-      val cands = adc.withColumn("r", rank().over(wAdc))
-        .where(col("r") <= refine * k).select("query_id", "vec_id")
+      val ranked = adc.withColumn("r", rank().over(wAdc))
+      val cands =
+        if (cellRefine.isEmpty)
+          ranked.where(col("r") <= refine * k).select("query_id", "vec_id")
+        else {
+          // per-query cap = max over its PROBED cells (bounded: computed
+          // from the driver-side probe set); the constant max-cap filter
+          // stays a literal so the rank filter still compiles to a
+          // WindowGroupLimit partial top-k, and the per-query cap is a
+          // broadcast of ≤ |queries| rows behind it
+          val effCap = probes.map { case (qid, cellDot, _) =>
+            val r = cellDot.keys.foldLeft(refine)((acc, c) =>
+              math.max(acc, cellRefine.getOrElse(c, refine)))
+            (qid, r * k)
+          }.toSeq
+          val maxCap = if (effCap.isEmpty) refine * k else effCap.map(_._2).max
+          val capDf = effCap.toDF("query_id", "cand_cap")
+          ranked.where(col("r") <= maxCap)
+            .join(broadcast(capDf), Seq("query_id"))
+            .where(col("r") <= col("cand_cap"))
+            .select("query_id", "vec_id")
+        }
 
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
       val scored = broadcast(cands).join(
@@ -945,12 +979,28 @@ object Similarity {
     * the same distribution shape the sf100 gauss exhibit used
     * (BENCH_SF100.md round 14).
     */
-  def deriveClustered(emb: DataFrame, nCenters: Int = 40,
+  /** Default center count for [[deriveClustered]] — SparkEntry's gate
+    * rows reference this instead of a literal so the query-id offset
+    * can't silently drift from the derivation (advice-r15).
+    */
+  val DefaultClusterCenters = 40
+
+  def deriveClustered(emb: DataFrame, nCenters: Int = DefaultClusterCenters,
                       vecCol: String = "embedding",
                       idCol: String = "vec_id"): DataFrame = {
     val centers = emb.where(col(idCol) < nCenters)
       .select(pmod(col(idCol), lit(nCenters)).as("__c"),
         col(vecCol).cast("array<float>").as("__cv"))
+    // the join below is INNER on __c = id % nCenters, so a residue with
+    // no center row would silently DROP every corpus row in that group
+    // (advice-r15: an id space not starting at 0 shrinks — possibly
+    // empties — the derived corpus instead of failing). Ids 0..n-1 are
+    // exactly the rows `id < nCenters` with all residues distinct, so
+    // one bounded count makes the precondition loud.
+    require(centers.count() == nCenters,
+      s"deriveClustered needs ids 0..${nCenters - 1} present in $idCol " +
+        "(they are the cluster centers); with gaps the center join would " +
+        "silently drop their groups from the derived corpus")
     emb.select(col(idCol), col(vecCol).cast("array<float>").as(vecCol),
         pmod(col(idCol), lit(nCenters)).as("__c"))
       .join(broadcast(centers), Seq("__c"))
@@ -990,6 +1040,18 @@ object Similarity {
             maxTrain: Long = IvfPqAnn.MaxTrainRows): DataFrame = {
       val (coded, _, _, _) =
         IvfPqAnn.trainAndEncode(corpus, nCells, m, ksub, vecCol, idCol, maxTrain)
+      fromCoded(coded, k)
+    }
+
+    /** The advisor aggregation over an ALREADY-encoded `(cell, codes)`
+      * frame (round-16): a persisted index ([[IvfPqIndex]]) advises on
+      * its stored codes without re-training — one map-side-combined
+      * aggregation, nothing else. Training is seeded and value-sampled,
+      * so [[run]] over the same corpus/params produces the identical
+      * cell space; cell ids in the report always align with the index
+      * they were computed from.
+      */
+    def fromCoded(coded: DataFrame, k: Int): DataFrame = {
       val perCode = coded.groupBy("cell", "codes")
         .agg(count(lit(1)).as("mass"))
       perCode.groupBy("cell").agg(
@@ -1005,6 +1067,25 @@ object Similarity {
                 ceil(col("max_code_mass") / k).cast("long").cast("string")))
             .otherwise(lit("use_ivf_or_dedup")).as("advice"))
         .orderBy("cell")
+    }
+
+    /** Parse a report's `raise_refine_to_N` rows into the per-cell
+      * override map [[IvfPqAnn.topK]] accepts (verdict-r15 #4 — the
+      * report becomes a control input, not just telemetry). Bounded
+      * collect: the report has ≤ nCells rows. `ivfpq_fine` cells need
+      * no override; `use_ivf_or_dedup` cells are deliberately NOT
+      * translated into a pool size — the advisor's judgment there is
+      * that no practical refine covers the tie block and the caller
+      * should switch tool, which an override map must not silently
+      * un-decide.
+      */
+    def refineOverrides(report: DataFrame): Map[Int, Int] = {
+      val Prefix = "raise_refine_to_"
+      report.select(col("cell"), col("advice")).collect().flatMap { r =>
+        val adv = r.getString(1)
+        if (adv.startsWith(Prefix)) Some(r.getInt(0) -> adv.stripPrefix(Prefix).toInt)
+        else None
+      }.toMap
     }
   }
 }

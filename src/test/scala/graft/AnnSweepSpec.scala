@@ -152,18 +152,59 @@ class AnnSweepSpec extends AnyFunSuite {
     assert(within > 0.9, s"in-cluster cosine $within must be high")
     assert(within > cross + 0.1, s"in-cluster $within vs cross $cross")
     // the gate row: recall floors the driver can trend (same call as
-    // SparkEntry's ann_recall_gauss)
+    // SparkEntry's ann_recall_gauss). Floors are measured steady-state
+    // MINUS a stated 0.05 margin (verdict-r15 #3 — the old 0.8/0.5
+    // floors were slack enough to hide a severe regression): at this
+    // fixture (500 vectors, 5 queries, 40 centers) every method reads
+    // 1.00 — the pipeline is seeded and the derivation deterministic,
+    // so anything below 0.95 is a real ranking change, not noise.
+    val nc = Similarity.DefaultClusterCenters
     val rep = Similarity.RecallReport.run(g,
-      g.where(col("vec_id") >= 40 && col("vec_id") < 45), 10, dim = 64)
+      g.where(col("vec_id") >= nc && col("vec_id") < nc + 5), 10, dim = 64)
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     info(s"gauss recall: $rep")
     assert(rep.keySet == Set("ivf", "ivfpq", "lsh", "pq"))
-    // floors: clustered data is LSH/IVF's model — they must be strong;
-    // the PQ family is allowed lower (tie-regime) but not collapsed
-    assert(rep("lsh") >= 0.8, s"lsh ${rep("lsh")}")
-    assert(rep("ivf") >= 0.5, s"ivf ${rep("ivf")}")
-    assert(rep("pq") >= 0.1 && rep("ivfpq") >= 0.1,
-      s"pq ${rep("pq")} ivfpq ${rep("ivfpq")}")
+    for ((m, floor) <- Seq("lsh" -> 0.95, "ivf" -> 0.95, "pq" -> 0.95, "ivfpq" -> 0.95))
+      assert(rep(m) >= floor, s"$m recall ${rep(m)} under tightened floor $floor " +
+        "(measured steady-state 1.00 − 0.05 margin)")
+  }
+
+  test("gauss recall floors at the bench scale (sf0.1, 2000 vectors): measured − 0.05") {
+    import graft.sources.Tables
+    // the more probative leg: at 2000 vectors the PQ family's measured
+    // steady-state is 0.86 (tie-regime, documented in the IvfPqAnn
+    // scaladoc), ivf/lsh 1.00 — floors pinned at measured − 0.05 so a
+    // ≥0.05 regression trips here even when the 500-vector fixture
+    // stays saturated
+    val nc = Similarity.DefaultClusterCenters
+    val g = Similarity.deriveClustered(
+      Tables(spark, "/root/testdata/sf0.1", "embeddings")).localCheckpoint(true)
+    val rep = Similarity.RecallReport.run(g,
+      g.where(col("vec_id") >= nc && col("vec_id") < nc + 5), 10, dim = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    info(s"gauss recall sf0.1: $rep")
+    for ((m, floor) <- Seq("lsh" -> 0.95, "ivf" -> 0.95, "pq" -> 0.81, "ivfpq" -> 0.81))
+      assert(rep(m) >= floor, s"$m recall ${rep(m)} under floor $floor " +
+        "(measured steady-state − 0.05 margin)")
+  }
+
+  test("deriveClustered: an id space with missing center ids fails loudly, never shrinks silently (advice-r15)") {
+    val s = spark
+    import s.implicits._
+    // ids 100.. : no ids below nCenters, so every residue group would
+    // lose its center row through the inner join — the old behavior was
+    // an EMPTY derived corpus and a quietly meaningless gate row
+    val shifted = (100L until 300L).map(i =>
+      (i, Array.tabulate(64)(j => (i + j).toFloat % 7))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.deriveClustered(shifted).count())
+    assert(e.getMessage.contains("cluster centers"))
+    // partial coverage (some center ids missing) fails the same way
+    val gappy = ((0L until 20L) ++ (100L until 200L)).map(i =>
+      (i, Array.tabulate(64)(j => (i + j).toFloat % 7))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.deriveClustered(gappy).count())
+    assert(e2.getMessage.contains("cluster centers"))
   }
 
   test("AnnAdvisor: flags sub-resolution duplicate balls, passes discriminating cells") {
@@ -189,6 +230,60 @@ class AnnSweepSpec extends AnyFunSuite {
     // spread cells discriminate
     assert(report.count(_.getString(5) == "ivfpq_fine") >= 5,
       "spread cells must read ivfpq_fine")
+  }
+
+  test("advisor-driven per-cell refine recovers tie-starved recall (the control loop, verdict-r15 #4)") {
+    val s = spark
+    import s.implicits._
+    // the measured sf100-gauss failure regime, reproduced small: many
+    // tight clusters forced into FEW coarse cells (nCells=2), so the
+    // shared residual codebooks spend their resolution separating
+    // clusters and every cluster collapses to one code — a ~150-member
+    // ADC tie block per cluster. A fixed refine·k=40 pool truncates the
+    // tie block by vec_id, so the exact re-rank sees a near-random 40
+    // of 150 and recall starves; the advisor's raise_refine_to_N names
+    // the pool that covers the block.
+    val rng = new scala.util.Random(77L)
+    val corpus = (0 until 20).flatMap { c =>
+      val center = Array.fill(64)(rng.nextGaussian())
+      (0 until 150).map { m =>
+        (c * 150L + m, center.map(x => (x + 0.002 * rng.nextGaussian()).toFloat))
+      }
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = corpus.where(col("vec_id") % 150 === 7 && col("vec_id") < 750)
+    val truth = Similarity.CosineTopK.run(corpus, queries, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "vec_id").collect()
+        .count(r => truth((r.getLong(0), r.getLong(1)))).toDouble / truth.size
+
+    val report = Similarity.AnnAdvisor.run(corpus, k = 10, nCells = 2)
+    val overrides = Similarity.AnnAdvisor.refineOverrides(report)
+    info(s"overrides: $overrides")
+    assert(overrides.nonEmpty, "the tie regime must produce raise_refine_to_N advice")
+    assert(overrides.values.forall(n => n >= 10 && n <= 40),
+      s"N must cover a ~150..~400-member tie block at k=10: $overrides")
+
+    val base = recall(Similarity.IvfPqAnn.topK(corpus, queries, 10, nCells = 2))
+    val advised = recall(Similarity.IvfPqAnn.topK(corpus, queries, 10,
+      nCells = 2, cellRefine = overrides))
+    info(s"recall base=$base advised=$advised")
+    assert(advised >= base + 0.25,
+      s"advised pool must materially lift tie-starved recall: $base -> $advised")
+    assert(advised >= 0.9, s"covered tie block must recover recall: $advised")
+
+    // deployment shape: the same loop against a persisted index —
+    // advise on STORED codes (no retrain), feed the overrides back
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_ctl").toString
+    graft.operators.similarity.IvfPqIndex.build(corpus, dir, nCells = 2)
+    val storedOverrides = Similarity.AnnAdvisor.refineOverrides(
+      graft.operators.similarity.IvfPqIndex.advise(spark, dir, k = 10))
+    assert(storedOverrides == overrides,
+      "stored-code advice must equal in-memory advice (seeded training)")
+    val persisted = recall(graft.operators.similarity.IvfPqIndex.topK(
+      dir, corpus, queries, 10, cellRefine = storedOverrides))
+    assert(persisted == advised, s"persisted advised recall $persisted != $advised")
   }
 
   test("AnnAdvisor: middle arm names the refine target that covers the tie block") {

@@ -265,6 +265,50 @@ class GraftAppSpec extends AnyFunSuite {
     assert(n > 0 && n <= 8, s"$n cells")
   }
 
+  test("ann-advisor advice arms survive the --format csv write path (verdict-r15 #6)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // engineer all three advice arms into one embeddings table:
+    // 2100 exact duplicates (k=1 ⇒ ceil(2100/1) > 1024 → use_ivf_or_dedup),
+    // 600 duplicates of a second vector (→ raise_refine_to_600, the
+    // string-typed concat arm), and spread vectors (→ ivfpq_fine)
+    val ballA = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val ballB = Array.tabulate(64)(i => math.cos(i * 1.3).toFloat)
+    val dupA = spark.range(2100).toDF("vec_id")
+      .withColumn("embedding", array(ballA.map(x => lit(x)): _*).cast("array<float>"))
+    val dupB = spark.range(2100, 2700).toDF("vec_id")
+      .withColumn("embedding", array(ballB.map(x => lit(x)): _*).cast("array<float>"))
+    val spread = graft.tools.ScaleUp.gaussEmbeddings(
+      spark.range(2700, 3700).toDF("vec_id"), dim = 64, nClusters = 300)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_adv").toString
+    dupA.unionAll(dupB).unionAll(spread)
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_adv_out")
+      .resolve("csv").toString
+    GraftApp.run(spark, Seq("ann-advisor", "--dir", dir, "--table", "embeddings",
+      "--k", "1", "--out", out, "--format", "csv", "--single-file", "true"))
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.contains("advice"))
+    val advice = back.select("advice").collect().map(_.getString(0)).toSeq
+    assert(advice.contains("use_ivf_or_dedup"), s"missing give-up arm: $advice")
+    assert(advice.contains("ivfpq_fine"), s"missing fine arm: $advice")
+    val raises = advice.filter(_.startsWith("raise_refine_to_"))
+    assert(raises.nonEmpty, s"missing concat arm: $advice")
+    // the concat survives as a parseable value, not a mangled cast
+    raises.foreach { a =>
+      val n = a.stripPrefix("raise_refine_to_").toLong
+      assert(n >= 1 && n <= 1024, s"unparseable refine target: $a")
+    }
+    // numeric columns read back as numbers (CSV is stringly — the
+    // report must not have written scientific notation or nulls)
+    back.collect().foreach { r =>
+      assert(r.getAs[String]("n_vectors").matches("\\d+"), r.toString)
+      assert(r.getAs[String]("max_code_mass").matches("\\d+"), r.toString)
+    }
+  }
+
   test("chunk and html-extract tools run end-to-end") {
     // docs are 10-99 tokens → window 16 guarantees multi-chunk output
     assert(runToParquet("chunk", "--dir", TestSpark.sf0001,

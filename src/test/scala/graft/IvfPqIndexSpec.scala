@@ -88,6 +88,28 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(eNull.getMessage.contains("null"))
   }
 
+  test("small corpus: fewer vectors than nCells/ksub still builds a queryable index (advice-r15)") {
+    // lloyd returns min(k, sampleSize) centroids, so a 6-vector corpus
+    // under nCells=32/ksub=16 trains 6 cells and 6-entry codebooks.
+    // build() must record those ACTUAL shapes in dir/params — writing
+    // the declared knobs made every subsequent load fail the
+    // consistency require, and rebuilding could never fix it.
+    val corpus = clustered(61).where(col("vec_id") < 6)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_small").toString
+    IvfPqIndex.build(corpus, dir, nCells = 32, ksub = 16)
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    assert(p.getInt(0) === 6, "params n_cells must be the trained count")
+    assert(p.getInt(2) === 6, "params ksub must be the trained codebook size")
+    // load → query works; results match the in-memory path exactly
+    val queries = corpus.where(col("vec_id") < 2)
+    assert(rows(IvfPqIndex.topK(dir, corpus, queries, k = 3))
+      === rows(Similarity.IvfPqAnn.topK(corpus, queries, k = 3)))
+    // append against the small model also loads fine
+    val extra = Seq((9999L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    IvfPqIndex.append(extra, dir)
+    assert(spark.read.parquet(s"$dir/codes").count() === 7)
+  }
+
   test("params disagreeing with the model tables fails on load, not in a query") {
     val corpus = clustered(53)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_params").toString
