@@ -103,12 +103,15 @@ object AudioDecoder {
   /** The decoders a pure JVM provides: uncompressed PCM containers via
     * `javax.sound`, [[FlacDecoder]] — a real compressed codec, decoded
     * from the public RFC 9639 bitstream spec entirely in JVM integer
-    * arithmetic (round 14) — and [[AdpcmDecoder]] for IMA ADPCM WAV
-    * (round 15). First claimant wins, which the built-ins never
-    * contest: AdpcmDecoder claims only RIFF/WAVE with format tag 0x11,
-    * which JavaSoundPcm cannot decode (it is listed first so the
-    * generic RIFF sniff never shadows it).
+    * arithmetic (round 14) — [[AdpcmDecoder]] for IMA ADPCM WAV
+    * (round 15), and [[Mp3Decoder]] for MPEG-1/2 Layer III (round 16;
+    * see its scaladoc for the carried-table boundary). First claimant
+    * wins, which the built-ins never contest: AdpcmDecoder claims only
+    * RIFF/WAVE with format tag 0x11, which JavaSoundPcm cannot decode
+    * (it is listed first so the generic RIFF sniff never shadows it),
+    * and Mp3Decoder claims only 0xFFE-sync / ID3-prefixed payloads,
+    * disjoint from every container magic the others sniff.
     */
   val builtins: Seq[AudioDecoder] =
-    Seq(AdpcmDecoder, MsAdpcmDecoder, JavaSoundPcm, FlacDecoder)
+    Seq(AdpcmDecoder, MsAdpcmDecoder, JavaSoundPcm, FlacDecoder, Mp3Decoder)
 }
