@@ -376,17 +376,31 @@ object Mp3Fixture {
       return
     }
     val longTab = Mp3Decoder.SfbLong(srIdx)
-    require(grL.blockType != 2, "ref intensity covers long blocks")
-    val startBand = (0 until 21).find(sfb => longTab(sfb) >= rzero).getOrElse(21)
-    for (i <- 0 until longTab(startBand))
-      if (ms) { val m = l(i); val s = r(i); l(i) = (m + s) * inv; r(i) = (m - s) * inv }
-    for (sfb <- startBand until 21) {
-      val isPos = grR.scfL(sfb)
-      for (i <- longTab(sfb) until longTab(sfb + 1)) {
-        if (isPos != 7) {
-          val ratio = math.tan(isPos * math.Pi / 12)
-          val v = l(i); l(i) = v * ratio / (1 + ratio); r(i) = v / (1 + ratio)
-        } else if (ms) { val m = l(i); val s = r(i); l(i) = (m + s) * inv; r(i) = (m - s) * inv }
+    val shortTab = Mp3Decoder.SfbShort(srIdx)
+    def msAt(i: Int): Unit = {
+      val m = l(i); val s = r(i); l(i) = (m + s) * inv; r(i) = (m - s) * inv
+    }
+    def isAt(i: Int, isPos: Int): Unit =
+      if (isPos != 7) {
+        val ratio = math.tan(isPos * math.Pi / 12)
+        val v = l(i); l(i) = v * ratio / (1 + ratio); r(i) = v / (1 + ratio)
+      } else if (ms) msAt(i)
+    if (grL.blockType != 2) {
+      val startBand = (0 until 21).find(sfb => longTab(sfb) >= rzero).getOrElse(21)
+      for (i <- 0 until longTab(startBand)) if (ms) msAt(i)
+      for (sfb <- startBand until 21; i <- longTab(sfb) until longTab(sfb + 1))
+        isAt(i, grR.scfL(sfb))
+    } else {
+      // short blocks: the decoder's conservative zone bound — the first
+      // band whose flat start reaches rzero's 18-line subband floor
+      val startBand = (0 until 12)
+        .find(b => shortTab(b) * 3 >= (rzero / 18) * 18).getOrElse(12)
+      for (i <- 0 until math.min(shortTab(startBand) * 3, 576)) if (ms) msAt(i)
+      for (band <- startBand until 12; w <- 0 until 3;
+           k <- 0 until shortTab(band + 1) - shortTab(band)) {
+        val line = shortTab(band) + k
+        val idx = (line / 6) * 18 + w * 6 + (line % 6)
+        if (idx < 576) isAt(idx, grR.scfS(band)(w))
       }
     }
   }

@@ -194,13 +194,13 @@ class Mp3Spec extends AnyFunSuite {
   // Granule fuzz: decode == independent reconstruction
   // ------------------------------------------------------------------
   private def randomGr(rng: scala.util.Random, stereoBudget: Boolean,
-                       lsf: Boolean, forceLong: Boolean = false): Gr = {
-    // forceLong exists because the region->table mapping depends on the
+                       lsf: Boolean, forceType: Option[Int] = None): Gr = {
+    // forceType exists because the region->table mapping depends on the
     // block type: spectra generated for one shape can exceed another
-    // shape's per-region table range, so tests that need long blocks
+    // shape's per-region table range, so tests that need a fixed shape
     // must force it BEFORE the values are drawn, never via .copy after
-    val blockType = if (forceLong) 0 else Seq(0, 0, 0, 1, 2, 2, 3)(rng.nextInt(7))
-    val mixed = blockType == 2 && rng.nextBoolean()
+    val blockType = forceType.getOrElse(Seq(0, 0, 0, 1, 2, 2, 3)(rng.nextInt(7)))
+    val mixed = blockType == 2 && forceType.isEmpty && rng.nextBoolean()
     val sfc = if (lsf) rng.nextInt(400) else rng.nextInt(16)
     // slen caps for generated scalefactors
     val (s1, s2) =
@@ -288,9 +288,9 @@ class Mp3Spec extends AnyFunSuite {
     val rng = new scala.util.Random(20260818L)
     for (iter <- 1 to 8; withMs <- Seq(false, true)) {
       // left: full-width spectrum; right: zero above its big-value zone
-      def left() = randomGr(rng, stereoBudget = true, lsf = false, forceLong = true)
+      def left() = randomGr(rng, stereoBudget = true, lsf = false, forceType = Some(0))
       def right() = { // sfCompress 13 = (3,3): every is_pos 0..6 fits its slen
-        val g = randomGr(rng, stereoBudget = true, lsf = false, forceLong = true)
+        val g = randomGr(rng, stereoBudget = true, lsf = false, forceType = Some(0))
         val is = g.is.clone()
         java.util.Arrays.fill(is, g.bigValues * 2, 576, 0)
         g.copy(is = is, count1 = 0, sfCompress = 13,
@@ -305,12 +305,32 @@ class Mp3Spec extends AnyFunSuite {
     }
   }
 
+  test("intensity stereo on SHORT blocks: per-window is_pos in the reordered layout") {
+    val rng = new scala.util.Random(20260826L)
+    for (iter <- 1 to 8; withMs <- Seq(false, true)) {
+      def left() = randomGr(rng, stereoBudget = true, lsf = false, forceType = Some(2))
+      def right() = { // short scalefacs as is_pos 0..6; sfCompress 13 fits them
+        val g = randomGr(rng, stereoBudget = true, lsf = false, forceType = Some(2))
+        val is = g.is.clone()
+        java.util.Arrays.fill(is, g.bigValues * 2, 576, 0)
+        g.copy(is = is, count1 = 0, sfCompress = 13,
+          scfS = Array.fill(12)(Array.tabulate(3)(_ => rng.nextInt(7))))
+      }
+      val frames = Seq(Frame(Array(Array(left(), right()), Array(left(), right()))))
+      val modeExt = (if (withMs) 2 else 0) | 1
+      val bytes = encode(frames, mode = 1, modeExt = modeExt)
+      val got = Mp3Decoder.decode(bytes).getOrElse(fail(s"iter $iter: no decode"))
+      val want = refDecode(frames, mode = 1, modeExt = modeExt)
+      assertClose(got, want, s"iter $iter ms=$withMs short")
+    }
+  }
+
   test("scfsi: granule-1 groups copied from granule 0 decode identically") {
     val rng = new scala.util.Random(20260819L)
     for (iter <- 1 to 6) {
-      val g0 = randomGr(rng, stereoBudget = false, lsf = false, forceLong = true)
+      val g0 = randomGr(rng, stereoBudget = false, lsf = false, forceType = Some(0))
       val (s1, s2) = Mp3Decoder.Slen(g0.sfCompress)
-      val g1base = randomGr(rng, stereoBudget = false, lsf = false, forceLong = true)
+      val g1base = randomGr(rng, stereoBudget = false, lsf = false, forceType = Some(0))
         .copy(sfCompress = g0.sfCompress,
           // regenerate under granule 0's slen caps (the copy changed them)
           scfL = Array.tabulate(21)(sfb =>
