@@ -565,6 +565,45 @@ class Mp3Spec extends AnyFunSuite {
     assert(!Mp3Decoder.supports(wav))
   }
 
+  test("Spark pipeline: an MP3 payload embeds through embedAudio next to its WAV twin") {
+    import graft.operators.multimodal.BinaryPipeline
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val granules = 8
+    val n = 512 + 32 * 18 * (granules + 1)
+    val pcm = Array.tabulate(n)(i => 0.4 * math.sin(2 * math.Pi * 441.0 / 44100.0 * i))
+    val mp3 = encode(encodeTone(pcm, granules, gg = 192, tsel = 12))
+    // 16-bit WAV twin of the SOURCE pcm
+    val wav = {
+      val out = new ArrayBuffer[Byte]()
+      def w16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
+      def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      def tg(t: String): Unit = t.foreach(c => out += c.toByte)
+      tg("RIFF"); w32(36L + pcm.length * 2); tg("WAVE")
+      tg("fmt "); w32(16); w16(1); w16(1); w32(44100); w32(88200); w16(2); w16(16)
+      tg("data"); w32(pcm.length.toLong * 2)
+      pcm.foreach(v => w16(math.rint(v * 32767).toInt & 0xffff))
+      out.toArray
+    }
+    val media = Seq(
+      (0L, "audio", mp3),
+      (1L, "audio", wav),
+      (2L, "image", mp3) // wrong modality: gated out
+    ).toDF("doc_id", "media_type", "data")
+    val emb = BinaryPipeline.embedAudio(spark, media)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(vecs.keySet == Set(0L, 1L), s"got ${vecs.keySet}")
+    // lossy twin: the coarse trusted-table quantizer (~12 dB) still
+    // leaves the band-energy/ZCR features pointing the same way — the
+    // embedding contract the per-band-phase caveat in the decoder
+    // scaladoc appeals to
+    val (a, b) = (vecs(0L), vecs(1L))
+    val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+      (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    info(f"mp3-vs-wav embedding cosine $cos%.4f")
+    assert(cos > 0.9, s"embedding cosine $cos")
+  }
+
   test("corruption and truncation degrade to None or fewer frames, never throw") {
     val rng = new scala.util.Random(20260825L)
     val g = randomGr(rng, stereoBudget = false, lsf = false)
