@@ -303,11 +303,16 @@ object Mp3Decoder extends AudioDecoder {
     Some(h)
   }
 
-  /** ID3v2 skip; returns the first post-tag offset. Total. */
+  /** ID3v2 skip; returns the first post-tag offset. Total. The flags
+    * byte's 0x10 bit declares an ID3v2.4 footer — 10 more bytes after
+    * the tag body that would otherwise land the sync scan on '3DI'
+    * (review-r16).
+    */
   private def skipId3(d: Array[Byte]): Int =
     if (d.length >= 10 && d(0) == 'I' && d(1) == 'D' && d(2) == '3') {
       val sz = ((d(6) & 0x7F) << 21) | ((d(7) & 0x7F) << 14) | ((d(8) & 0x7F) << 7) | (d(9) & 0x7F)
-      val off = 10L + sz
+      val footer = if ((d(5) & 0x10) != 0) 10 else 0
+      val off = 10L + sz + footer
       if (off < d.length) off.toInt else d.length
     } else 0
 
@@ -602,13 +607,27 @@ object Mp3Decoder extends AudioDecoder {
         sfb += 1
       }
     } else {
-      // short blocks: per-window zone in the reordered layout
-      val rzSub = rzero / 18 // conservative: zone from the subband containing rzero
+      // short blocks: the zone starts at the first band whose flat
+      // (huffman-order) start reaches rzero — ROUNDED UP like the long
+      // path, so intensity never overwrites decoded right-channel
+      // lines below the zero run (review-r16 finding)
       var sfb = 12
       var b = 0
-      while (b < 12) { if (shortTab(b) * 3 >= rzSub * 18) { sfb = b; b = 12 } else b += 1 }
-      var i = 0
-      while (i < math.min(shortTab(sfb) * 3, 576)) { if (ms) msPair(i); i += 1 }
+      while (b < 12) { if (shortTab(b) * 3 >= rzero) { sfb = b; b = 12 } else b += 1 }
+      // MS below the zone: BAND membership, not a contiguous reordered
+      // prefix — shortTab boundaries are not multiples of 6, so the
+      // prefix [0, 3*shortTab(sfb)) mixes lines from both sides of the
+      // boundary in the reordered layout (review-r16 finding)
+      var line = 0
+      while (line < shortTab(sfb)) {
+        var w = 0
+        while (w < 3) {
+          val idx = (line / 6) * 18 + w * 6 + (line % 6)
+          if (ms && idx < 576) msPair(idx)
+          w += 1
+        }
+        line += 1
+      }
       var band = sfb
       while (band < 12) {
         val width = shortTab(band + 1) - shortTab(band)
@@ -770,8 +789,14 @@ object Mp3Decoder extends AudioDecoder {
   }
 
   def decode(data: Array[Byte]): Option[Array[Double]] =
+    // specific belt, not a Throwable net: a fatal VM error (OOM during
+    // the output buffer growth of an adversarial stream) must fail the
+    // task, and an unexpected decoder NPE must surface in the fuzz
+    // instead of reading as a silent None (review-r16)
     try decodeWith(Mp3Tables.BigValue, data)
-    catch { case _: Throwable => None }
+    catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None
+    }
 
   /** Decode with an explicit big-value table array — the seam Mp3Spec
     * uses to fuzz the escape/linbits engine through synthetic
@@ -789,17 +814,21 @@ object Mp3Decoder extends AudioDecoder {
     val xrs = Array.ofDim[Double](2, 576)
     val prevSf = Array.fill(ch)(new Scalefacs)
     var frames = 0
-    var frameMark = 0 // output length at the current frame's start, so a
-                      // mid-frame Malformed never leaves a partial block
     val maxSamples = 1 << 26
 
     try {
       while (off + 4 <= data.length && outBuf.length < maxSamples) {
-        frameMark = outBuf.length
         val h = parseHeader(data, off) match {
           case Some(x)
             if x.lsf == first.lsf && x.srIdx == first.srIdx && x.channels == ch => x
-          case _ => off = data.length; null
+          case _ =>
+            // sync lost mid-stream. A short remainder is a legitimate
+            // trailer (ID3v1 is 128 bytes, APE tags are small); a
+            // frame-sized-or-larger remainder means a corrupted header
+            // inside the stream — same loud-degradation rule as a
+            // corrupt frame body (review-r16)
+            if (data.length - off > math.max(first.frameLen, 192)) throw new Malformed
+            off = data.length; null
         }
         if (h != null) {
           if (off + h.frameLen > data.length) { off = data.length }
@@ -905,8 +934,13 @@ object Mp3Decoder extends AudioDecoder {
     } catch {
       case _: UncarriedTable => return None
       case _: Malformed =>
-        // truncated/corrupt tail: keep fully decoded frames only
-        outBuf.takeInPlace(frameMark)
+        // The walk only decodes frames whose bytes are FULLY present
+        // (truncated tails break out of the loop instead), so reaching
+        // here means a complete frame failed to parse: mid-stream
+        // corruption. "Loud, never wrong": a silently shortened clip
+        // would embed confidently over a fraction of the audio
+        // (review-r16) — degrade the whole payload.
+        return None
     }
     if (frames == 0 || outBuf.isEmpty) None else Some(outBuf.toArray)
   }

@@ -47,6 +47,9 @@ object AnnAdvisedBench {
     val truth = CosineTopK.run(emb, queries, k)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(truth.nonEmpty,
+      s"no ground-truth neighbors: $sfDir has no vec_id < 5 query rows " +
+        "(recall would be 0/0)")
     def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
       val got = df.select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -391,11 +391,16 @@ object Mp3Fixture {
       for (sfb <- startBand until 21; i <- longTab(sfb) until longTab(sfb + 1))
         isAt(i, grR.scfL(sfb))
     } else {
-      // short blocks: the decoder's conservative zone bound — the first
-      // band whose flat start reaches rzero's 18-line subband floor
+      // short blocks: zone from the first band whose flat start reaches
+      // rzero (rounded UP); MS below it by band membership in the
+      // reordered layout — mirrors the decoder's (review-r16-corrected)
+      // geometry, independently typed
       val startBand = (0 until 12)
-        .find(b => shortTab(b) * 3 >= (rzero / 18) * 18).getOrElse(12)
-      for (i <- 0 until math.min(shortTab(startBand) * 3, 576)) if (ms) msAt(i)
+        .find(b => shortTab(b) * 3 >= rzero).getOrElse(12)
+      for (line <- 0 until shortTab(startBand); w <- 0 until 3) {
+        val idx = (line / 6) * 18 + w * 6 + (line % 6)
+        if (ms && idx < 576) msAt(idx)
+      }
       for (band <- startBand until 12; w <- 0 until 3;
            k <- 0 until shortTab(band + 1) - shortTab(band)) {
         val line = shortTab(band) + k

@@ -554,6 +554,11 @@ class Mp3Spec extends AnyFunSuite {
       new Array[Byte](10) ++ mp3
     assert(Mp3Decoder.supports(tagged))
     assert(Mp3Decoder.decode(tagged).isDefined)
+    // ID3v2.4 footer flag (0x10): 10 extra bytes after the tag body
+    val footered = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 10) ++
+      new Array[Byte](20) ++ mp3
+    assert(Mp3Decoder.supports(footered))
+    assert(Mp3Decoder.decode(footered).isDefined)
     // MPEG-2.5 (version bits 00) and free-format (bri 0) rejected
     val v25 = mp3.clone(); v25(1) = 0xE3.toByte
     assert(!Mp3Decoder.supports(v25))
@@ -628,5 +633,17 @@ class Mp3Spec extends AnyFunSuite {
       assert(partial.length < full.length)
       assertClose(partial, full.take(partial.length), "truncated prefix")
     }
+    // mid-stream corruption degrades the WHOLE payload (loud, never a
+    // silently shortened clip): kill the second frame's sync byte
+    val hdr2 = {
+      // frame 1 starts at 0; compute its length from the header fields
+      val bri = (mp3(2) & 0xFF) >> 4
+      val pad = (mp3(2) >> 1) & 1
+      144000 * Seq(0,32,40,48,56,64,80,96,112,128,160,192,224,256,320)(bri) / 44100 + pad
+    }
+    val midCorrupt = mp3.clone()
+    midCorrupt(hdr2) = 0x00
+    assert(Mp3Decoder.decode(midCorrupt).isEmpty,
+      "a corrupted mid-stream header must degrade the payload to None")
   }
 }
