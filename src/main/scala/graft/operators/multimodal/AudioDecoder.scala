@@ -27,6 +27,17 @@ trait AudioDecoder extends Serializable {
 
   /** Mono samples in [-1, 1] (multi-channel input averaged), or None
     * if the payload is unreadable.
+    *
+    * Fidelity caveat (advice-r16): this contract guarantees
+    * EMBEDDING-grade PCM — band energies, envelopes, ZCR — not
+    * necessarily a spec-conformant waveform. In particular
+    * [[Mp3Decoder]] synthesizes through an in-repo near-PR prototype
+    * whose subband phase convention differs from ISO's tables by a
+    * per-band rotation: band energies are invariant, the waveform is
+    * not. A future WAVEFORM-level consumer (cross-correlation against
+    * foreign decodes, resynthesis, sample-exact fingerprinting) must
+    * not treat every built-in's PCM as reference output — check the
+    * decoder's own scaladoc before adding such a consumer.
     */
   def decode(data: Array[Byte]): Option[Array[Double]]
 }

@@ -451,7 +451,18 @@ object Mp3Decoder extends AudioDecoder {
     java.util.Arrays.fill(out, 0)
     val longTab = if (lsf) SfbLongLsf(srIdx) else SfbLong(srIdx)
     val (r1, r2) =
-      if (gi.windowSwitching) (36, 576)
+      if (gi.windowSwitching) {
+        // the implicit region0_count resolves through the ACTIVE
+        // scalefactor-band sequence: 8 window-bands for short
+        // non-mixed blocks (3*shortTab(3)), 8 long bands otherwise
+        // (longTab(8)). Both read 36 on every MPEG-1 table, but the
+        // LSF long tables put longTab(8) at 50/54 — a 36 literal
+        // desyncs the Huffman walk on real LSF transients
+        // (advice-r16; boundary pinned independently in Mp3Spec)
+        val shortTab = if (lsf) SfbShortLsf(srIdx) else SfbShort(srIdx)
+        val b = if (gi.blockType == 2 && !gi.mixed) 3 * shortTab(3) else longTab(8)
+        (b, 576)
+      }
       else (longTab(math.min(gi.region0 + 1, 22)),
             longTab(math.min(gi.region0 + gi.region1 + 2, 22)))
     val bigMax = math.min(gi.bigValues * 2, 576)
@@ -587,17 +598,23 @@ object Mp3Decoder extends AudioDecoder {
       if (ms) { var i = 0; while (i < 576) { msPair(i); i += 1 } }
       return
     }
-    if (!shortBlock) {
-      // intensity zone starts at the band containing rzero, rounded up
-      var startBand = 21
-      var sfb = 0
-      while (sfb < 21) { if (longTab(sfb) >= rzero) { startBand = sfb; sfb = 21 } else sfb += 1 }
+    // Long-layout intensity over bands [from, until): the zone starts
+    // at the band containing rzero (ROUNDED UP — review-r16); MS
+    // applies below it. ISO reuses the LAST transmitted band's is_pos
+    // for the remainder band 21, so the band loop runs through the
+    // final band with a clamped scalefactor index (advice-r16 — the
+    // old <21 loop left the tail untouched, a sqrt(2)-scaled top-band
+    // error whenever is_pos==7 under MS).
+    def intensityLong(from: Int, until: Int, rz: Int): Unit = {
+      var startBand = until
+      var sfb = from
+      while (sfb < until) { if (longTab(sfb) >= rz) { startBand = sfb; sfb = until } else sfb += 1 }
+      var i = longTab(from)
       val bound = longTab(startBand)
-      var i = 0
       while (i < bound) { if (ms) msPair(i); i += 1 }
       sfb = startBand
-      while (sfb < 21) {
-        val isPos = sfRight.long(sfb)
+      while (sfb < until) {
+        val isPos = sfRight.long(math.min(sfb, 20))
         var j = longTab(sfb)
         val end = longTab(sfb + 1)
         if (isPos != 7) {
@@ -606,20 +623,21 @@ object Mp3Decoder extends AudioDecoder {
         } else if (ms) { while (j < end) { msPair(j); j += 1 } }
         sfb += 1
       }
-    } else {
-      // short blocks: the zone starts at the first band whose flat
-      // (huffman-order) start reaches rzero — ROUNDED UP like the long
-      // path, so intensity never overwrites decoded right-channel
-      // lines below the zero run (review-r16 finding)
-      var sfb = 12
-      var b = 0
-      while (b < 12) { if (shortTab(b) * 3 >= rzero) { sfb = b; b = 12 } else b += 1 }
-      // MS below the zone: BAND membership, not a contiguous reordered
-      // prefix — shortTab boundaries are not multiples of 6, so the
-      // prefix [0, 3*shortTab(sfb)) mixes lines from both sides of the
-      // boundary in the reordered layout (review-r16 finding)
-      var line = 0
-      while (line < shortTab(sfb)) {
+    }
+    // Short-window intensity from `firstBand` on: the zone starts at
+    // the first band whose flat (huffman-order) start reaches rz.
+    // MS below the zone goes by BAND membership, not a contiguous
+    // reordered prefix — shortTab boundaries are not multiples of 6,
+    // so the prefix [0, 3*shortTab(sfb)) mixes lines from both sides
+    // of the boundary in the reordered layout (review-r16 finding).
+    // The band loop runs through the final band 12 with band 11's
+    // is_pos (advice-r16, same tail rule as the long path).
+    def intensityShort(firstBand: Int, rz: Int): Unit = {
+      var startBand = 13
+      var b = firstBand
+      while (b < 13) { if (shortTab(b) * 3 >= rz) { startBand = b; b = 13 } else b += 1 }
+      var line = shortTab(firstBand)
+      while (line < shortTab(startBand)) {
         var w = 0
         while (w < 3) {
           val idx = (line / 6) * 18 + w * 6 + (line % 6)
@@ -628,12 +646,12 @@ object Mp3Decoder extends AudioDecoder {
         }
         line += 1
       }
-      var band = sfb
-      while (band < 12) {
+      var band = startBand
+      while (band < 13) {
         val width = shortTab(band + 1) - shortTab(band)
         var w = 0
         while (w < 3) {
-          val isPos = sfRight.short(band)(w)
+          val isPos = sfRight.short(math.min(band, 11))(w)
           val ratio = if (isPos != 7) math.tan(isPos * math.Pi / 12.0) else -1.0
           var k = 0
           while (k < width) {
@@ -649,6 +667,20 @@ object Mp3Decoder extends AudioDecoder {
         }
         band += 1
       }
+    }
+    if (!shortBlock) intensityLong(0, 22, rzero)
+    else if (gi.mixed && rzero < 36) {
+      // mixed block with the zone starting inside the LONG region:
+      // lines < 36 are stored in long layout, so the window-domain
+      // indexing of the short path would hit the wrong lines
+      // (advice-r16). Long-band intensity over bands 0..7
+      // (longTab(8) == 36), then every short band is in the zone.
+      intensityLong(0, 8, rzero)
+      intensityShort(3, 0)
+    } else {
+      val firstBand = if (gi.mixed) 3 else 0
+      if (gi.mixed && ms) { var i = 0; while (i < 36) { msPair(i); i += 1 } }
+      intensityShort(firstBand, rzero)
     }
   }
 

@@ -115,8 +115,13 @@ object Mp3Fixture {
     // spectrum
     val srIdx = 0
     val longTab = if (lsf) Mp3Decoder.SfbLongLsf(srIdx) else Mp3Decoder.SfbLong(srIdx)
+    val shortTab = if (lsf) Mp3Decoder.SfbShortLsf(srIdx) else Mp3Decoder.SfbShort(srIdx)
     val (r1, r2) =
-      if (g.blockType != 0) (36, 576)
+      if (g.blockType != 0)
+        // implicit region0_count through the active band sequence:
+        // 8 window-bands (short non-mixed) or 8 long bands — 36 on
+        // every MPEG-1 table but 50/54 on the LSF long tables
+        (if (g.blockType == 2 && !g.mixed) 3 * shortTab(3) else longTab(8), 576)
       else (longTab(g.region0 + 1), longTab(math.min(g.region0 + g.region1 + 2, 22)))
     var i = 0
     while (i < g.bigValues * 2) {
@@ -385,28 +390,36 @@ object Mp3Fixture {
         val ratio = math.tan(isPos * math.Pi / 12)
         val v = l(i); l(i) = v * ratio / (1 + ratio); r(i) = v / (1 + ratio)
       } else if (ms) msAt(i)
-    if (grL.blockType != 2) {
-      val startBand = (0 until 21).find(sfb => longTab(sfb) >= rzero).getOrElse(21)
-      for (i <- 0 until longTab(startBand)) if (ms) msAt(i)
-      for (sfb <- startBand until 21; i <- longTab(sfb) until longTab(sfb + 1))
-        isAt(i, grR.scfL(sfb))
-    } else {
-      // short blocks: zone from the first band whose flat start reaches
-      // rzero (rounded UP); MS below it by band membership in the
-      // reordered layout — mirrors the decoder's (review-r16-corrected)
-      // geometry, independently typed
-      val startBand = (0 until 12)
-        .find(b => shortTab(b) * 3 >= rzero).getOrElse(12)
-      for (line <- 0 until shortTab(startBand); w <- 0 until 3) {
+    // independent mirror of the decoder's (advice-r16-extended)
+    // geometry: the zone rounds UP to the band containing rzero, runs
+    // through the FINAL band (21 long / 12 short) with the last
+    // transmitted band's is_pos, and a mixed block whose zone starts
+    // below line 36 takes the long-band path for bands 0-7
+    def shortZone(firstBand: Int, rz: Int): Unit = {
+      val startBand = (firstBand until 13).find(b => shortTab(b) * 3 >= rz).getOrElse(13)
+      for (line <- shortTab(firstBand) until shortTab(startBand); w <- 0 until 3) {
         val idx = (line / 6) * 18 + w * 6 + (line % 6)
         if (ms && idx < 576) msAt(idx)
       }
-      for (band <- startBand until 12; w <- 0 until 3;
+      for (band <- startBand until 13; w <- 0 until 3;
            k <- 0 until shortTab(band + 1) - shortTab(band)) {
         val line = shortTab(band) + k
         val idx = (line / 6) * 18 + w * 6 + (line % 6)
-        if (idx < 576) isAt(idx, grR.scfS(band)(w))
+        if (idx < 576) isAt(idx, grR.scfS(math.min(band, 11))(w))
       }
+    }
+    def longZone(from: Int, until: Int, rz: Int): Unit = {
+      val startBand = (from until until).find(sfb => longTab(sfb) >= rz).getOrElse(until)
+      for (i <- longTab(from) until longTab(startBand)) if (ms) msAt(i)
+      for (sfb <- startBand until until; i <- longTab(sfb) until longTab(sfb + 1))
+        isAt(i, grR.scfL(math.min(sfb, 20)))
+    }
+    if (grL.blockType != 2) longZone(0, 22, rzero)
+    else if (grL.mixed && rzero < 36) { longZone(0, 8, rzero); shortZone(3, 0) }
+    else {
+      val firstBand = if (grL.mixed) 3 else 0
+      if (grL.mixed && ms) for (i <- 0 until 36) msAt(i)
+      shortZone(firstBand, rzero)
     }
   }
 

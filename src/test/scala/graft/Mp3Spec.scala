@@ -194,13 +194,14 @@ class Mp3Spec extends AnyFunSuite {
   // Granule fuzz: decode == independent reconstruction
   // ------------------------------------------------------------------
   private def randomGr(rng: scala.util.Random, stereoBudget: Boolean,
-                       lsf: Boolean, forceType: Option[Int] = None): Gr = {
+                       lsf: Boolean, forceType: Option[Int] = None,
+                       forceMixed: Boolean = false): Gr = {
     // forceType exists because the region->table mapping depends on the
     // block type: spectra generated for one shape can exceed another
     // shape's per-region table range, so tests that need a fixed shape
     // must force it BEFORE the values are drawn, never via .copy after
     val blockType = forceType.getOrElse(Seq(0, 0, 0, 1, 2, 2, 3)(rng.nextInt(7)))
-    val mixed = blockType == 2 && forceType.isEmpty && rng.nextBoolean()
+    val mixed = blockType == 2 && (forceMixed || (forceType.isEmpty && rng.nextBoolean()))
     val sfc = if (lsf) rng.nextInt(400) else rng.nextInt(16)
     // slen caps for generated scalefactors
     val (s1, s2) =
@@ -235,8 +236,10 @@ class Mp3Spec extends AnyFunSuite {
     val bigValues = rng.nextInt(budget)
     val count1 = rng.nextInt(16)
     val longTab = if (lsf) Mp3Decoder.SfbLongLsf(0) else Mp3Decoder.SfbLong(0)
+    val shortTab = if (lsf) Mp3Decoder.SfbShortLsf(0) else Mp3Decoder.SfbShort(0)
     val (r1, r2) =
-      if (blockType != 0) (36, 576)
+      if (blockType != 0)
+        (if (blockType == 2 && !mixed) 3 * shortTab(3) else longTab(8), 576)
       else (longTab(gr.region0 + 1), longTab(math.min(gr.region0 + gr.region1 + 2, 22)))
     val is = new Array[Int](576)
     for (i <- 0 until bigValues * 2) {
@@ -322,6 +325,102 @@ class Mp3Spec extends AnyFunSuite {
       val got = Mp3Decoder.decode(bytes).getOrElse(fail(s"iter $iter: no decode"))
       val want = refDecode(frames, mode = 1, modeExt = modeExt)
       assertClose(got, want, s"iter $iter ms=$withMs short")
+    }
+  }
+
+  test("LSF window-switching: big-values region boundary follows the band sequence, not the 36 literal") {
+    // Independent statement of the boundary (advice-r16): the implicit
+    // region0_count covers 8 bands of the ACTIVE sequence. At
+    // 22.05 kHz (srIdx 0) the LSF long table reads
+    // 0,6,12,18,24,30,36,44,54,... — start/stop and mixed blocks
+    // switch tables at line 54; short non-mixed at 3*12 = 36. These
+    // literals are computed here from the band tables, not taken from
+    // the decoder's region logic.
+    assert(Mp3Decoder.SfbLongLsf(0)(8) == 54)
+    assert(3 * Mp3Decoder.SfbShortLsf(0)(3) == 36)
+    val rng = new scala.util.Random(20260827L)
+    for (bt <- Seq(1, 3); iter <- 1 to 4) {
+      // values at lines 36..53 only fit tableSelect(0)'s range: a
+      // decoder still using the 36 literal reads them with
+      // tableSelect(1) (max |v| 1) and desyncs the Huffman walk
+      val is = new Array[Int](576)
+      for (i <- 0 until 54) is(i) = rng.nextInt(11) - 5   // |v| <= 5: table 7
+      for (i <- 54 until 60) is(i) = rng.nextInt(3) - 1   // |v| <= 1: table 1
+      is(40) = 5 // at least one line in (36, 54) pinned out of table 1's range
+      val g = randomGr(rng, stereoBudget = false, lsf = true, forceType = Some(bt))
+        .copy(is = is, bigValues = 30, count1 = 0, tableSelect = Array(7, 1, 1))
+      val frames = Seq(Frame(Array(Array(g))))
+      val bytes = encode(frames, lsf = true)
+      val got = Mp3Decoder.decode(bytes).getOrElse(fail(s"bt=$bt iter $iter: no decode"))
+      assertClose(got, refDecode(frames, lsf = true), s"bt=$bt iter $iter")
+    }
+    // LSF mixed short blocks resolve through the long table too
+    for (iter <- 1 to 4) {
+      val is = new Array[Int](576)
+      for (i <- 0 until 54) is(i) = rng.nextInt(11) - 5
+      is(40) = 5
+      val g = randomGr(rng, stereoBudget = false, lsf = true, forceType = Some(2),
+        forceMixed = true)
+        .copy(is = is, bigValues = 27, count1 = 0, tableSelect = Array(7, 1, 1))
+      val frames = Seq(Frame(Array(Array(g))))
+      val bytes = encode(frames, lsf = true)
+      val got = Mp3Decoder.decode(bytes).getOrElse(fail(s"mixed iter $iter: no decode"))
+      assertClose(got, refDecode(frames, lsf = true), s"mixed iter $iter")
+    }
+  }
+
+  test("intensity stereo on MIXED blocks: a zone starting in the long region takes the long-band path") {
+    val rng = new scala.util.Random(20260828L)
+    for (iter <- 1 to 8; withMs <- Seq(false, true)) {
+      def left() = randomGr(rng, stereoBudget = true, lsf = false,
+        forceType = Some(2), forceMixed = true)
+      // right channel: zero above a SMALL big-value zone so rzero
+      // lands inside the long region (< 36) on some iterations and
+      // inside the short region on others; is_pos values include 7
+      // (= off / MS) to exercise both zone arms
+      def right() = {
+        val g = randomGr(rng, stereoBudget = true, lsf = false,
+          forceType = Some(2), forceMixed = true)
+        val bv = rng.nextInt(30)
+        val is = g.is.clone()
+        java.util.Arrays.fill(is, bv * 2, 576, 0)
+        g.copy(is = is, bigValues = bv, count1 = 0, sfCompress = 13,
+          scfL = Array.tabulate(21)(_ => rng.nextInt(8)),
+          scfS = Array.fill(12)(Array.tabulate(3)(_ => rng.nextInt(8))))
+      }
+      val frames = Seq(Frame(Array(Array(left(), right()), Array(left(), right()))))
+      val modeExt = (if (withMs) 2 else 0) | 1
+      val bytes = encode(frames, mode = 1, modeExt = modeExt)
+      val got = Mp3Decoder.decode(bytes).getOrElse(fail(s"iter $iter: no decode"))
+      val want = refDecode(frames, mode = 1, modeExt = modeExt)
+      assertClose(got, want, s"iter $iter ms=$withMs mixed")
+    }
+  }
+
+  test("intensity zone reaches the FINAL band: the tail reuses the last transmitted is_pos") {
+    val rng = new scala.util.Random(20260829L)
+    for (iter <- 1 to 4; withMs <- Seq(false, true); short <- Seq(false, true)) {
+      val bt = Some(if (short) 2 else 0)
+      // left: nonzero lines all the way into band 21 / short band 12
+      // (bigValues = 288 pairs of |v| <= 1 through table 1) so the
+      // tail rule has energy to act on
+      def left() = randomGr(rng, stereoBudget = true, lsf = false, forceType = bt)
+        .copy(is = Array.tabulate(576)(_ => rng.nextInt(3) - 1),
+          bigValues = 288, count1 = 0, tableSelect = Array(1, 1, 1))
+      // right: zero spectrum (zone = everything); is_pos includes 7 so
+      // the is_pos==7-with-MS tail arm (the advice-r16 sqrt(2) case)
+      // is hit
+      def right() = randomGr(rng, stereoBudget = true, lsf = false, forceType = bt)
+        .copy(is = new Array[Int](576), bigValues = 0, count1 = 0, sfCompress = 13,
+          tableSelect = Array(1, 1, 1),
+          scfL = Array.tabulate(21)(_ => rng.nextInt(8)),
+          scfS = Array.fill(12)(Array.tabulate(3)(_ => rng.nextInt(8))))
+      val frames = Seq(Frame(Array(Array(left(), right()), Array(left(), right()))))
+      val modeExt = (if (withMs) 2 else 0) | 1
+      val bytes = encode(frames, mode = 1, modeExt = modeExt)
+      val got = Mp3Decoder.decode(bytes).getOrElse(fail(s"iter $iter: no decode"))
+      val want = refDecode(frames, mode = 1, modeExt = modeExt)
+      assertClose(got, want, s"iter $iter ms=$withMs short=$short tail")
     }
   }
 
