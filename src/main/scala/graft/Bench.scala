@@ -98,8 +98,13 @@ object Bench {
     // such query held a single stage for ~30 min while the JSON showed
     // its min at a few hundred seconds. Emit the asymmetric rows so a
     // suite-wall mystery is diagnosable from the JSON alone.
+    // SPARK_GRAFT_ASYM_SEC tunes the floor (verdict-r16 #3): the 30 s
+    // default is right for sf100 survival runs but inert at sf0.1 where
+    // the whole suite is ~240 s — a gate-scale drift hunt sets it to ~0
+    // so every >3x pass skew is named in the JSON.
+    val asymFloor = sys.env.get("SPARK_GRAFT_ASYM_SEC").map(_.toDouble).getOrElse(30.0)
     val asymmetric = p1.collect {
-      case (k, (v1, _)) if math.max(v1, p2(k)._1) > 30 &&
+      case (k, (v1, _)) if math.max(v1, p2(k)._1) > asymFloor &&
         math.max(v1, p2(k)._1) > 3 * math.min(v1, p2(k)._1) =>
         s"\"" + k + "\":[" + f"${v1}%.1f" + "," + f"${p2(k)._1}%.1f" + "]"
     }.mkString("{", ",", "}")

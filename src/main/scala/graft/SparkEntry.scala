@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.operators.checks.{Checks, Suite}
+import graft.operators.checks.{Checks, SuggestChecks, Suite}
 import graft.operators.checks.Checks.{FormatRule, RangeRule}
 import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.{Dedup, SemanticDedup}
@@ -150,6 +150,11 @@ object SparkEntry {
       SkewReport.topKeys(Tables(s, d, "events"), "user_id", k = 20)),
     "check_values" -> ((s, d) =>
       Checks.ValueSet.run("lineitem", Tables(s, d, "lineitem"), ValueRules)),
+    // heuristic column classification + automatic check suggestions —
+    // the reference README's own Future Plans (README.md:352-356),
+    // verdict-r16 #6; one aggregation per table, all four concurrent
+    "suggest_checks" -> ((s, d) =>
+      SuggestChecks.runAll(SuggestTables.map { case (t, _) => t -> Tables(s, d, t) })),
     "check_referential" -> ((s, d) => Checks.Referential.runAll(Seq(
       (FkRule("lineitem_orders", "l_orderkey", "o_orderkey"),
         Tables(s, d, "lineitem"), Tables(s, d, "orders")),
@@ -448,6 +453,17 @@ object SparkEntry {
     "ann_advisor" -> ((s, d) =>
       Similarity.AnnAdvisor.run(
         Similarity.deriveClustered(Tables(s, d, "embeddings")), AnnK)),
+    // the advisor CONTROL LOOP end-to-end as a trended gate number
+    // (verdict-r16 #5): build → advise → refineOverrides → per-cell
+    // pools → recall, default vs advised, on the same gauss fixture as
+    // ann_recall_gauss (rows-only — the IVF-PQ index and its per-cell
+    // override pools are not SQL-expressible; floors in AnnSweepSpec)
+    "ann_advised_recall" -> ((s, d) => {
+      val nc = Similarity.DefaultClusterCenters
+      val g = Similarity.deriveClustered(Tables(s, d, "embeddings"))
+      Similarity.AnnAdvisor.advisedRecall(g,
+        g.where(col("vec_id") >= nc && col("vec_id") < nc + AnnNumQueries), AnnK)
+    }),
     // --- multimodal binary pipeline (SURVEY §2 #36) ---
     "multimodal_meta" -> ((s, d) =>
       BinaryPipeline.extractMeta(s, BinaryPipeline.fromDocuments(Tables(s, d, "documents")))
@@ -685,6 +701,26 @@ object SparkEntry {
     """SELECT '{region_name}' AS region_name, count(*) AS n_nations
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |WHERE r_name = '{region_name}'""".stripMargin
+  // suggest_checks profile surface (round 17, reference README:352-356
+  // "AI-Powered column classification" / "Automatic check suggestions"):
+  // (table, (column, sparkSimpleType)) baked so the STATIC oracleSql
+  // matches the runtime schema — a driver-regenerated layout change
+  // surfaces as a loud schema mismatch, the same contract as every
+  // checks oracle. The four tables cover every semantic class the
+  // classifier emits on this corpus: identifier_unique/identifier,
+  // json (events.props), categorical, numeric, temporal, text.
+  private val SuggestTables: Seq[(String, Seq[(String, String)])] = Seq(
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string",
+      "value" -> "double", "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"))
 
   /** DuckDB-equivalent SQL per query (same tables, same aliases, same
     * ordering). Omitted keys get a weaker rows-only check.
@@ -887,6 +923,7 @@ object SparkEntry {
       fkRules = Seq(("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"))),
     "skew_report" -> SkewReport.oracleSql("events", "user_id", k = 20),
     "check_values" -> Checks.ValueSet.oracleSql("lineitem", ValueRules),
+    "suggest_checks" -> SuggestChecks.oracleSqlAll(SuggestTables),
     "check_referential" -> Checks.Referential.oracleSql(Seq(
       ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),

@@ -1087,5 +1087,56 @@ object Similarity {
         else None
       }.toMap
     }
+
+    /** End-to-end control-loop receipt as a GATE row (verdict-r16 #5):
+      * train/encode ONE IVF-PQ index, advise over its own codes, parse
+      * the overrides, and report recall@k with the DEFAULT fixed pool
+      * vs the ADVISED per-cell pools against the exact ground truth —
+      * two rows (`variant` = default/advised) the driver trends
+      * round-over-round, turning the one-off AnnAdvisedBench receipt
+      * into a gate number. The coded frame is checkpointed once and
+      * reused by the advisor aggregation and both query passes, so the
+      * cost over a plain recall row is one aggregation + one extra
+      * query pass; the override map stays ≤ nCells entries (the same
+      * 100 TB-safe bound as [[refineOverrides]]).
+      */
+    def advisedRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                      nCells: Int = IvfPqAnn.DefaultCells,
+                      m: Int = IvfPqAnn.DefaultM,
+                      ksub: Int = IvfPqAnn.DefaultKsub,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+      val (coded, ctrs, books, bs) = IvfPqAnn.trainAndEncode(
+        corpus, nCells, m, ksub, vecCol, idCol, IvfPqAnn.MaxTrainRows)
+      val codedCp = coded.localCheckpoint(false)
+      val overrides = refineOverrides(fromCoded(codedCp, k))
+      val truth = CosineTopK.run(corpus, queries, k, vecCol, idCol)
+        .select("query_id", "vec_id").localCheckpoint(false)
+      val nTrue = truth.count()
+      require(nTrue > 0,
+        s"advised-recall needs a non-empty ground truth: corpus/queries produced 0 true top-$k pairs")
+      def leg(name: String, cellRefine: Map[Int, Int]): DataFrame =
+        IvfPqAnn.queryCoded(codedCp, ctrs, books, bs, corpus, queries, k,
+            IvfPqAnn.DefaultProbe, IvfPqAnn.DefaultRefine, vecCol, idCol,
+            DefaultMaxQueryBatch, cellRefine)
+          .select(lit(name).as("variant"), col("query_id"), col("vec_id"))
+      val approx = leg("default", Map.empty).unionAll(leg("advised", overrides))
+      // static variant anchor + left join, like RecallReport: a leg
+      // that returns no rows must report recall 0.0, not vanish
+      val hitCounts = approx
+        .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("variant")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      Seq("advised", "default").toDF("variant")
+        .join(hitCounts, Seq("variant"), "left")
+        .select(col("variant"), lit(k).as("k"),
+          lit(overrides.size).as("n_overridden_cells"),
+          lit(nTrue).as("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / nTrue, 4).as("recall"))
+        .orderBy("variant")
+    }
   }
 }

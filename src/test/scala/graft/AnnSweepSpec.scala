@@ -286,6 +286,51 @@ class AnnSweepSpec extends AnyFunSuite {
     assert(persisted == advised, s"persisted advised recall $persisted != $advised")
   }
 
+  test("ann_advised_recall gate row: advised ≥ default + margin on the tie-starved fixture (verdict-r16 #5)") {
+    val s = spark
+    import s.implicits._
+    // the same tie-starved regime as the control-loop test above: 20
+    // tight clusters in 2 coarse cells, fixed refine·k truncates each
+    // ~150-member ADC tie block
+    val rng = new scala.util.Random(77L)
+    val corpus = (0 until 20).flatMap { c =>
+      val center = Array.fill(64)(rng.nextGaussian())
+      (0 until 150).map { m =>
+        (c * 150L + m, center.map(x => (x + 0.002 * rng.nextGaussian()).toFloat))
+      }
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = corpus.where(col("vec_id") % 150 === 7 && col("vec_id") < 750)
+    val rep = Similarity.AnnAdvisor.advisedRecall(corpus, queries, 10, nCells = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(2), r.getLong(4), r.getDouble(5))).toMap
+    info(s"advisedRecall: $rep")
+    assert(rep.keySet == Set("advised", "default"))
+    val (nOverrides, _, advised) = rep("advised")
+    val default = rep("default")._3
+    assert(nOverrides > 0, "the tie regime must produce overrides")
+    // the advised pool is a candidate superset of the default pool, so
+    // recall is monotone; on this fixture the lift is material
+    // (measured default ~0.3, advised ~1.0 — floors with margin)
+    assert(advised >= default, s"advised $advised under default $default")
+    assert(advised >= default + 0.25,
+      s"advised pool must materially lift tie-starved recall: $default -> $advised")
+    assert(advised >= 0.9, s"covered tie block must recover recall: $advised")
+    // the gate fixture leg (sf0.001-derived gauss, the exact SparkEntry
+    // call): saturated regime — both variants at ceiling, advised never
+    // below default
+    import graft.sources.Tables
+    val nc = Similarity.DefaultClusterCenters
+    val g = Similarity.deriveClustered(Tables(spark, TestSpark.sf0001, "embeddings"))
+    val gate = Similarity.AnnAdvisor.advisedRecall(g,
+      g.where(col("vec_id") >= nc && col("vec_id") < nc + 5), 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    info(s"gate fixture advisedRecall: $gate")
+    assert(gate("advised") >= gate("default"),
+      s"advised ${gate("advised")} under default ${gate("default")}")
+    assert(gate("advised") >= 0.95,
+      s"gate fixture advised recall ${gate("advised")} (measured 1.00 − 0.05 margin)")
+  }
+
   test("AnnAdvisor: middle arm names the refine target that covers the tie block") {
     // same duplicate ball, but at k=10 the pool only needs
     // ceil(2000/10) = 200 candidates — the advice must be the concrete

@@ -18,7 +18,8 @@ class EntryContractSpec extends AnyFunSuite {
     "dedup_clusters_minhash", "dedup_embedding_lsh", "nullcheck_approx",
     "events_hourly_approx", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
     "ann_recall", "ann_recall_sweep", "ann_recall_gauss", "ann_advisor",
-    "text_bpe", "text_vectorize", "dedup_incremental_minhash")
+    "ann_advised_recall", "text_bpe", "text_vectorize",
+    "dedup_incremental_minhash")
 
   test("every oracle key has a query; rows-only set is exactly as documented") {
     val q = SparkEntry.queries.keySet
