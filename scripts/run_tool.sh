@@ -6,6 +6,9 @@
 #
 # Usage: scripts/run_tool.sh graft.Bench [args...]
 # Env:   SPARK_DRIVER_MEM (default 8g), plus whatever the tool reads.
+#        GRAFT_TEST_CP=1 prepends test-classes for test-scope tools
+#        (MultimodalBench and friends — plain objects, no scalatest
+#        classes load, so the scalatest jars aren't needed).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OPENS=""
@@ -18,5 +21,5 @@ exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "${GRAFT_TEST_CP:+target/scala-2.13/test-classes:}target/scala-2.13/classes:/opt/spark/jars/*" \
   "$@"

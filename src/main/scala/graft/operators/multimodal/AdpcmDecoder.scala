@@ -116,6 +116,23 @@ object AdpcmDecoder extends AudioDecoder {
   private[multimodal] def riffWave(d: Array[Byte]): Boolean =
     tag(d, 0, "RIFF") && tag(d, 8, "WAVE")
 
+  /** Header-only: the same fmt/data-chunk arithmetic [[decode]] sizes
+    * its output with, stopping before any nibble is read.
+    */
+  override def probeFrames(data: Array[Byte]): Option[Long] = {
+    if (!supports(data)) return None
+    val (fmtOff, fmtSize) = findFmt(data).get
+    if (fmtSize < 16) return None
+    val channels = u16(data, fmtOff + 2)
+    val blockAlign = u16(data, fmtOff + 12)
+    if (channels < 1 || channels > 8 || u16(data, fmtOff + 14) != 4) return None
+    if (blockAlign < 4 * channels || blockAlign % (4 * channels) != 0) return None
+    findChunk(data, "data").map { case (_, dataSize) =>
+      (dataSize / blockAlign).toLong *
+        ((blockAlign - 4 * channels) * 2 / channels + 1)
+    }
+  }
+
   def decode(data: Array[Byte]): Option[Array[Double]] = try {
     if (!supports(data)) return None
     val (fmtOff, fmtSize) = findFmt(data).get
@@ -230,6 +247,24 @@ object MsAdpcmDecoder extends AudioDecoder {
     AdpcmDecoder.riffWave(d) && AdpcmDecoder.findChunkx(d, "fmt ").exists {
       case (off, _) => AdpcmDecoder.u16x(d, off) == 0x0002
     }
+
+  /** Header-only twin of [[decode]]'s sizing arithmetic. */
+  override def probeFrames(data: Array[Byte]): Option[Long] = {
+    if (!supports(data)) return None
+    val (fmtOff, fmtSize) = AdpcmDecoder.findChunkx(data, "fmt ").get
+    if (fmtSize < 16) return None
+    val channels = AdpcmDecoder.u16x(data, fmtOff + 2)
+    val blockAlign = AdpcmDecoder.u16x(data, fmtOff + 12)
+    if (channels < 1 || channels > 8 ||
+      AdpcmDecoder.u16x(data, fmtOff + 14) != 4) return None
+    val headerBytes = 7 * channels
+    if (blockAlign <= headerBytes) return None
+    if ((blockAlign - headerBytes) * 2 % channels != 0) return None
+    AdpcmDecoder.findChunkx(data, "data").map { case (_, dataSize) =>
+      (dataSize / blockAlign).toLong *
+        ((blockAlign - headerBytes) * 2 / channels + 2)
+    }
+  }
 
   def decode(data: Array[Byte]): Option[Array[Double]] = try {
     if (!supports(data)) return None

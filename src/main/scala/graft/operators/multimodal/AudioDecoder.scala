@@ -40,6 +40,24 @@ trait AudioDecoder extends Serializable {
     * decoder's own scaladoc before adding such a consumer.
     */
   def decode(data: Array[Byte]): Option[Array[Double]]
+
+  /** HEADER-ONLY sample-frame count: the total mono sample frames the
+    * container/stream headers declare, WITHOUT decoding audio data —
+    * the audio analogue of [[BinaryPipeline]]'s header-only
+    * `imageDims` (decoding a corpus's audio just to count samples is
+    * the same order-of-magnitude waste as rasterizing images for
+    * width/height). None = this decoder has no cheap metadata path
+    * for the payload; callers fall back to their flagged stub, never
+    * to a full decode.
+    *
+    * The number is the HEADER'S claim: for a stream [[decode]]
+    * accepts it equals the decoded length (each built-in's spec pins
+    * that equality), but a header may also declare totals decode
+    * would refuse (oversize caps, truncated audio data) — metadata
+    * extraction reports what the container says, loudly flagged by
+    * the caller's `decoded` bit either way. Default None.
+    */
+  def probeFrames(data: Array[Byte]): Option[Long] = None
 }
 
 object AudioDecoder {
@@ -59,6 +77,18 @@ object AudioDecoder {
     def supports(d: Array[Byte]): Boolean =
       (tag(d, 0, "RIFF") && tag(d, 8, "WAV")) ||
         (tag(d, 0, "FORM") && tag(d, 8, "AIF"))
+
+    /** `getAudioFileFormat` reads headers only (no frame decode);
+      * NOT_SPECIFIED (-1) frame counts degrade to None.
+      */
+    override def probeFrames(d: Array[Byte]): Option[Long] =
+      if (!supports(d)) None
+      else scala.util.Try {
+        val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(d))
+        val n = f.getFrameLength
+        if (n >= 0) Some(n.toLong) else None
+      }.toOption.flatten
 
     def decode(data: Array[Byte]): Option[Array[Double]] = scala.util.Try {
       val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(

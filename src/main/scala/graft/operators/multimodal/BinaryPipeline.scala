@@ -343,7 +343,16 @@ object BinaryPipeline {
           // real JDK decode first; undecodable payloads (including the
           // synthetic text-byte corpus) keep the deterministic stub
           case "image" => imageDims(m.data)
+          // WAV keeps its original javax.sound probe; the other audio
+          // containers (FLAC/ADPCM/MP3/AIFF) get the header-only
+          // AudioDecoder.probeFrames path — real metadata, still no
+          // audio-data decode (round 17: before this, every non-WAV
+          // audio payload fell to the stub even though embedAudio
+          // decodes it)
           case "audio" => decodeWav(m.data).map(frames => (0, 0, frames))
+            .orElse(AudioDecoder.builtins.find(_.supports(m.data))
+              .flatMap(_.probeFrames(m.data))
+              .map(n => (0, 0, math.min(n, Int.MaxValue.toLong).toInt)))
           case "video" => videoProber.probe(m.data)
           case _       => None
         }

@@ -363,31 +363,52 @@ object FlacDecoder extends AudioDecoder {
     ch
   }
 
+  /** Walk the metadata blocks to STREAMINFO; throws Malformed when the
+    * block structure is truncated or STREAMINFO is absent/degenerate.
+    * Shared by [[decode]] and the header-only [[probeFrames]].
+    */
+  private def readMetadata(br: Bits): StreamInfo = {
+    // metadata blocks: 1-byte header (last flag + type), 24-bit length
+    var si: StreamInfo = null
+    var last = false
+    while (!last) {
+      last = br.u1() == 1
+      val tpe = br.u(7)
+      val len = br.u(24)
+      if (tpe == 0) { // STREAMINFO
+        if (len != 34) throw new Malformed
+        br.u(16); br.u(16) // min/max block size
+        br.u(24); br.u(24) // min/max frame size
+        val rate = br.u(20)
+        val channels = br.u(3) + 1
+        val bps = br.u(5) + 1
+        val total = br.uLong(36)
+        br.skipBytes(16)   // MD5
+        si = StreamInfo(rate, channels, bps, total)
+      } else br.skipBytes(len)
+    }
+    if (si == null || si.channels < 1 || si.bps < 4) throw new Malformed
+    si
+  }
+
+  /** STREAMINFO's 36-bit total-samples field, headers only; 0 means
+    * "unknown" in the spec — no claim, so None.
+    */
+  override def probeFrames(data: Array[Byte]): Option[Long] =
+    try {
+      if (!supports(data)) return None
+      val br = new Bits(data)
+      br.skipBytes(4) // fLaC
+      val si = readMetadata(br)
+      if (si.totalSamples > 0) Some(si.totalSamples) else None
+    } catch { case _: Malformed => None }
+
   def decode(data: Array[Byte]): Option[Array[Double]] =
     try {
       if (!supports(data)) return None
       val br = new Bits(data)
       br.skipBytes(4) // fLaC
-      // metadata blocks: 1-byte header (last flag + type), 24-bit length
-      var si: StreamInfo = null
-      var last = false
-      while (!last) {
-        last = br.u1() == 1
-        val tpe = br.u(7)
-        val len = br.u(24)
-        if (tpe == 0) { // STREAMINFO
-          if (len != 34) throw new Malformed
-          br.u(16); br.u(16) // min/max block size
-          br.u(24); br.u(24) // min/max frame size
-          val rate = br.u(20)
-          val channels = br.u(3) + 1
-          val bps = br.u(5) + 1
-          val total = br.uLong(36)
-          br.skipBytes(16)   // MD5
-          si = StreamInfo(rate, channels, bps, total)
-        } else br.skipBytes(len)
-      }
-      if (si == null || si.channels < 1 || si.bps < 4) throw new Malformed
+      val si = readMetadata(br)
 
       val cap = 1 << 26 // same bound as JavaSoundPcm
       if (si.totalSamples > cap) throw new Malformed

@@ -820,6 +820,32 @@ object Mp3Decoder extends AudioDecoder {
     }
   }
 
+  /** Header-only frame walk: hop frame headers by their declared
+    * lengths and sum granule samples (1152/frame MPEG-1, 576 LSF) —
+    * no side info, no Huffman, no synthesis, so it is also total over
+    * streams whose big-value tables are uncarried (where [[decode]]
+    * degrades to None, the metadata is still real). Counts only
+    * frames whose bytes fully fit; stops at the first lost sync (a
+    * trailing tag walks off the same way [[decode]]'s walk does).
+    */
+  override def probeFrames(data: Array[Byte]): Option[Long] = {
+    if (!supports(data)) return None
+    var off = skipId3(data).toLong
+    var samples = 0L
+    var any = false
+    var done = false
+    while (!done && off + 4 <= data.length) {
+      parseHeader(data, off.toInt) match {
+        case Some(h) if off + h.frameLen <= data.length =>
+          any = true
+          samples += (if (h.lsf) 576L else 1152L)
+          off += h.frameLen
+        case _ => done = true
+      }
+    }
+    if (any) Some(samples) else None
+  }
+
   def decode(data: Array[Byte]): Option[Array[Double]] =
     // specific belt, not a Throwable net: a fatal VM error (OOM during
     // the output buffer growth of an adversarial stream) must fail the
