@@ -1,7 +1,7 @@
 package graft.app
 
 import graft.operators._
-import graft.operators.checks.{Checks, Suite}
+import graft.operators.checks.{Checks, SuggestChecks, Suite}
 import graft.operators.checks.Checks.Referential.FkRule
 import graft.operators.dedup.Dedup
 import graft.sources.{ParquetCombine, Parquetizer, Tables}
@@ -113,7 +113,8 @@ object GraftApp {
   private val tools = Seq("rowcount", "dbstats-compare", "nullcheck", "keyfinder",
     "colcompare", "generate-config", "combine", "parquetizer", "dynamic-query",
     "completeness", "uniqueness", "format", "range", "stats", "stats-compare",
-    "values", "referential", "suite", "skew", "asof", "range-join", "split",
+    "values", "referential", "suite", "suggest-checks", "skew", "asof",
+    "range-join", "split",
     "dedup", "dedup-audit", "dedup-incremental", "decontaminate", "mixture",
     "pack", "sessionize", "line-dedup", "span-dedup", "search",
     "semantic-dedup", "perplexity", "url-dedup", "bpe", "chunk", "html-extract",
@@ -346,6 +347,34 @@ object GraftApp {
             valueRules = cfg.valueRules),
           fkRules = cfg.fkRules.map(fk =>
             (FkRule(fk.name, fk.fkCol, fk.refCol), t, Tables(spark, dir, fk.parentTable))))
+      case "suggest-checks" =>
+        // the reference README's own Future Plans (README.md:352-356 —
+        // "AI-Powered column classification", "Automatic check
+        // suggestions"): profile → semantic class → suggested checks.
+        // `--yaml <path>` additionally writes the suggested checks
+        // config for a SINGLE table — immediately runnable via
+        // `suite --checks <path>` (the suggestion-to-gate round trip).
+        val names = f.get("tables").map(_.split(",").toSeq)
+          .orElse(f.get("table").map(Seq(_)))
+          .getOrElse {
+            val found = Tables.discover(spark, dir, "parquet")
+            if (found.isEmpty) sys.error(
+              s"no *.parquet tables found in --dir '$dir' (pass --tables to name them)")
+            found
+          }
+        val cols = f.get("columns").map(_.split(",").toSeq)
+        val report = SuggestChecks.runAll(
+          names.map(t => t -> Tables(spark, dir, t)),
+          cols.map(c => names.map(_ -> c).toMap).getOrElse(Map.empty))
+        f.get("yaml").foreach { path =>
+          require(names.size == 1,
+            "--yaml writes a per-table checks config; pass a single --table")
+          val y = SuggestChecks.suggestedYaml(
+            names.head, Tables(spark, dir, names.head), report)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path), y.getBytes("UTF-8"))
+        }
+        report
       case "skew" =>
         SkewReport.topKeys(table, flag("column"), f.getOrElse("k", "20").toInt)
       case "asof" =>

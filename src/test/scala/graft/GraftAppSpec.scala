@@ -408,6 +408,36 @@ class GraftAppSpec extends AnyFunSuite {
       "--dir", TestSpark.sf0001, "--source-dir", TestSpark.sf0001)))
   }
 
+  test("suggest-checks profiles, writes YAML, and the suggested config gates green via suite") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_suggest")
+    val yaml = s"$tmp/customer_checks.yaml"
+    val out = s"$tmp/report"
+    // profile one table and emit its suggested checks config
+    GraftApp.run(spark, Seq("suggest-checks", "--dir", TestSpark.sf0001,
+      "--table", "customer", "--yaml", yaml, "--out", out))
+    val report = spark.read.parquet(out)
+    val classes = report.collect()
+      .map(r => r.getString(1) -> r.getString(8)).toMap
+    assert(classes("c_custkey") == "identifier_unique")
+    assert(classes("c_mktsegment") == "categorical")
+    // the suggestion-to-gate round trip THROUGH THE CLI: the written
+    // YAML must run under the suite tool with zero FAIL rows
+    val gateOut = s"$tmp/gate"
+    GraftApp.run(spark, Seq("suite", "--dir", TestSpark.sf0001,
+      "--checks", yaml, "--out", gateOut))
+    val gate = spark.read.parquet(gateOut).collect()
+    assert(gate.nonEmpty)
+    val failures = gate.filter(r => r.getString(3) == "FAIL")
+    assert(failures.isEmpty, s"suggested rules must pass: ${failures.mkString(", ")}")
+    // multi-table discovery mode stays bounded to the flag-named set
+    val multiOut = s"$tmp/multi"
+    GraftApp.run(spark, Seq("suggest-checks", "--dir", TestSpark.sf0001,
+      "--tables", "region,nation", "--out", multiOut))
+    val tables = spark.read.parquet(multiOut)
+      .select("table_name").distinct().collect().map(_.getString(0)).toSet
+    assert(tables == Set("region", "nation"))
+  }
+
   test("misaligned flag pairs are rejected, not silently shifted") {
     // valueless flag shifts everything: must error, not run with defaults
     intercept[RuntimeException](GraftApp.run(spark,
