@@ -272,9 +272,38 @@ object Similarity {
              maxTrain: Long = MaxTrainRows,
              maxQueryBatch: Long = DefaultMaxQueryBatch): DataFrame = {
       requireBoundedQueries(queries, maxQueryBatch, "IvfAnn.topK")
-      val spark = corpus.sparkSession
       val (assigned, ctrs) = assignCells(corpus, nCells, vecCol, idCol, maxTrain)
+      queryAssigned(assigned, ctrs, queries, k, nProbe, vecCol, idCol)
+    }
 
+    /** The query half of [[topK]] over an already-assigned `(corpus_id,
+      * corpus_v, cell)` frame — factored out (round 17) so
+      * [[Similarity.RecallReport]] can run several probe settings over
+      * ONE train+assign pass instead of rebuilding the identical seeded
+      * index per grid point. Exactly [[topK]]'s plan below the
+      * assignment.
+      */
+    private[similarity] def queryAssigned(assigned: DataFrame,
+                                          ctrs: Array[Array[Double]],
+                                          queries: DataFrame, k: Int, nProbe: Int,
+                                          vecCol: String, idCol: String): DataFrame =
+      CosineTopK.rankTopK(scoredCandidates(assigned, ctrs, queries, nProbe,
+        vecCol, idCol).drop("cell_rank"), k)
+
+    /** Exact-cosine-scored (query, corpus) candidates from the probed
+      * cells, with each candidate's probed-cell RANK attached
+      * (`cell_rank` — the rank()-over-(cosine desc, cell) position of
+      * the candidate's cell for that query). Filtering `cell_rank <= p`
+      * for any p <= nProbe yields exactly the candidate set a direct
+      * nProbe=p run scores, because rank values over the full centroid
+      * list do not change when the tail is later discarded — the
+      * sweep's shared-scan contract (AnnShareSpec pins the equivalence).
+      */
+    private[similarity] def scoredCandidates(assigned: DataFrame,
+                                             ctrs: Array[Array[Double]],
+                                             queries: DataFrame, nProbe: Int,
+                                             vecCol: String, idCol: String): DataFrame = {
+      val spark = assigned.sparkSession
       // centroid table: tiny, broadcast into the query-side scoring
       val centroids = spark.createDataFrame(
         ctrs.zipWithIndex.map { case (ctr, i) =>
@@ -287,7 +316,8 @@ object Similarity {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("cdist").desc, col("cell"))
       val cells = probed.withColumn("r", rank().over(w)).where(col("r") <= nProbe)
-        .select("query_id", "query_v", "cell")
+        .select(col("query_id"), col("query_v"), col("cell"),
+          col("r").as("cell_rank"))
 
       // every corpus vector lives in exactly one cell, so (query, vec)
       // candidates are already unique — no dedup shuffle needed.
@@ -297,11 +327,10 @@ object Similarity {
       // price the embedding array at defaultSize, so leaving the choice
       // to the planner risks broadcasting the O(corpus) side — the
       // 8 GiB-cap failure mode the minhash pipeline hit at 1000×
-      val scored = broadcast(cells).join(assigned, Seq("cell"))
+      broadcast(cells).join(assigned, Seq("cell"))
         .where(col("query_id") =!= col("corpus_id"))
         .withColumn("cos_raw", EmbeddingDedup.cosine(col("query_v"), col("corpus_v")))
         .withColumnRenamed("corpus_id", "vec_id")
-      CosineTopK.rankTopK(scored, k)
     }
   }
 
@@ -455,6 +484,19 @@ object Similarity {
         else c.where(pmod(xxhash64(col(idCol)),
           lit((n + maxTrain - 1) / maxTrain)) === 0)
       val sample = sampleDs.collect().sortBy(_._1).map(t => normalize01(t._2))
+      trainBooks(sample, m, ksub)
+    }
+
+    /** Codebook training from an ALREADY-collected normalized id-sorted
+      * sample — factored out (round 17) so [[Similarity.RecallReport]]
+      * can train several ksub settings from ONE sample collect (the
+      * sample is identical across ksub values by construction: same
+      * value-hash selection, same normalization, same id sort).
+      */
+    private[similarity] def trainBooks(sample: Array[Array[Double]], m: Int,
+                                       ksub: Int): (Array[Array[Array[Double]]], Array[(Int, Int)]) = {
+      require(m >= 1 && ksub >= 2 && ksub <= 256,
+        s"PQ needs 1 <= m and 2 <= ksub <= 256 (byte codes), got m=$m ksub=$ksub")
       require(sample.nonEmpty, "PQ training needs a non-empty corpus")
       val dim = sample.head.length
       val bs = bounds(dim, m)
@@ -518,18 +560,36 @@ object Similarity {
              maxTrain: Long = MaxTrainRows,
              maxQueryBatch: Long = DefaultMaxQueryBatch): DataFrame = {
       requireBoundedQueries(queries, maxQueryBatch, "PqAnn.topK")
-      val spark = corpus.sparkSession
-      import spark.implicits._
       val (books, bs) = train(corpus, m, ksub, vecCol, idCol, maxTrain)
       val coded = encode(corpus, books, bs, vecCol, idCol)
+      queryCoded(coded, books, bs, corpus, queries, k, refine, vecCol, idCol)
+    }
 
-      // bounded probe set rides the closure; per partition, each query
-      // precomputes its m × ksub LUT once, then every corpus code costs
-      // m lookups — the ADC inner loop never touches a raw vector
-      val qArr = queries.select(col(idCol), col(vecCol).cast("array<float>"))
+    /** Driver-collected normalized id-sorted query array — the form the
+      * ADC task closure consumes. Bounded by the query-side contract.
+      */
+    private[similarity] def collectQueries(queries: DataFrame, vecCol: String,
+                                           idCol: String): Array[(Long, Array[Double])] = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      queries.select(col(idCol), col(vecCol).cast("array<float>"))
         .as[(Long, Array[Float])].collect().sortBy(_._1)
         .map { case (id, v) => (id, normalize01(v)) }
-      val adc = coded.as[(Long, Array[Byte])].mapPartitions { it =>
+    }
+
+    /** ADC scores for every (query, corpus-code) pair: per partition,
+      * each query precomputes its m × ksub LUT once, then every corpus
+      * code costs `m` lookups — the ADC inner loop never touches a raw
+      * vector. Factored out of [[topK]] (round 17) for the shared-build
+      * sweep path.
+      */
+    private[similarity] def adcScores(coded: DataFrame,
+                                      books: Array[Array[Array[Double]]],
+                                      bs: Array[(Int, Int)],
+                                      qArr: Array[(Long, Array[Double])]): DataFrame = {
+      val spark = coded.sparkSession
+      import spark.implicits._
+      coded.as[(Long, Array[Byte])].mapPartitions { it =>
         val luts = qArr.map { case (qid, q) =>
           val lut = Array.ofDim[Double](bs.length, books(0).length)
           var j = 0
@@ -555,23 +615,54 @@ object Similarity {
           }
         }
       }.toDF("query_id", "vec_id", "adc")
+    }
+
+    /** The query half of [[topK]] over an already-encoded `(vec_id,
+      * codes)` frame — factored out (round 17) so the sweep can reuse
+      * one train+encode across its refine grid. Exactly [[topK]]'s plan
+      * below the encode.
+      */
+    private[similarity] def queryCoded(coded: DataFrame,
+                                       books: Array[Array[Array[Double]]],
+                                       bs: Array[(Int, Int)],
+                                       corpus: DataFrame, queries: DataFrame,
+                                       k: Int, refine: Int,
+                                       vecCol: String, idCol: String): DataFrame = {
+      // bounded probe set rides the closure
+      val qArr = collectQueries(queries, vecCol, idCol)
+      val adc = adcScores(coded, books, bs, qArr)
 
       // partial top-(refine·k) per query — WindowGroupLimit keeps it
       // map-side; this is the ONLY shuffle over corpus-derived rows
       val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
       val cands = adc.withColumn("r", rank().over(wAdc))
         .where(col("r") <= refine * k).select("query_id", "vec_id")
+      rerank(cands, corpus, queries, k, vecCol, idCol)
+    }
 
-      // exact re-rank: the bounded candidate set broadcast against the
-      // corpus (explicit — the planner sees defaultSize-priced arrays on
-      // the corpus leg, the IvfAnn rationale)
+    /** Exact re-rank: the bounded candidate set broadcast against the
+      * corpus (explicit — the planner sees defaultSize-priced arrays on
+      * the corpus leg, the IvfAnn rationale).
+      */
+    private[similarity] def rerank(cands: DataFrame, corpus: DataFrame,
+                                   queries: DataFrame, k: Int,
+                                   vecCol: String, idCol: String): DataFrame =
+      CosineTopK.rankTopK(rerankScored(cands, corpus, queries, vecCol, idCol), k)
+
+    /** The exact-cosine scoring half of [[rerank]] without the final
+      * top-k, so the sweep can score one max-refine candidate pool and
+      * derive every smaller pool's ranking from it (extra columns on
+      * `cands` — e.g. the ADC rank — are carried through).
+      */
+    private[similarity] def rerankScored(cands: DataFrame, corpus: DataFrame,
+                                         queries: DataFrame,
+                                         vecCol: String, idCol: String): DataFrame = {
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
-      val scored = broadcast(cands).join(
+      broadcast(cands).join(
           corpus.select(col(idCol).as("vec_id"), col(vecCol).as("corpus_v")),
           Seq("vec_id"))
         .join(broadcast(q), Seq("query_id"))
         .withColumn("cos_raw", EmbeddingDedup.cosine(col("query_v"), col("corpus_v")))
-      CosineTopK.rankTopK(scored, k)
     }
   }
 
@@ -643,6 +734,22 @@ object Similarity {
       // per build)
       val (assigned, ctrs, sample) =
         IvfAnn.assignCellsSampled(corpus, nCells, vecCol, idCol, maxTrain)
+      val (books, bs) = trainResidualBooks(sample, ctrs, m, ksub)
+      val coded = encodeWith(assigned, ctrs, books, bs)
+      (coded, ctrs, books, bs)
+    }
+
+    /** Residual codebook training from an ALREADY-collected normalized
+      * id-sorted sample and its coarse centroids — factored out (round
+      * 17) so [[Similarity.RecallReport]] can train several ksub
+      * settings from ONE sample collect + ONE coarse training.
+      */
+    private[similarity] def trainResidualBooks(sample: Array[Array[Double]],
+                                               ctrs: Array[Array[Double]],
+                                               m: Int, ksub: Int)
+        : (Array[Array[Array[Double]]], Array[(Int, Int)]) = {
+      require(m >= 1 && ksub >= 2 && ksub <= 256,
+        s"IVF-PQ needs 1 <= m and 2 <= ksub <= 256 (byte codes), got m=$m ksub=$ksub")
       val residuals = sample.map { x =>
         val ctr = ctrs(IvfAnn.nearest(x, ctrs))
         Array.tabulate(x.length)(i => x(i) - (if (i < ctr.length) ctr(i) else 0.0))
@@ -654,9 +761,7 @@ object Similarity {
         val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, from, until))
         IvfAnn.lloyd(sub, ksub, iters = 8, seed = PqAnn.Seed + 1000 + j)
       }
-
-      val coded = encodeWith(assigned, ctrs, books, bs)
-      (coded, ctrs, books, bs)
+      (books, bs)
     }
 
     /** Encode an assigned `(id, vec, cell)` frame against EXISTING
@@ -697,6 +802,79 @@ object Similarity {
           (id, cell, codes)
         }
       }.toDF("vec_id", "cell", "codes")
+    }
+
+    /** Per query, driver-side (bounded): the `nProbe` nearest cells by
+      * cosine (desc, cell-asc tie-break — IvfAnn's probe ordering) in
+      * PROBE ORDER with their raw dot scalars, and the residual LUT.
+      * The probe list for any p <= nProbe is exactly this list's first
+      * p entries (`take` over one deterministic sort), which is what
+      * lets the sweep scan once at the max probe setting and derive
+      * every smaller setting — AnnShareSpec pins the equivalence.
+      */
+    private[similarity] def probeData(qArr: Array[(Long, Array[Double])],
+                                      ctrs: Array[Array[Double]],
+                                      books: Array[Array[Array[Double]]],
+                                      bs: Array[(Int, Int)], nProbe: Int)
+        : Array[(Long, Array[(Int, Double)], Array[Array[Double]])] =
+      qArr.map { case (qid, q) =>
+        val cos = ctrs.indices.map { cIdx =>
+          val ctr = ctrs(cIdx)
+          var dot = 0.0; var nc = 0.0; var nq = 0.0; var i = 0
+          while (i < q.length && i < ctr.length) {
+            dot += q(i) * ctr(i); nc += ctr(i) * ctr(i); nq += q(i) * q(i); i += 1
+          }
+          (cIdx, dot, dot / math.sqrt(nc * nq)) // (cell, rawDot, cosine)
+        }
+        val probed = cos.filterNot(_._3.isNaN)
+          .sortBy { case (cIdx, _, cs) => (-cs, cIdx) }.take(nProbe)
+          .map { case (cIdx, dot, _) => (cIdx, dot) }.toArray
+        val lut = Array.ofDim[Double](bs.length, books(0).length)
+        var j = 0
+        while (j < bs.length) {
+          val (from, until) = bs(j)
+          var cIdx = 0
+          while (cIdx < books(j).length) {
+            var dot = 0.0; var i = from
+            val bk = books(j)(cIdx)
+            while (i < until && i < q.length) { dot += q(i) * bk(i - from); i += 1 }
+            lut(j)(cIdx) = dot
+            cIdx += 1
+          }
+          j += 1
+        }
+        (qid, probed, lut)
+      }
+
+    /** The ADC pass with each row's probed-cell RANK attached
+      * (`cell_rank` = 1-based position of the row's cell in the query's
+      * probe order): filtering `cell_rank <= p` reproduces a direct
+      * nProbe=p ADC scan exactly, because the ADC value (cell dot +
+      * LUT sum) is independent of how many cells are probed. Built for
+      * the sweep's shared-scan path (round 17).
+      */
+    private[similarity] def adcScoresWithRank(coded: DataFrame,
+                                              probes: Array[(Long, Array[(Int, Double)], Array[Array[Double]])])
+        : DataFrame = {
+      val spark = coded.sparkSession
+      import spark.implicits._
+      val indexed = probes.map { case (qid, probed, lut) =>
+        (qid, probed.zipWithIndex.map { case ((c, d), i) => c -> (d, i + 1) }.toMap, lut)
+      }
+      coded.as[(Long, Int, Array[Byte])].mapPartitions { it =>
+        it.flatMap { case (id, cell, codes) =>
+          indexed.iterator.flatMap { case (qid, cellInfo, lut) =>
+            if (qid == id) Iterator.empty
+            else cellInfo.get(cell) match {
+              case Some((cd, rankPos)) =>
+                var s = cd; var j = 0
+                while (j < codes.length) { s += lut(j)(codes(j) & 0xff); j += 1 }
+                Iterator.single((qid, id, s, rankPos))
+              case None => Iterator.empty
+            }
+          }
+        }
+      }.toDF("query_id", "vec_id", "adc", "cell_rank")
     }
 
     def topK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -741,46 +919,16 @@ object Similarity {
                                        maxQueryBatch: Long = DefaultMaxQueryBatch,
                                        cellRefine: Map[Int, Int] = Map.empty): DataFrame = {
       requireBoundedQueries(queries, maxQueryBatch, "IvfPqAnn.queryCoded")
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      val qArr = queries.select(col(idCol), col(vecCol).cast("array<float>"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-        .map { case (id, v) => (id, PqAnn.normalize01(v)) }
-
-      // per query, driver-side (bounded): nProbe nearest cells by
-      // cosine (desc, cell-asc tie-break — IvfAnn's probe ordering),
-      // the per-cell dot scalar, and the residual LUT
-      val probes = qArr.map { case (qid, q) =>
-        val cos = ctrs.indices.map { cIdx =>
-          val ctr = ctrs(cIdx)
-          var dot = 0.0; var nc = 0.0; var nq = 0.0; var i = 0
-          while (i < q.length && i < ctr.length) {
-            dot += q(i) * ctr(i); nc += ctr(i) * ctr(i); nq += q(i) * q(i); i += 1
-          }
-          (cIdx, dot, dot / math.sqrt(nc * nq)) // (cell, rawDot, cosine)
+      val qArr = PqAnn.collectQueries(queries, vecCol, idCol)
+      val probes = probeData(qArr, ctrs, books, bs, nProbe)
+        .map { case (qid, probed, lut) =>
+          (qid, probed.map { case (cIdx, dot) => cIdx -> dot }.toMap, lut)
         }
-        val probed = cos.filterNot(_._3.isNaN)
-          .sortBy { case (cIdx, _, cs) => (-cs, cIdx) }.take(nProbe)
-        val cellDot = probed.map { case (cIdx, dot, _) => cIdx -> dot }.toMap
-        val lut = Array.ofDim[Double](bs.length, books(0).length)
-        var j = 0
-        while (j < bs.length) {
-          val (from, until) = bs(j)
-          var cIdx = 0
-          while (cIdx < books(j).length) {
-            var dot = 0.0; var i = from
-            val bk = books(j)(cIdx)
-            while (i < until && i < q.length) { dot += q(i) * bk(i - from); i += 1 }
-            lut(j)(cIdx) = dot
-            cIdx += 1
-          }
-          j += 1
-        }
-        (qid, cellDot, lut)
-      }
 
       // ADC pass: one map-side scan of (cell, codes); rows outside a
       // query's probed cells cost one hash lookup
+      val spark = corpus.sparkSession
+      import spark.implicits._
       val adc = coded.as[(Long, Int, Array[Byte])].mapPartitions { it =>
         it.flatMap { case (id, cell, codes) =>
           probes.iterator.flatMap { case (qid, cellDot, lut) =>
@@ -842,12 +990,49 @@ object Similarity {
     * at queries × k rows by construction.
     */
   object RecallReport {
+    /** Shared build context for [[run]] and [[sweep]] (round 17, guide
+      * §1.2/§2.4 — remove redundant passes): the four indexes previously
+      * each re-scanned and re-derived the corpus for their own stats
+      * pass, training-sample collect and coarse training, even though
+      * the seeded value-hash discipline makes those IDENTICAL across
+      * methods (ivf and ivfpq share the same Lloyd centroids; pq and
+      * ivfpq train from the same normalized sample). One localCheckpoint
+      * of the assigned frame `(corpus_id, corpus_v, cell)` now feeds
+      * every leg — truth, lsh bucketing, pq/ivfpq encode, ivf scoring —
+      * so the corpus lineage (a parquet scan, or deriveClustered's
+      * broadcast join + zip_with for the gauss gate rows) is computed
+      * once instead of 10+ times, and the queries frame likewise.
+      * Results are bit-identical by construction; AnnShareSpec asserts
+      * run()/sweep() row-equality against the naive per-point topK
+      * assembly on a seeded fixture.
+      */
+    private[similarity] final case class Shared(qCp: DataFrame, assignedCp: DataFrame,
+                                    corpusCp: DataFrame,
+                                    ctrs: Array[Array[Double]],
+                                    sample: Array[Array[Double]])
+
+    private[similarity] def sharedBuild(corpus: DataFrame, queries: DataFrame,
+                            nCells: Int, vecCol: String, idCol: String): Shared = {
+      val qCp = queries.select(col(idCol), col(vecCol)).localCheckpoint(false)
+      requireBoundedQueries(qCp, DefaultMaxQueryBatch, "RecallReport")
+      val (assigned, ctrs, sample) =
+        IvfAnn.assignCellsSampled(corpus, nCells, vecCol, idCol, IvfAnn.MaxTrainRows)
+      val assignedCp = assigned.localCheckpoint(false)
+      // the assigned frame carries the full vectors, so every consumer
+      // that only needs (id, vector) projects them back out of the one
+      // materialized copy
+      val corpusCp = assignedCp.select(col("corpus_id").as(idCol),
+        col("corpus_v").as(vecCol))
+      Shared(qCp, assignedCp, corpusCp, ctrs, sample)
+    }
+
     def run(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
             nCells: Int = IvfAnn.DefaultCells, nProbe: Int = IvfAnn.DefaultProbe,
             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      val sh = sharedBuild(corpus, queries, nCells, vecCol, idCol)
       // ground truth feeds the count AND two hit-joins: checkpoint so
       // the brute-force scoring runs once
-      val truth = CosineTopK.run(corpus, queries, k, vecCol, idCol)
+      val truth = CosineTopK.run(sh.corpusCp, sh.qCp, k, vecCol, idCol)
         .select("query_id", "vec_id").localCheckpoint(false)
       val nTrue = truth.count()
       // an empty truth set means the report could only emit null/0÷0
@@ -855,19 +1040,27 @@ object Similarity {
       // fail loudly, not surface as a quiet null row
       require(nTrue > 0,
         s"recall report needs a non-empty ground truth: corpus/queries produced 0 true top-$k pairs")
+      // pq and ivfpq books train from the SAME collected sample; ivf and
+      // ivfpq share the SAME coarse centroids and assignment
+      val (pqBooks, pqBs) = PqAnn.trainBooks(sh.sample, PqAnn.DefaultM, PqAnn.DefaultKsub)
+      val pqCoded = PqAnn.encode(sh.corpusCp, pqBooks, pqBs, vecCol, idCol)
+      val (rBooks, rBs) = IvfPqAnn.trainResidualBooks(sh.sample, sh.ctrs,
+        IvfPqAnn.DefaultM, IvfPqAnn.DefaultKsub)
+      val ivfpqCoded = IvfPqAnn.encodeWith(sh.assignedCp, sh.ctrs, rBooks, rBs)
       val approx =
-        LshAnn.topK(corpus, queries, k, dim, vecCol = vecCol, idCol = idCol)
+        LshAnn.topK(sh.corpusCp, sh.qCp, k, dim, vecCol = vecCol, idCol = idCol)
           .select(lit("lsh").as("method"), col("query_id"), col("vec_id"))
         .unionAll(
-          IvfAnn.topK(corpus, queries, k, nCells = nCells, nProbe = nProbe,
-              vecCol = vecCol, idCol = idCol)
+          IvfAnn.queryAssigned(sh.assignedCp, sh.ctrs, sh.qCp, k, nProbe,
+              vecCol, idCol)
             .select(lit("ivf").as("method"), col("query_id"), col("vec_id")))
         .unionAll(
-          PqAnn.topK(corpus, queries, k, vecCol = vecCol, idCol = idCol)
+          PqAnn.queryCoded(pqCoded, pqBooks, pqBs, sh.corpusCp, sh.qCp, k,
+              PqAnn.DefaultRefine, vecCol, idCol)
             .select(lit("pq").as("method"), col("query_id"), col("vec_id")))
         .unionAll(
-          IvfPqAnn.topK(corpus, queries, k, nCells = nCells, nProbe = nProbe,
-              vecCol = vecCol, idCol = idCol)
+          IvfPqAnn.queryCoded(ivfpqCoded, sh.ctrs, rBooks, rBs, sh.corpusCp,
+              sh.qCp, k, nProbe, IvfPqAnn.DefaultRefine, vecCol, idCol)
             .select(lit("ivfpq").as("method"), col("query_id"), col("vec_id")))
       // anchored on a STATIC method list with left joins, NOT an inner
       // join + groupBy: a method whose recall collapses to zero — or
@@ -899,52 +1092,181 @@ object Similarity {
       * trade-off an operator would actually tune. Output: one row per
       * (method, param, value) — bounded by the static sweep grid.
       */
+    /** The sweep grid — static, shared by the plan and the vanished-row
+      * anchor. Kept identical to the pre-round-17 per-point grid.
+      */
+    private val SweepProbes = Seq(1, 2, 4, 8)
+    private val SweepTables = Seq(1, 2, 4, 8)
+    private val SweepPqKsub = Seq(4, 8, 16)
+    private val SweepRefine = Seq(16, 64, 256)
+    private val SweepIvfPqKsub = Seq(16, 64, 256)
+
     def sweep(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-      val truth = CosineTopK.run(corpus, queries, k, vecCol, idCol)
+      // Shared-scan restructure (round 17, guide §1.2 step 1 / §2.4):
+      // the 24 grid points previously ran 24 FULL index builds — 24
+      // stats passes, 24 sample collects, 24 train+encode/bucket passes,
+      // 24 candidate scans — although the knobs under sweep change only
+      // the QUERY-side selectivity, never the trained artifacts within
+      // a build family:
+      //   - ivf nProbe and ivfpq nProbe/refine grids share one build;
+      //     probe lists are prefix-stable (one deterministic sort per
+      //     query), so one candidate scan at the MAX probe setting with
+      //     the probed-cell rank attached reproduces every smaller
+      //     setting by a filter;
+      //   - pq/ivfpq refine grids share one ADC ranking at the MAX
+      //     refine (rank values don't change when the tail is dropped),
+      //     re-ranked exactly ONCE over the max pool;
+      //   - lsh table counts are prefix-stable in the seeded hyperplane
+      //     stream, so one bucket pass + one candidate scoring at
+      //     tables=8 with min-colliding-table attached reproduces every
+      //     smaller table count by a filter;
+      //   - remaining distinct builds: pq ksub 4/8 and ivfpq ksub
+      //     64/256 (different codebooks), each still one encode + one
+      //     scan instead of a full rebuild chain.
+      // Row-for-row equivalence with the per-point assembly is pinned
+      // by AnnShareSpec on a seeded clustered fixture.
+      val sh = sharedBuild(corpus, queries, IvfAnn.DefaultCells, vecCol, idCol)
+      val truth = CosineTopK.run(sh.corpusCp, sh.qCp, k, vecCol, idCol)
         .select("query_id", "vec_id").localCheckpoint(false)
       val nTrue = truth.count()
       require(nTrue > 0,
         s"recall sweep needs a non-empty ground truth: corpus/queries produced 0 true top-$k pairs")
+      val qArr = PqAnn.collectQueries(sh.qCp, vecCol, idCol)
+
+      // --- ivf nProbe grid: ONE scored candidate scan at max probe,
+      // each point filters by the attached probed-cell rank ---
+      val ivfScored = IvfAnn.scoredCandidates(sh.assignedCp, sh.ctrs, sh.qCp,
+        SweepProbes.max, vecCol, idCol)
+        .select(col("query_id"), col("vec_id"), col("cos_raw"), col("cell_rank"))
+        .localCheckpoint(false)
+      val ivfRuns = SweepProbes.map { p =>
+        ("ivf", "nProbe", p,
+          CosineTopK.rankTopK(ivfScored.where(col("cell_rank") <= p), k))
+      }
+
+      // --- lsh tables grid: ONE bucket pass + ONE scored candidate set
+      // at tables=8 with the minimum colliding table attached; the
+      // seeded hyperplane stream makes tables=t a prefix of tables=8,
+      // so `min_tbl < t` is exactly the t-table candidate set ---
+      val planes = LshAnn.hyperplanes(dim, LshAnn.DefaultBits, SweepTables.max)
+      val cB = LshAnn.withBuckets(sh.corpusCp, "corpus", planes, vecCol, idCol)
+      val qB = LshAnn.withBuckets(sh.qCp, "query", planes, vecCol, idCol)
+      val lshPairs = broadcast(qB).join(cB,
+          qB("tbl") === cB("tbl") && qB("query_bucket") === cB("corpus_bucket") &&
+            col("query_id") =!= col("corpus_id"))
+        .groupBy(col("query_id"), col("corpus_id"))
+        .agg(min(qB("tbl")).as("min_tbl"),
+          first(col("query_v")).as("query_v"),
+          first(col("corpus_v")).as("corpus_v"))
+      val lshScored = lshPairs
+        .withColumn("cos_raw", EmbeddingDedup.cosine(col("query_v"), col("corpus_v")))
+        .withColumnRenamed("corpus_id", "vec_id")
+        .select(col("query_id"), col("vec_id"), col("cos_raw"), col("min_tbl"))
+        .localCheckpoint(false)
+      val lshRuns = SweepTables.map { t =>
+        ("lsh", "tables", t,
+          CosineTopK.rankTopK(lshScored.where(col("min_tbl") < t), k))
+      }
+
+      // --- pq: one build per ksub; the DEFAULT-ksub build serves its
+      // ksub point AND the whole refine grid off one ADC ranking ---
+      def pqPoints(ksub: Int, refines: Seq[Int]): Seq[(String, String, Int, DataFrame)] = {
+        val (books, bs) = PqAnn.trainBooks(sh.sample, PqAnn.DefaultM, ksub)
+        val coded = PqAnn.encode(sh.corpusCp, books, bs, vecCol, idCol)
+        val adc = PqAnn.adcScores(coded, books, bs, qArr)
+        val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+        val maxPool = refines.max * k
+        val cands = adc.withColumn("r", rank().over(wAdc))
+          .where(col("r") <= maxPool).select("query_id", "vec_id", "r")
+        val scored = PqAnn.rerankScored(cands, sh.corpusCp, sh.qCp, vecCol, idCol)
+          .select(col("query_id"), col("vec_id"), col("cos_raw"), col("r"))
+          .localCheckpoint(false)
+        refines.map { rf =>
+          val grid = if (rf == PqAnn.DefaultRefine) ("pq", "ksub", ksub)
+                     else ("pq", "refine", rf)
+          (grid._1, grid._2, grid._3,
+            CosineTopK.rankTopK(scored.where(col("r") <= rf * k), k))
+        }
+      }
+      // refine is PQ's second knob, and on clustered corpora the
+      // decisive one: a tight cluster collapses to a handful of PQ
+      // codes, so the ADC candidate pool is tie-degenerate and
+      // refine*k candidates must exceed the tie mass before the
+      // exact re-rank can see a true neighbor (measured at
+      // sf100-gauss: ksub alone reads 0.0 everywhere, refine
+      // recovers — BENCH_SF100.md round 14)
+      val pqRuns =
+        SweepPqKsub.filterNot(_ == PqAnn.DefaultKsub)
+          .flatMap(ks => pqPoints(ks, Seq(PqAnn.DefaultRefine))) ++
+        pqPoints(PqAnn.DefaultKsub, PqAnn.DefaultRefine +: SweepRefine)
+
+      // --- ivfpq: the DEFAULT-ksub build (shared coarse centroids from
+      // sharedBuild) serves the whole nProbe grid AND refine grid off
+      // ONE ADC scan at max probe; ksub 64/256 are their own builds.
+      // IVF-PQ, same refine grid as plain PQ so the curves compare
+      // directly. Measured honesty note (sf100-gauss, BENCH_SF100.md
+      // round 14): residual coding fixes the CROSS-cluster code
+      // collapse (the small-corpus regime where clusters per cell
+      // exceed code resolution — AnnSweepSpec's isolated test), but
+      // when a cluster's member count dwarfs refine·k and its radius
+      // is below codebook resolution, same-cluster members still
+      // share codes and BOTH quantizers are tie-starved — the
+      // decisive knobs are refine (candidate pool vs tie mass) and
+      // ksub (code resolution vs cluster radius), swept here ---
+      def ivfpqScored(ksub: Int, nProbe: Int): DataFrame = {
+        val (books, bs) = IvfPqAnn.trainResidualBooks(sh.sample, sh.ctrs,
+          IvfPqAnn.DefaultM, ksub)
+        val coded = IvfPqAnn.encodeWith(sh.assignedCp, sh.ctrs, books, bs)
+        val probes = IvfPqAnn.probeData(qArr, sh.ctrs, books, bs, nProbe)
+        IvfPqAnn.adcScoresWithRank(coded, probes).localCheckpoint(false)
+      }
+      // per (adc frame, probe setting): rank within the probed subset at
+      // the max refine, re-rank the max pool once, filter per point
+      def ivfpqPoints(adc: DataFrame, nProbe: Int, refines: Seq[Int])
+          : Seq[(Int, DataFrame)] = {
+        val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+        val maxPool = refines.max * k
+        val cands = adc.where(col("cell_rank") <= nProbe)
+          .withColumn("r", rank().over(wAdc))
+          .where(col("r") <= maxPool).select("query_id", "vec_id", "r")
+        val scored = PqAnn.rerankScored(cands, sh.corpusCp, sh.qCp, vecCol, idCol)
+          .select(col("query_id"), col("vec_id"), col("cos_raw"), col("r"))
+          .localCheckpoint(false)
+        refines.map(rf =>
+          (rf, CosineTopK.rankTopK(scored.where(col("r") <= rf * k), k)))
+      }
+      val adcDefaultKsub = ivfpqScored(IvfPqAnn.DefaultKsub, SweepProbes.max)
+      val ivfpqProbeRuns = SweepProbes.filterNot(_ == IvfPqAnn.DefaultProbe)
+        .map { p =>
+          val Seq((_, df)) = ivfpqPoints(adcDefaultKsub, p, Seq(IvfPqAnn.DefaultRefine))
+          ("ivfpq", "nProbe", p, df)
+        }
+      // default probe: one re-ranked pool serves the nProbe=default
+      // point, the refine grid, and the ksub=default point
+      val defProbePoints = ivfpqPoints(adcDefaultKsub, IvfPqAnn.DefaultProbe,
+        (IvfPqAnn.DefaultRefine +: 16 +: SweepRefine).distinct)
+      val ivfpqDefRuns = defProbePoints.flatMap { case (rf, df) =>
+        Seq.newBuilder[(String, String, Int, DataFrame)]
+          .++= (if (rf == IvfPqAnn.DefaultRefine)
+            Seq(("ivfpq", "nProbe", IvfPqAnn.DefaultProbe, df)) else Nil)
+          .++= (if (SweepRefine.contains(rf)) Seq(("ivfpq", "refine", rf, df)) else Nil)
+          .++= (if (rf == 16 && SweepIvfPqKsub.contains(IvfPqAnn.DefaultKsub))
+            Seq(("ivfpq", "ksub", IvfPqAnn.DefaultKsub, df)) else Nil)
+          .result()
+      }
+      val ivfpqKsubRuns = SweepIvfPqKsub.filterNot(_ == IvfPqAnn.DefaultKsub)
+        .map { ks =>
+          val adc = ivfpqScored(ks, IvfPqAnn.DefaultProbe)
+          val Seq((_, df)) = ivfpqPoints(adc, IvfPqAnn.DefaultProbe, Seq(16))
+          ("ivfpq", "ksub", ks, df)
+        }
+
       val runs: Seq[(String, String, Int, DataFrame)] =
-        Seq(1, 2, 4, 8).map(p => ("ivf", "nProbe", p,
-          IvfAnn.topK(corpus, queries, k, nProbe = p,
-            vecCol = vecCol, idCol = idCol))) ++
-        Seq(1, 2, 4, 8).map(t => ("lsh", "tables", t,
-          LshAnn.topK(corpus, queries, k, dim, tables = t,
-            vecCol = vecCol, idCol = idCol))) ++
-        Seq(4, 8, 16).map(ks => ("pq", "ksub", ks,
-          PqAnn.topK(corpus, queries, k, ksub = ks,
-            vecCol = vecCol, idCol = idCol))) ++
-        // refine is PQ's second knob, and on clustered corpora the
-        // decisive one: a tight cluster collapses to a handful of PQ
-        // codes, so the ADC candidate pool is tie-degenerate and
-        // refine*k candidates must exceed the tie mass before the
-        // exact re-rank can see a true neighbor (measured at
-        // sf100-gauss: ksub alone reads 0.0 everywhere, refine
-        // recovers — BENCH_SF100.md round 14)
-        Seq(16, 64, 256).map(rf => ("pq", "refine", rf,
-          PqAnn.topK(corpus, queries, k, refine = rf,
-            vecCol = vecCol, idCol = idCol))) ++
-        // IVF-PQ, same refine grid as plain PQ so the curves compare
-        // directly. Measured honesty note (sf100-gauss, BENCH_SF100.md
-        // round 14): residual coding fixes the CROSS-cluster code
-        // collapse (the small-corpus regime where clusters per cell
-        // exceed code resolution — AnnSweepSpec's isolated test), but
-        // when a cluster's member count dwarfs refine·k and its radius
-        // is below codebook resolution, same-cluster members still
-        // share codes and BOTH quantizers are tie-starved — the
-        // decisive knobs are refine (candidate pool vs tie mass) and
-        // ksub (code resolution vs cluster radius), swept here
-        Seq(16, 64, 256).map(rf => ("ivfpq", "refine", rf,
-          IvfPqAnn.topK(corpus, queries, k, refine = rf,
-            vecCol = vecCol, idCol = idCol))) ++
-        Seq(16, 64, 256).map(ks => ("ivfpq", "ksub", ks,
-          IvfPqAnn.topK(corpus, queries, k, ksub = ks, refine = 16,
-            vecCol = vecCol, idCol = idCol))) ++
-        Seq(1, 2, 4, 8).map(p => ("ivfpq", "nProbe", p,
-          IvfPqAnn.topK(corpus, queries, k, nProbe = p,
-            vecCol = vecCol, idCol = idCol)))
+        ivfRuns ++ lshRuns ++ pqRuns ++
+          ivfpqDefRuns.filter(_._2 == "refine") ++
+          ivfpqDefRuns.filter(_._2 == "ksub") ++ ivfpqKsubRuns ++
+          ivfpqProbeRuns ++ ivfpqDefRuns.filter(_._2 == "nProbe")
       val approx = runs.map { case (m, p, v, df) =>
         df.select(lit(m).as("method"), lit(p).as("param"),
           lit(v).as("value"), col("query_id"), col("vec_id"))
@@ -1106,17 +1428,26 @@ object Similarity {
                       ksub: Int = IvfPqAnn.DefaultKsub,
                       vecCol: String = "embedding",
                       idCol: String = "vec_id"): DataFrame = {
-      val (coded, ctrs, books, bs) = IvfPqAnn.trainAndEncode(
-        corpus, nCells, m, ksub, vecCol, idCol, IvfPqAnn.MaxTrainRows)
-      val codedCp = coded.localCheckpoint(false)
+      // shared materialization (round 17, guide §2.4): the corpus
+      // lineage — deriveClustered's broadcast join + zip_with on the
+      // gate row — previously recomputed for the stats pass, the sample
+      // collect, the encode, the truth leg and BOTH query legs' exact
+      // re-ranks; one assigned-frame checkpoint now feeds them all, and
+      // the queries frame is likewise checkpointed once instead of
+      // re-derived per leg. Same train→advise→override→query loop,
+      // bit-identical rows (seeded training over the same sample).
+      val sh = RecallReport.sharedBuild(corpus, queries, nCells, vecCol, idCol)
+      val (books, bs) = IvfPqAnn.trainResidualBooks(sh.sample, sh.ctrs, m, ksub)
+      val codedCp = IvfPqAnn.encodeWith(sh.assignedCp, sh.ctrs, books, bs)
+        .localCheckpoint(false)
       val overrides = refineOverrides(fromCoded(codedCp, k))
-      val truth = CosineTopK.run(corpus, queries, k, vecCol, idCol)
+      val truth = CosineTopK.run(sh.corpusCp, sh.qCp, k, vecCol, idCol)
         .select("query_id", "vec_id").localCheckpoint(false)
       val nTrue = truth.count()
       require(nTrue > 0,
         s"advised-recall needs a non-empty ground truth: corpus/queries produced 0 true top-$k pairs")
       def leg(name: String, cellRefine: Map[Int, Int]): DataFrame =
-        IvfPqAnn.queryCoded(codedCp, ctrs, books, bs, corpus, queries, k,
+        IvfPqAnn.queryCoded(codedCp, sh.ctrs, books, bs, sh.corpusCp, sh.qCp, k,
             IvfPqAnn.DefaultProbe, IvfPqAnn.DefaultRefine, vecCol, idCol,
             DefaultMaxQueryBatch, cellRefine)
           .select(lit(name).as("variant"), col("query_id"), col("vec_id"))
