@@ -468,9 +468,17 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) =>
       BinaryPipeline.extractMeta(s, BinaryPipeline.fromDocuments(Tables(s, d, "documents")))
         .orderBy("doc_id").toDF()),
+    // the video filter sits BEFORE the probe kernel (round 17): the
+    // typed extractMeta map is opaque to Catalyst, so sampleFrames'
+    // media_type filter could not push below it — 2/3 of the corpus
+    // (image/audio rows) paid a codec probe whose row was then
+    // discarded. Pre-filtering is row-for-row identical (extractMeta is
+    // a per-row map; the oracle's hash compare pins it).
     "multimodal_frames" -> ((s, d) =>
       BinaryPipeline.sampleFrames(
-        BinaryPipeline.extractMeta(s, BinaryPipeline.fromDocuments(Tables(s, d, "documents"))),
+        BinaryPipeline.extractMeta(s,
+          BinaryPipeline.fromDocuments(Tables(s, d, "documents"))
+            .where(col("media_type") === "video")),
         stride = FrameStride).orderBy("doc_id", "frame_idx"))
   )
 

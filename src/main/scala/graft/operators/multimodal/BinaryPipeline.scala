@@ -226,7 +226,12 @@ object BinaryPipeline {
                  bands: Int = 8,
                  decoders: Seq[AudioDecoder] = AudioDecoder.builtins): DataFrame = {
     import spark.implicits._
-    media.as[RawMedia].filter(_.media_type == "audio").mapPartitions { it =>
+    // column-level modality gate BEFORE the typed boundary (round 17):
+    // a typed .filter deserializes every row — including a full copy of
+    // each skipped modality's payload byte array — just to read the
+    // tag; the Column filter drops non-audio rows inside codegen, so
+    // 2/3 of a mixed corpus's payload bytes never cross into objects
+    media.where(col("media_type") === "audio").as[RawMedia].mapPartitions { it =>
       it.flatMap(m =>
         audioEmbedding(m.data, bands, decoders).map(v => (m.doc_id, v)))
     }.toDF("vec_id", "embedding")
@@ -293,8 +298,9 @@ object BinaryPipeline {
     import spark.implicits._
     // same modality gate as extractMeta — a video row whose container
     // happens to open with image magic must not sneak into the image
-    // embedding table
-    media.as[RawMedia].filter(_.media_type == "image").mapPartitions { it =>
+    // embedding table. Column-level, before the typed boundary — see
+    // embedAudio (round 17).
+    media.where(col("media_type") === "image").as[RawMedia].mapPartitions { it =>
       it.flatMap(m => imageEmbedding(m.data, grid).map(v => (m.doc_id, v)))
     }.toDF("vec_id", "embedding")
   }
@@ -316,7 +322,9 @@ object BinaryPipeline {
                        decoders: Seq[FrameDecoder] = FrameDecoder.builtins)
       : DataFrame = {
     import spark.implicits._
-    media.as[RawMedia].filter(_.media_type == "video").flatMap { m =>
+    // column-level modality gate before the typed boundary — see
+    // embedAudio (round 17)
+    media.where(col("media_type") === "video").as[RawMedia].flatMap { m =>
       AviFrames.videoFrames(m.data, stride, decoders = decoders)
         .map { case (idx, img) =>
           (m.doc_id, idx, imageEmbeddingOf(img, grid))
