@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver JSON-parses the last ~2000 chars of the run's
+// output. sbt's default LoggedOutput prefixes every forked-stdout line
+// with "[info] " (which broke the parse in every round through 17) and
+// prints "[success] Total time …" after it. Raw pass-through + no
+// success banner keep graft.Bench's one-line JSON as the literal last
+// line of output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

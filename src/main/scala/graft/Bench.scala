@@ -106,28 +106,41 @@ object Bench {
     val asymmetric = p1.collect {
       case (k, (v1, _)) if math.max(v1, p2(k)._1) > asymFloor &&
         math.max(v1, p2(k)._1) > 3 * math.min(v1, p2(k)._1) =>
-        s"\"" + k + "\":[" + f"${v1}%.1f" + "," + f"${p2(k)._1}%.1f" + "]"
-    }.mkString("{", ",", "}")
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errors = results.collect { case (k, (_, Some(e))) => s"\"" + k + "\":\"" + esc(e) + "\"" }
-      .mkString("{", ",", "}")
+        k -> ((v1, p2(k)._1))
+    }
     val nFailed = results.count(_._2._2.isDefined)
-    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
-    val skipped = skip.toSeq.sortBy(_._1)
-      .map { case (k, why) => s"\"" + k + "\":\"" + why + "\"" }
-      .mkString("{", ",", "}")
     // harness identifies the timed ACTION so cross-round geomeans are
     // only computed within one harness version (verdict-r14 #3: the
     // r13→r14 switch from .count() to materializeCount read as a 2.19×
     // "regression" with no field to tell the judge the action changed).
     // Bump this string whenever the timed action or pass structure
-    // changes.
+    // changes. Round 18 changed only the RENDERING of the line
+    // (graft.tools.BenchJson: length budget so the driver's 2000-char
+    // tail window can parse it); the timed action and pass structure
+    // are untouched, so the string stays.
     val harness = "materializeCount-2pass-min-v2"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","harness":"$harness","queries":$qs,"pass_asymmetric":$asymmetric,"errors":$errors,"failed":$nFailed,"skipped":$skipped,"sf":"$sfDir"}""")
+    val (line, droppedFields) =
+      graft.tools.BenchJson.render(results, asymmetric, skip, sfDir, harness)
+    // Anything the length budget dropped from the line (plus the full
+    // per-query precision) still reaches a human via stderr — BEFORE
+    // the final stdout line so a merged capture keeps the line last.
+    if (droppedFields.nonEmpty) {
+      System.err.println(s"bench: line budget dropped fields: ${droppedFields.mkString(",")}")
+      System.err.println("bench full results: " + results.toSeq.sortBy(_._1)
+        .map { case (k, (v, e)) => f"$k=$v%.3f${e.map(" ERR " + _).getOrElse("")}" }
+        .mkString("; "))
+      if (skip.nonEmpty)
+        System.err.println("bench skipped: " + skip.toSeq.sortBy(_._1)
+          .map { case (k, w) => s"$k ($w)" }.mkString("; "))
+      System.err.flush()
+    }
     spark.stop()
+    // The one-line JSON is the very last stdout write of the process:
+    // nothing Spark logs (stderr) or sbt prints (showSuccess=false,
+    // outputStrategy=StdoutOutput in build.sbt) may land after it
+    // inside the driver's tail window.
+    println(line)
+    System.out.flush()
     if (nFailed > 0) sys.exit(1)
   }
 }

@@ -1011,13 +1011,54 @@ object Similarity {
                                     ctrs: Array[Array[Double]],
                                     sample: Array[Array[Double]])
 
+    /** Tracks every shared-build localCheckpoint so its block-manager
+      * blocks can be released the moment the few-row report is
+      * materialized (round 18, verdict-r17 #3): lazily-freed checkpoint
+      * blocks (~600 MB/query at sf100, freed only when the
+      * ContextCleaner notices the GC'd RDD) slowed a NEIGHBORING
+      * unchanged query up to ~3× in a shared-JVM suite run. `finish`
+      * collects the report (a few dozen rows by construction), frees
+      * every tracked checkpointed RDD deterministically, and returns
+      * the rows as a LocalRelation — same rows, same schema, same
+      * order.
+      *
+      * `graft.ann.releaseCheckpoints=false` (spark conf) keeps the lazy
+      * lineage instead — used by the plan-dump tools so
+      * `.explain("formatted")` shows the real computation (the executed
+      * work is identical either way; only post-report cleanup and the
+      * returned frame's plan differ).
+      */
+    private[similarity] final class CpTracker(release: Boolean) {
+      private val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def apply(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(false)
+        cps += c
+        c
+      }
+      def finish(report: DataFrame): DataFrame =
+        if (!release) report
+        else {
+          val spark = report.sparkSession
+          val rows = java.util.Arrays.asList(report.collect(): _*)
+          cps.foreach(_.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+          })
+          spark.createDataFrame(rows, report.schema)
+        }
+    }
+
+    private[similarity] def tracker(spark: org.apache.spark.sql.SparkSession): CpTracker =
+      new CpTracker(spark.conf.get("graft.ann.releaseCheckpoints", "true").toBoolean)
+
     private[similarity] def sharedBuild(corpus: DataFrame, queries: DataFrame,
-                            nCells: Int, vecCol: String, idCol: String): Shared = {
-      val qCp = queries.select(col(idCol), col(vecCol)).localCheckpoint(false)
+                            nCells: Int, vecCol: String, idCol: String,
+                            t: CpTracker): Shared = {
+      val qCp = t(queries.select(col(idCol), col(vecCol)))
       requireBoundedQueries(qCp, DefaultMaxQueryBatch, "RecallReport")
       val (assigned, ctrs, sample) =
         IvfAnn.assignCellsSampled(corpus, nCells, vecCol, idCol, IvfAnn.MaxTrainRows)
-      val assignedCp = assigned.localCheckpoint(false)
+      val assignedCp = t(assigned)
       // the assigned frame carries the full vectors, so every consumer
       // that only needs (id, vector) projects them back out of the one
       // materialized copy
@@ -1029,11 +1070,12 @@ object Similarity {
     def run(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
             nCells: Int = IvfAnn.DefaultCells, nProbe: Int = IvfAnn.DefaultProbe,
             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-      val sh = sharedBuild(corpus, queries, nCells, vecCol, idCol)
+      val t = tracker(corpus.sparkSession)
+      val sh = sharedBuild(corpus, queries, nCells, vecCol, idCol, t)
       // ground truth feeds the count AND two hit-joins: checkpoint so
       // the brute-force scoring runs once
-      val truth = CosineTopK.run(sh.corpusCp, sh.qCp, k, vecCol, idCol)
-        .select("query_id", "vec_id").localCheckpoint(false)
+      val truth = t(CosineTopK.run(sh.corpusCp, sh.qCp, k, vecCol, idCol)
+        .select("query_id", "vec_id"))
       val nTrue = truth.count()
       // an empty truth set means the report could only emit null/0÷0
       // recall — a misconfigured run (empty corpus or query set) must
@@ -1073,12 +1115,12 @@ object Similarity {
         .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       val spark = corpus.sparkSession
       import spark.implicits._
-      Seq("ivf", "ivfpq", "lsh", "pq").toDF("method")
+      t.finish(Seq("ivf", "ivfpq", "lsh", "pq").toDF("method")
         .join(hitCounts, Seq("method"), "left")
         .select(col("method"), lit(k).as("k"), lit(nTrue).as("n_true"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           round(coalesce(col("n_hit"), lit(0L)) / nTrue, 4).as("recall"))
-        .orderBy("method")
+        .orderBy("method"))
     }
 
     /** Recall CURVES (round-14, verdict-r13 #2): recall@k as a function
@@ -1126,9 +1168,19 @@ object Similarity {
       //     scan instead of a full rebuild chain.
       // Row-for-row equivalence with the per-point assembly is pinned
       // by AnnShareSpec on a seeded clustered fixture.
-      val sh = sharedBuild(corpus, queries, IvfAnn.DefaultCells, vecCol, idCol)
-      val truth = CosineTopK.run(sh.corpusCp, sh.qCp, k, vecCol, idCol)
-        .select("query_id", "vec_id").localCheckpoint(false)
+      //
+      // Footprint note (advice-r17): the checkpointed scored/ADC frames
+      // are bounded by O(queries × corpus-in-probed-cells) rows on
+      // executor-local disk/memory — fine for a bounded-query report
+      // harness (requireBoundedQueries caps the query side), and since
+      // round 18 they are released deterministically when the report
+      // materializes (CpTracker). localCheckpoint data is not
+      // recoverable on executor loss; a cluster sweep that must survive
+      // preemption should use reliable checkpointing instead.
+      val t = tracker(corpus.sparkSession)
+      val sh = sharedBuild(corpus, queries, IvfAnn.DefaultCells, vecCol, idCol, t)
+      val truth = t(CosineTopK.run(sh.corpusCp, sh.qCp, k, vecCol, idCol)
+        .select("query_id", "vec_id"))
       val nTrue = truth.count()
       require(nTrue > 0,
         s"recall sweep needs a non-empty ground truth: corpus/queries produced 0 true top-$k pairs")
@@ -1136,10 +1188,9 @@ object Similarity {
 
       // --- ivf nProbe grid: ONE scored candidate scan at max probe,
       // each point filters by the attached probed-cell rank ---
-      val ivfScored = IvfAnn.scoredCandidates(sh.assignedCp, sh.ctrs, sh.qCp,
+      val ivfScored = t(IvfAnn.scoredCandidates(sh.assignedCp, sh.ctrs, sh.qCp,
         SweepProbes.max, vecCol, idCol)
-        .select(col("query_id"), col("vec_id"), col("cos_raw"), col("cell_rank"))
-        .localCheckpoint(false)
+        .select(col("query_id"), col("vec_id"), col("cos_raw"), col("cell_rank")))
       val ivfRuns = SweepProbes.map { p =>
         ("ivf", "nProbe", p,
           CosineTopK.rankTopK(ivfScored.where(col("cell_rank") <= p), k))
@@ -1156,14 +1207,17 @@ object Similarity {
           qB("tbl") === cB("tbl") && qB("query_bucket") === cB("corpus_bucket") &&
             col("query_id") =!= col("corpus_id"))
         .groupBy(col("query_id"), col("corpus_id"))
+        // first() is order-nondeterministic in general but safe here:
+        // query_v/corpus_v are functionally determined by the group key
+        // (one vector per id), so every candidate row of a group carries
+        // the identical value (advice-r17)
         .agg(min(qB("tbl")).as("min_tbl"),
           first(col("query_v")).as("query_v"),
           first(col("corpus_v")).as("corpus_v"))
-      val lshScored = lshPairs
+      val lshScored = t(lshPairs
         .withColumn("cos_raw", EmbeddingDedup.cosine(col("query_v"), col("corpus_v")))
         .withColumnRenamed("corpus_id", "vec_id")
-        .select(col("query_id"), col("vec_id"), col("cos_raw"), col("min_tbl"))
-        .localCheckpoint(false)
+        .select(col("query_id"), col("vec_id"), col("cos_raw"), col("min_tbl")))
       val lshRuns = SweepTables.map { t =>
         ("lsh", "tables", t,
           CosineTopK.rankTopK(lshScored.where(col("min_tbl") < t), k))
@@ -1179,14 +1233,16 @@ object Similarity {
         val maxPool = refines.max * k
         val cands = adc.withColumn("r", rank().over(wAdc))
           .where(col("r") <= maxPool).select("query_id", "vec_id", "r")
-        val scored = PqAnn.rerankScored(cands, sh.corpusCp, sh.qCp, vecCol, idCol)
-          .select(col("query_id"), col("vec_id"), col("cos_raw"), col("r"))
-          .localCheckpoint(false)
-        refines.map { rf =>
-          val grid = if (rf == PqAnn.DefaultRefine) ("pq", "ksub", ksub)
-                     else ("pq", "refine", rf)
-          (grid._1, grid._2, grid._3,
-            CosineTopK.rankTopK(scored.where(col("r") <= rf * k), k))
+        val scored = t(PqAnn.rerankScored(cands, sh.corpusCp, sh.qCp, vecCol, idCol)
+          .select(col("query_id"), col("vec_id"), col("cos_raw"), col("r")))
+        // labels from explicit membership (advice-r17): if DefaultRefine
+        // is ever moved INTO SweepRefine, the overlapping point must
+        // emit BOTH its ksub row and its refine row, not silently drop
+        // one — same rule the ivfpq grid below already applies
+        refines.flatMap { rf =>
+          lazy val df = CosineTopK.rankTopK(scored.where(col("r") <= rf * k), k)
+          (if (rf == PqAnn.DefaultRefine) Seq(("pq", "ksub", ksub, df)) else Nil) ++
+            (if (SweepRefine.contains(rf)) Seq(("pq", "refine", rf, df)) else Nil)
         }
       }
       // refine is PQ's second knob, and on clustered corpora the
@@ -1199,7 +1255,7 @@ object Similarity {
       val pqRuns =
         SweepPqKsub.filterNot(_ == PqAnn.DefaultKsub)
           .flatMap(ks => pqPoints(ks, Seq(PqAnn.DefaultRefine))) ++
-        pqPoints(PqAnn.DefaultKsub, PqAnn.DefaultRefine +: SweepRefine)
+        pqPoints(PqAnn.DefaultKsub, (PqAnn.DefaultRefine +: SweepRefine).distinct)
 
       // --- ivfpq: the DEFAULT-ksub build (shared coarse centroids from
       // sharedBuild) serves the whole nProbe grid AND refine grid off
@@ -1219,7 +1275,7 @@ object Similarity {
           IvfPqAnn.DefaultM, ksub)
         val coded = IvfPqAnn.encodeWith(sh.assignedCp, sh.ctrs, books, bs)
         val probes = IvfPqAnn.probeData(qArr, sh.ctrs, books, bs, nProbe)
-        IvfPqAnn.adcScoresWithRank(coded, probes).localCheckpoint(false)
+        t(IvfPqAnn.adcScoresWithRank(coded, probes))
       }
       // per (adc frame, probe setting): rank within the probed subset at
       // the max refine, re-rank the max pool once, filter per point
@@ -1230,9 +1286,8 @@ object Similarity {
         val cands = adc.where(col("cell_rank") <= nProbe)
           .withColumn("r", rank().over(wAdc))
           .where(col("r") <= maxPool).select("query_id", "vec_id", "r")
-        val scored = PqAnn.rerankScored(cands, sh.corpusCp, sh.qCp, vecCol, idCol)
-          .select(col("query_id"), col("vec_id"), col("cos_raw"), col("r"))
-          .localCheckpoint(false)
+        val scored = t(PqAnn.rerankScored(cands, sh.corpusCp, sh.qCp, vecCol, idCol)
+          .select(col("query_id"), col("vec_id"), col("cos_raw"), col("r")))
         refines.map(rf =>
           (rf, CosineTopK.rankTopK(scored.where(col("r") <= rf * k), k)))
       }
@@ -1280,12 +1335,12 @@ object Similarity {
         .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
         .groupBy("method", "param", "value")
         .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-      grid.join(hitCounts, Seq("method", "param", "value"), "left")
+      t.finish(grid.join(hitCounts, Seq("method", "param", "value"), "left")
         .select(col("method"), col("param"), col("value"),
           lit(k).as("k"), lit(nTrue).as("n_true"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           round(coalesce(col("n_hit"), lit(0L)) / nTrue, 4).as("recall"))
-        .orderBy("method", "param", "value")
+        .orderBy("method", "param", "value"))
     }
   }
 
@@ -1436,13 +1491,13 @@ object Similarity {
       // the queries frame is likewise checkpointed once instead of
       // re-derived per leg. Same train→advise→override→query loop,
       // bit-identical rows (seeded training over the same sample).
-      val sh = RecallReport.sharedBuild(corpus, queries, nCells, vecCol, idCol)
+      val t = RecallReport.tracker(corpus.sparkSession)
+      val sh = RecallReport.sharedBuild(corpus, queries, nCells, vecCol, idCol, t)
       val (books, bs) = IvfPqAnn.trainResidualBooks(sh.sample, sh.ctrs, m, ksub)
-      val codedCp = IvfPqAnn.encodeWith(sh.assignedCp, sh.ctrs, books, bs)
-        .localCheckpoint(false)
+      val codedCp = t(IvfPqAnn.encodeWith(sh.assignedCp, sh.ctrs, books, bs))
       val overrides = refineOverrides(fromCoded(codedCp, k))
-      val truth = CosineTopK.run(sh.corpusCp, sh.qCp, k, vecCol, idCol)
-        .select("query_id", "vec_id").localCheckpoint(false)
+      val truth = t(CosineTopK.run(sh.corpusCp, sh.qCp, k, vecCol, idCol)
+        .select("query_id", "vec_id"))
       val nTrue = truth.count()
       require(nTrue > 0,
         s"advised-recall needs a non-empty ground truth: corpus/queries produced 0 true top-$k pairs")
@@ -1460,14 +1515,14 @@ object Similarity {
         .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       val spark = corpus.sparkSession
       import spark.implicits._
-      Seq("advised", "default").toDF("variant")
+      t.finish(Seq("advised", "default").toDF("variant")
         .join(hitCounts, Seq("variant"), "left")
         .select(col("variant"), lit(k).as("k"),
           lit(overrides.size).as("n_overridden_cells"),
           lit(nTrue).as("n_true"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           round(coalesce(col("n_hit"), lit(0L)) / nTrue, 4).as("recall"))
-        .orderBy("variant")
+        .orderBy("variant"))
     }
   }
 }

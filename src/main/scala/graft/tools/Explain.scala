@@ -19,6 +19,10 @@ object Explain {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // keep the ANN report queries' lazy lineage so explain() shows the
+    // real computation instead of the released-checkpoint LocalRelation
+    // (the executed work is identical; see RecallReport.CpTracker)
+    spark.conf.set("graft.ann.releaseCheckpoints", "false")
     args.tail.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, args.head)
       println(s"==== $name ====")

@@ -164,4 +164,36 @@ class AnnShareSpec extends AnyFunSuite {
       assert(rRec == rec, s"$variant recall: shared $rRec != direct $rec")
     }
   }
+
+  test("deterministic checkpoint release (verdict-r17 #3): no lingering blocks, identical rows") {
+    val sc = spark.sparkContext
+    // force the lazy fixture checkpoints BEFORE snapshotting, so the
+    // diff below sees only what run()/sweep() themselves leave behind
+    corpus.count(); queries.count()
+    val before = sc.getPersistentRDDs.keySet
+
+    val released = Similarity.RecallReport.run(corpus, queries, k, dim = 64)
+      .collect().toSeq
+    val afterRun = sc.getPersistentRDDs.keySet
+    assert((afterRun -- before).isEmpty,
+      s"run() left checkpoint blocks behind: RDDs ${(afterRun -- before).toSeq.sorted}")
+
+    val sweepReleased = Similarity.RecallReport.sweep(corpus, queries, k, dim = 64)
+      .collect().toSeq
+    val afterSweep = sc.getPersistentRDDs.keySet
+    assert((afterSweep -- before).isEmpty,
+      s"sweep() left checkpoint blocks behind: RDDs ${(afterSweep -- before).toSeq.sorted}")
+
+    // the release path must not change a single row vs the kept-lineage
+    // path (the plan-dump toggle)
+    spark.conf.set("graft.ann.releaseCheckpoints", "false")
+    try {
+      val kept = Similarity.RecallReport.run(corpus, queries, k, dim = 64)
+        .collect().toSeq
+      val sweepKept = Similarity.RecallReport.sweep(corpus, queries, k, dim = 64)
+        .collect().toSeq
+      assert(released == kept, "run(): release toggle changed the report rows")
+      assert(sweepReleased == sweepKept, "sweep(): release toggle changed the report rows")
+    } finally spark.conf.set("graft.ann.releaseCheckpoints", "true")
+  }
 }
