@@ -875,15 +875,30 @@ object Dedup {
           df => df.checkpoint(true)
         case None => df => df.localCheckpoint(true)
       }
+      // Non-iterative frames checkpoint LAZILY in local mode (round 18,
+      // measured): each is fully materialized by its first consuming
+      // job anyway (p by the count below, edges/labels by round 1's
+      // full-scan join), so an eager checkpoint only adds a scheduling
+      // barrier — the same 2.7×-on-sub-second-corpora effect the funnel
+      // comment above documents. The ITERATIVE prop frames stay eager:
+      // their first consumer is the limit(1)-style convergence probe,
+      // which would populate a lazy checkpoint only partially and force
+      // recompute through the doubled lineage. Reliable-checkpoint mode
+      // stays eager everywhere: a lazy reliable checkpoint recomputes
+      // its whole lineage once more at save time.
+      val lazyCkpt: DataFrame => DataFrame = checkpointDir match {
+        case Some(_) => ckpt
+        case None    => df => df.localCheckpoint(false)
+      }
       // materialize the (possibly expensive) pair pipeline ONCE — the
       // bidirectional union below references it twice
-      val p = ckpt(pairs)
+      val p = lazyCkpt(pairs)
       if (p.count() <= smallGraphMax) return unionFindComponents(p)
-      val edges = ckpt(
+      val edges = lazyCkpt(
         p.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
           .unionAll(p.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
           .distinct())
-      var labels = ckpt(
+      var labels = lazyCkpt(
         edges.select(col("a").as("node")).distinct()
           .select(col("node"), col("node").as("label")))
       var iter = 0
