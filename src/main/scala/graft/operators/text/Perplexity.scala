@@ -78,10 +78,23 @@ object Perplexity {
   private def score(target: DataFrame, targetBi: DataFrame, modelBi: DataFrame,
                     vocab: DataFrame, pairKey: Seq[String], firstKey: String,
                     idCol: String): DataFrame = {
-    val cb = modelBi.groupBy(pairKey.map(col): _*).agg(count(lit(1)).as("cb"))
-    val c1 = modelBi.groupBy(firstKey).agg(count(lit(1)).as("c1"))
+    // c1 is DERIVED from cb (round 18, guide §1.2/§2.4 — remove a full
+    // pass): c1(w1) = Σ_w2 cb(w1, w2) exactly (both count model bigram
+    // rows by first token, in integers), so the model corpus is scanned
+    // + tokenized + exploded once for both model tables — ReuseExchange
+    // dedups cb's identical partial-agg exchange across the two
+    // consumers — and the replacement aggregate runs over the DISTINCT
+    // bigrams (vocab²-bounded), never the corpus stream. The cb group
+    // key carries firstKey (a function of the pair key in both paths:
+    // w1 ⊂ (w1,w2); h1 = hash of hb's first component), which for the
+    // hashed path also makes the join strictly more collision-robust
+    // than the old hb-only key: an hb collision between bigrams with
+    // different first tokens no longer merges their counts.
+    val cbKeys = (firstKey +: pairKey).distinct
+    val cb = modelBi.groupBy(cbKeys.map(col): _*).agg(count(lit(1)).as("cb"))
+    val c1 = cb.groupBy(firstKey).agg(sum("cb").as("c1"))
     val scored = targetBi
-      .join(cb, pairKey, "left").join(c1, Seq(firstKey), "left").crossJoin(vocab)
+      .join(cb, cbKeys, "left").join(c1, Seq(firstKey), "left").crossJoin(vocab)
       .groupBy(idCol).agg(
         count(lit(1)).as("nb"),
         avg(log(coalesce(col("c1"), lit(0L)) + col("v")) -
