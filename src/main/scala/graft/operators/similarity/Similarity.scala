@@ -1143,6 +1143,77 @@ object Similarity {
     private val SweepRefine = Seq(16, 64, 256)
     private val SweepIvfPqKsub = Seq(16, 64, 256)
 
+    /** ONE window (one exchange + one sort) serves every prefix-nested
+      * grid point of a family (round 18, verdict-r17 #5): over the
+      * shared total order (cos_raw desc, vec_id — vec_id is unique per
+      * query in every candidate frame, so rank() has no tie groups and
+      * equals a running row count), the rank of a row within point p's
+      * candidate subset is the running count of subset rows. n
+      * conditional running sums over one WindowSpec collapse into one
+      * Window node, replacing n full Window + WindowGroupLimit passes
+      * over the same checkpointed frame.
+      *
+      * Trade, stated plainly: the per-point plans pre-pruned each
+      * exchange to top-k rows via WindowGroupLimit; the shared window's
+      * single exchange carries the whole candidate frame once. That
+      * frame is bounded by the report harness's query cap
+      * (requireBoundedQueries) times the probed-candidate count, and
+      * one full-frame exchange measures faster than n pruned
+      * sort+exchange passes at both gate scales (isolated A/B in
+      * OPTIMIZATION_r18.md); row equality with the per-point assembly
+      * stays pinned by AnnShareSpec.
+      *
+      * The ranked frame is checkpointed (tracked by `t`): a DataFrame
+      * reused across union branches is RE-PLANNED per branch, so
+      * without the checkpoint each grid point would re-execute the
+      * shared window (24 sorts again, just differently shaped — the
+      * first cut of this change measured exactly that). The per-point
+      * branches then filter the one materialized copy. `scored` callers
+      * therefore no longer checkpoint their input: the ranked frame's
+      * materialization is its only consumer, one pass either way.
+      */
+    private def sharedTopK[P](scored: DataFrame, k: Int, points: Seq[P],
+                              cond: P => Column, t: CpTracker): Seq[(P, DataFrame)] = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = scored.where(!isnan(col("cos_raw")))
+      val ranked = t(points.zipWithIndex.foldLeft(base) { case (df, (p, i)) =>
+        df.withColumn(s"__r$i", sum(cond(p).cast("long")).over(w))
+      })
+      points.zipWithIndex.map { case (p, i) =>
+        p -> ranked.where(cond(p) && col(s"__r$i") <= k)
+          .select(col("query_id"), col("vec_id"),
+            round(col("cos_raw"), 4).as("cosine"),
+            col(s"__r$i").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      }
+    }
+
+    /** The same shared-sort trick for the ADC candidate-pool stage of
+      * the ivfpq probe grid: one window over the (adc desc, vec_id)
+      * total order computes each probe setting's within-subset ADC rank
+      * (`cell_rank <= probe` is prefix-nested by construction), so the
+      * probe grid shares one sort of the ADC frame instead of ranking
+      * it once per probe point. Returns the per-point re-rank pools
+      * `(query_id, vec_id, r)` with r capped at that point's refine
+      * pool size.
+      */
+    private def sharedAdcPools(adc: DataFrame, pts: Seq[(Int, Int)],
+                               t: CpTracker): Seq[DataFrame] = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adc").desc, col("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = t(pts.zipWithIndex.foldLeft(adc) { case (df, ((p, _), i)) =>
+        df.withColumn(s"__r$i", sum((col("cell_rank") <= p).cast("long")).over(w))
+      })
+      pts.zipWithIndex.map { case ((p, maxPool), i) =>
+        ranked.where(col("cell_rank") <= p && col(s"__r$i") <= maxPool)
+          .select(col("query_id"), col("vec_id"),
+            col(s"__r$i").cast("int").as("r"))
+      }
+    }
+
     def sweep(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
       // Shared-scan restructure (round 17, guide §1.2 step 1 / §2.4):
@@ -1188,13 +1259,12 @@ object Similarity {
 
       // --- ivf nProbe grid: ONE scored candidate scan at max probe,
       // each point filters by the attached probed-cell rank ---
-      val ivfScored = t(IvfAnn.scoredCandidates(sh.assignedCp, sh.ctrs, sh.qCp,
+      val ivfScored = IvfAnn.scoredCandidates(sh.assignedCp, sh.ctrs, sh.qCp,
         SweepProbes.max, vecCol, idCol)
-        .select(col("query_id"), col("vec_id"), col("cos_raw"), col("cell_rank")))
-      val ivfRuns = SweepProbes.map { p =>
-        ("ivf", "nProbe", p,
-          CosineTopK.rankTopK(ivfScored.where(col("cell_rank") <= p), k))
-      }
+        .select(col("query_id"), col("vec_id"), col("cos_raw"), col("cell_rank"))
+      val ivfRuns = sharedTopK(ivfScored, k, SweepProbes,
+          (p: Int) => col("cell_rank") <= p, t)
+        .map { case (p, df) => ("ivf", "nProbe", p, df) }
 
       // --- lsh tables grid: ONE bucket pass + ONE scored candidate set
       // at tables=8 with the minimum colliding table attached; the
@@ -1214,14 +1284,13 @@ object Similarity {
         .agg(min(qB("tbl")).as("min_tbl"),
           first(col("query_v")).as("query_v"),
           first(col("corpus_v")).as("corpus_v"))
-      val lshScored = t(lshPairs
+      val lshScored = lshPairs
         .withColumn("cos_raw", EmbeddingDedup.cosine(col("query_v"), col("corpus_v")))
         .withColumnRenamed("corpus_id", "vec_id")
-        .select(col("query_id"), col("vec_id"), col("cos_raw"), col("min_tbl")))
-      val lshRuns = SweepTables.map { t =>
-        ("lsh", "tables", t,
-          CosineTopK.rankTopK(lshScored.where(col("min_tbl") < t), k))
-      }
+        .select(col("query_id"), col("vec_id"), col("cos_raw"), col("min_tbl"))
+      val lshRuns = sharedTopK(lshScored, k, SweepTables,
+          (tb: Int) => col("min_tbl") < tb, t)
+        .map { case (tb, df) => ("lsh", "tables", tb, df) }
 
       // --- pq: one build per ksub; the DEFAULT-ksub build serves its
       // ksub point AND the whole refine grid off one ADC ranking ---
@@ -1233,17 +1302,17 @@ object Similarity {
         val maxPool = refines.max * k
         val cands = adc.withColumn("r", rank().over(wAdc))
           .where(col("r") <= maxPool).select("query_id", "vec_id", "r")
-        val scored = t(PqAnn.rerankScored(cands, sh.corpusCp, sh.qCp, vecCol, idCol)
-          .select(col("query_id"), col("vec_id"), col("cos_raw"), col("r")))
+        val scored = PqAnn.rerankScored(cands, sh.corpusCp, sh.qCp, vecCol, idCol)
+          .select(col("query_id"), col("vec_id"), col("cos_raw"), col("r"))
         // labels from explicit membership (advice-r17): if DefaultRefine
         // is ever moved INTO SweepRefine, the overlapping point must
         // emit BOTH its ksub row and its refine row, not silently drop
         // one — same rule the ivfpq grid below already applies
-        refines.flatMap { rf =>
-          lazy val df = CosineTopK.rankTopK(scored.where(col("r") <= rf * k), k)
-          (if (rf == PqAnn.DefaultRefine) Seq(("pq", "ksub", ksub, df)) else Nil) ++
-            (if (SweepRefine.contains(rf)) Seq(("pq", "refine", rf, df)) else Nil)
-        }
+        sharedTopK(scored, k, refines, (rf: Int) => col("r") <= rf * k, t)
+          .flatMap { case (rf, df) =>
+            (if (rf == PqAnn.DefaultRefine) Seq(("pq", "ksub", ksub, df)) else Nil) ++
+              (if (SweepRefine.contains(rf)) Seq(("pq", "refine", rf, df)) else Nil)
+          }
       }
       // refine is PQ's second knob, and on clustered corpora the
       // decisive one: a tight cluster collapses to a handful of PQ
@@ -1275,32 +1344,38 @@ object Similarity {
           IvfPqAnn.DefaultM, ksub)
         val coded = IvfPqAnn.encodeWith(sh.assignedCp, sh.ctrs, books, bs)
         val probes = IvfPqAnn.probeData(qArr, sh.ctrs, books, bs, nProbe)
-        t(IvfPqAnn.adcScoresWithRank(coded, probes))
+        // no checkpoint here: the sole consumer is sharedAdcPools,
+        // whose ranked frame is the materialization point
+        IvfPqAnn.adcScoresWithRank(coded, probes)
       }
-      // per (adc frame, probe setting): rank within the probed subset at
-      // the max refine, re-rank the max pool once, filter per point
-      def ivfpqPoints(adc: DataFrame, nProbe: Int, refines: Seq[Int])
+      // per re-rank pool: exact-score the pool once, then every refine
+      // point filters the shared scored frame (one shared-sort window
+      // serves the whole refine grid)
+      def ivfpqFromPool(pool: DataFrame, refines: Seq[Int])
           : Seq[(Int, DataFrame)] = {
-        val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
-        val maxPool = refines.max * k
-        val cands = adc.where(col("cell_rank") <= nProbe)
-          .withColumn("r", rank().over(wAdc))
-          .where(col("r") <= maxPool).select("query_id", "vec_id", "r")
-        val scored = t(PqAnn.rerankScored(cands, sh.corpusCp, sh.qCp, vecCol, idCol)
-          .select(col("query_id"), col("vec_id"), col("cos_raw"), col("r")))
-        refines.map(rf =>
-          (rf, CosineTopK.rankTopK(scored.where(col("r") <= rf * k), k)))
+        val scored = PqAnn.rerankScored(pool, sh.corpusCp, sh.qCp, vecCol, idCol)
+          .select(col("query_id"), col("vec_id"), col("cos_raw"), col("r"))
+        sharedTopK(scored, k, refines, (rf: Int) => col("r") <= rf * k, t)
       }
       val adcDefaultKsub = ivfpqScored(IvfPqAnn.DefaultKsub, SweepProbes.max)
-      val ivfpqProbeRuns = SweepProbes.filterNot(_ == IvfPqAnn.DefaultProbe)
-        .map { p =>
-          val Seq((_, df)) = ivfpqPoints(adcDefaultKsub, p, Seq(IvfPqAnn.DefaultRefine))
+      // the WHOLE probe grid (non-default points + the default point
+      // with its refine grid) shares ONE ADC-rank sort of the default-
+      // ksub frame: probe subsets are prefix-nested in cell_rank
+      val defRefines = (IvfPqAnn.DefaultRefine +: 16 +: SweepRefine).distinct
+      val probeGrid: Seq[(Int, Seq[Int])] =
+        SweepProbes.filterNot(_ == IvfPqAnn.DefaultProbe)
+          .map(p => p -> Seq(IvfPqAnn.DefaultRefine)) :+
+          (IvfPqAnn.DefaultProbe -> defRefines)
+      val probePools = sharedAdcPools(adcDefaultKsub,
+        probeGrid.map { case (p, rfs) => (p, rfs.max * k) }, t)
+      val ivfpqProbeRuns = probeGrid.zip(probePools).init.map {
+        case ((p, rfs), pool) =>
+          val Seq((_, df)) = ivfpqFromPool(pool, rfs)
           ("ivfpq", "nProbe", p, df)
-        }
+      }
       // default probe: one re-ranked pool serves the nProbe=default
       // point, the refine grid, and the ksub=default point
-      val defProbePoints = ivfpqPoints(adcDefaultKsub, IvfPqAnn.DefaultProbe,
-        (IvfPqAnn.DefaultRefine +: 16 +: SweepRefine).distinct)
+      val defProbePoints = ivfpqFromPool(probePools.last, defRefines)
       val ivfpqDefRuns = defProbePoints.flatMap { case (rf, df) =>
         Seq.newBuilder[(String, String, Int, DataFrame)]
           .++= (if (rf == IvfPqAnn.DefaultRefine)
@@ -1313,7 +1388,8 @@ object Similarity {
       val ivfpqKsubRuns = SweepIvfPqKsub.filterNot(_ == IvfPqAnn.DefaultKsub)
         .map { ks =>
           val adc = ivfpqScored(ks, IvfPqAnn.DefaultProbe)
-          val Seq((_, df)) = ivfpqPoints(adc, IvfPqAnn.DefaultProbe, Seq(16))
+          val Seq(pool) = sharedAdcPools(adc, Seq((IvfPqAnn.DefaultProbe, 16 * k)), t)
+          val Seq((_, df)) = ivfpqFromPool(pool, Seq(16))
           ("ivfpq", "ksub", ks, df)
         }
 

@@ -48,7 +48,8 @@ object StreamSoak {
                                       batches: Int, wallSec: Double,
                                       bound: Long, ok: Boolean,
                                       steadyRowsPerSec: Long,
-                                      meanBatchMs: Long, maxBatchMs: Long)
+                                      meanBatchMs: Long, maxBatchMs: Long,
+                                      maxStateMemBytes: Long)
 
   /** Run `q` until ≥ `target` input rows have been processed, sampling
     * state-operator rows AND per-batch (inputRows, triggerExecution ms)
@@ -56,8 +57,8 @@ object StreamSoak {
     * raised to cover the whole run).
     */
   private def drive(spark: SparkSession, q: StreamingQuery, target: Long)
-      : (Long, Long, Vector[Long], Vector[(Long, Long)], Int) = {
-    var input = 0L; var output = 0L; var batches = 0
+      : (Long, Long, Vector[Long], Vector[(Long, Long)], Int, Long) = {
+    var input = 0L; var output = 0L; var batches = 0; var maxMem = 0L
     val states = Vector.newBuilder[Long]
     var batchStats = Vector.empty[(Long, Long)]
     var done = false
@@ -69,10 +70,17 @@ object StreamSoak {
         .filter(_ >= 0).sum
       batches = progresses.length
       states.clear()
+      maxMem = 0L
       val bs = Vector.newBuilder[(Long, Long)]
       progresses.foreach { p =>
-        if (p.stateOperators.nonEmpty)
+        if (p.stateOperators.nonEmpty) {
           states += p.stateOperators.map(_.numRowsTotal).sum
+          // guide §5 receipt: the store's own memory claim (HDFS-backed
+          // map size, or RocksDB total SST+memtable when that provider
+          // is selected) — the number that says whether bounded ROWS
+          // also means bounded BYTES
+          maxMem = math.max(maxMem, p.stateOperators.map(_.memoryUsedBytes).sum)
+        }
         val dur = Option(p.durationMs.get("triggerExecution"))
           .map(_.longValue).getOrElse(0L)
         bs += ((p.numInputRows, dur))
@@ -82,7 +90,7 @@ object StreamSoak {
     }
     q.exception.foreach(throw _)
     q.stop()
-    (input, output, states.result(), batchStats, batches)
+    (input, output, states.result(), batchStats, batches, maxMem)
   }
 
   /** Accelerated event stream off the rate source: one row per `value`,
@@ -102,7 +110,8 @@ object StreamSoak {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory(s"soak_$name").toString)
       .start()
-    val (input, output, states, batchStats, batches) = drive(spark, q, TargetRows)
+    val (input, output, states, batchStats, batches, maxMem) =
+      drive(spark, q, TargetRows)
     val wall = (System.nanoTime() - t0) / 1e9
     // steady-state throughput: rows/sec over the second half of the
     // batches (ramp-up and first-batch codegen excluded), from the
@@ -132,12 +141,22 @@ object StreamSoak {
     val ok = output > 0 && maxState <= bound &&
       (midMax == 0 || lateMax <= 1.1 * midMax)
     SoakResult(name, input, output, maxState, midMax, lateMax, batches,
-      math.round(wall * 10) / 10.0, bound, ok, steadyRps, meanMs, maxMs)
+      math.round(wall * 10) / 10.0, bound, ok, steadyRps, meanMs, maxMs,
+      maxMem)
   }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    // A/B lever (round 18, verdict-r17 #7): SPARK_GRAFT_STATE_STORE=
+    // rocksdb swaps the default HDFS-backed in-heap store for the
+    // RocksDB provider (executor-local native memory + SST files) —
+    // the production choice when per-executor state exceeds what the
+    // heap store's full-copy snapshots tolerate. Same soaks, same
+    // bounds; the receipt records which store produced the numbers.
+    val store = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+    require(Set("hdfs", "rocksdb").contains(store),
+      s"SPARK_GRAFT_STATE_STORE must be hdfs|rocksdb, got $store")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // keep every progress event for the whole run: the default 100
@@ -145,7 +164,10 @@ object StreamSoak {
       // compares against
       .config("spark.sql.streaming.numRecentProgressUpdates", "5000")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (store == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // --- sessionize: generations of 1 000 interleaved users ---------
@@ -238,9 +260,10 @@ object StreamSoak {
 
     Seq(s1, s1b, s2, s3, s4).foreach { r =>
       println(
-        s"""{"soak":"${r.name}","input_rows":${r.inputRows},""" +
+        s"""{"soak":"${r.name}","store":"$store","input_rows":${r.inputRows},""" +
         s""""output_rows":${r.outputRows},"max_state_rows":${r.maxState},""" +
         s""""mid_max_state":${r.midMaxState},"late_max_state":${r.lateMaxState},""" +
+        s""""max_state_mem_bytes":${r.maxStateMemBytes},""" +
         s""""batches":${r.batches},"wall_sec":${r.wallSec},""" +
         s""""steady_rows_per_sec":${r.steadyRowsPerSec},""" +
         s""""mean_batch_ms":${r.meanBatchMs},"max_batch_ms":${r.maxBatchMs},""" +
